@@ -1,0 +1,305 @@
+"""Unit tests for schema codec, column detection, reading order, cleaners,
+and extractors — including a fixture derived from the reference's pasted
+golden transcript (v10A.R:3782-3796)."""
+
+import numpy as np
+import pytest
+
+from pdf_extraction_tests_ray import schema
+from pdf_extraction_tests_ray.doclogic import columns
+from pdf_extraction_tests_ray.doclogic.cleaners import (
+    clean_aggressive,
+    clean_hybrid,
+    dedup_sentences,
+    normalize_ws,
+    scrub_citations,
+    split_authors,
+)
+from pdf_extraction_tests_ray.doclogic.document import process_document
+from pdf_extraction_tests_ray.doclogic.formats import banding_format, detect_document_format
+from pdf_extraction_tests_ray.doclogic.reading_order import order_document
+
+
+# ---------------------------------------------------------------------------
+# offset codec
+
+
+def test_offset_roundtrip():
+    rng = np.random.default_rng(0)
+    page = rng.integers(1, 999, size=1000)
+    y = rng.integers(0, 1000, size=1000)
+    x = rng.integers(0, 1000, size=1000)
+    off = schema.pack_offset(page, y, x)
+    p2, y2, x2 = schema.unpack_offset(off)
+    assert np.array_equal(p2, page)
+    assert np.array_equal(y2, y)
+    assert np.array_equal(x2, x)
+
+
+def test_offset_bounds():
+    with pytest.raises(ValueError):
+        schema.pack_offset([0], [0], [0])
+    with pytest.raises(ValueError):
+        schema.pack_offset([1], [1000], [0])
+
+
+def test_derive_extent_media_vs_text():
+    w, h = schema.derive_extent(["text", "figure", "table"], [300, 0, 0])
+    assert w[1] == 900.0 and h[1] == 600.0
+    assert w[2] == 1000.0 and h[2] == 500.0
+    assert w[0] == 12.0 * 80 and h[0] == 55.0 * 4  # 300 chars -> 4 lines
+
+
+# ---------------------------------------------------------------------------
+# column detection
+
+
+def _mk_page(xs, text_len=40):
+    n = len(xs)
+    texts = ["w" * text_len for _ in range(n)]
+    w = np.full(n, 400.0)
+    h = np.full(n, 60.0)
+    xc = np.asarray(xs, dtype=float)
+    x = xc - w / 2
+    return texts, x, w, h, xc
+
+
+def test_two_columns_kmeans():
+    texts, x, w, h, xc = _mk_page([640, 650, 630, 1900, 1910, 1890])
+    ncols, boundary = columns.detect_page_layout(texts, x, w, h, xc)
+    assert ncols == 2
+    assert 640 < boundary < 1900
+
+
+def test_single_column():
+    texts, x, w, h, xc = _mk_page([1200, 1210, 1190, 1205])
+    ncols, boundary = columns.detect_page_layout(texts, x, w, h, xc)
+    assert ncols == 1 and boundary is None
+
+
+def test_insufficient_regions():
+    texts, x, w, h, xc = _mk_page([640, 1900])
+    assert columns.detect_page_layout(texts, x, w, h, xc) == (1, None)
+
+
+def test_insufficient_substantial():
+    # long enough x spread but texts too short to count as substantial
+    texts, x, w, h, xc = _mk_page([640, 650, 1900, 1910], text_len=5)
+    assert columns.detect_page_layout(texts, x, w, h, xc) == (1, None)
+
+
+def test_gap_method_with_three_substantial():
+    # 3 substantial regions: k-means skipped (needs >=4), gap method fires
+    texts, x, w, h, xc = _mk_page([400, 420, 1800])
+    ncols, boundary = columns.detect_page_layout(texts, x, w, h, xc)
+    assert ncols == 2
+    assert 420 < boundary < 1800
+
+
+def test_exclusion_regex():
+    texts, x, w, h, xc = _mk_page([640, 650, 1900, 1910])
+    texts = ["Figure 1 caption text long enough here"] * 2 + list(texts[2:])
+    ncols, _ = columns.detect_page_layout(texts, x, w, h, xc)
+    assert ncols == 1  # left side regions excluded -> no split
+
+
+def test_exact_two_means_optimality():
+    rng = np.random.default_rng(1)
+    for _ in range(50):
+        xs = rng.normal(size=rng.integers(4, 20))
+        res = columns.exact_two_means(xs)
+        if res is None:
+            continue
+        centers, wss, tot = res
+        # brute force check
+        s = np.sort(xs)
+        best = min(
+            np.sum((s[:k] - s[:k].mean()) ** 2) + np.sum((s[k:] - s[k:].mean()) ** 2)
+            for k in range(1, len(s))
+        )
+        assert wss == pytest.approx(best, abs=1e-9)
+
+
+def test_identical_positions_no_columns():
+    texts, x, w, h, xc = _mk_page([1000] * 6)
+    assert columns.detect_page_layout(texts, x, w, h, xc) == (1, None)
+
+
+# ---------------------------------------------------------------------------
+# golden-transcript-derived fixture (v10A.R:3782-3796, row 8 dropped because
+# its y quantizes onto row 6's scaled coordinate)
+
+_TRANSCRIPT = [
+    # (x, y, w, h, text, kind)  — px geometry from the transcript
+    (252, 157, 675, 128, "Bichemistry", "abandon"),
+    (2199, 379, 153, 51, "| Article", "abandon"),
+    (246, 389, 375, 36, "pubs.acs.org/biochemistry", "abandon"),
+    (248, 490, 2067, 152,
+     "Altering the Neisseria gonorrhoeae pilE Guanine Quadruplex Loop Bases Affects Pilin Antigenic Variation",
+     "title"),
+    (247, 663, 1459, 62, "Lauren L. Prister, Shaohui Yin, Laty A. Cahoon, and H Steven Seifert", "text"),
+    (344, 778, 639, 43, "Cite This: Biochemistry 2020, 59, 1104-1112", "text"),
+    (1436, 778, 209, 42, "Read Online", "text"),
+    (622, 920, 314, 52, "lil Metrics & More", "title"),
+    (1169, 920, 473, 50, "Article Recommendations", "title"),
+]
+
+
+def _transcript_spans():
+    kinds, texts, refs, offs = [], [], [], []
+    for x, y, w, h, text, kind in _TRANSCRIPT:
+        xc = x + w / 2
+        offs.append(int(schema.pack_offset([1], [round(y / schema.SCALE)], [round(xc / schema.SCALE)])[0]))
+        kinds.append(kind)
+        texts.append(text)
+        refs.append("")
+    return kinds, texts, refs, offs
+
+
+def test_transcript_reading_order_generic_bands():
+    kinds, texts, refs, offs = _transcript_spans()
+    idx, _ = order_document(kinds, texts, refs, offs)
+    ordered = [texts[i] for i in idx]
+    # generic page-1 bands (v10A.R:446-482): header<400 / title 400-800 /
+    # abstract 800-1500; within band arrange(y, x)
+    assert ordered == [
+        "Bichemistry",
+        "| Article",
+        "pubs.acs.org/biochemistry",
+        "Altering the Neisseria gonorrhoeae pilE Guanine Quadruplex Loop Bases Affects Pilin Antigenic Variation",
+        "Lauren L. Prister, Shaohui Yin, Laty A. Cahoon, and H Steven Seifert",
+        "Cite This: Biochemistry 2020, 59, 1104-1112",
+        "Read Online",
+        "lil Metrics & More",
+        "Article Recommendations",
+    ]
+
+
+def test_transcript_title_and_authors():
+    kinds, texts, refs, offs = _transcript_spans()
+    r = process_document(kinds, texts, refs, offs, cleaning_method="none")
+    assert r["title"].startswith("Altering the Neisseria gonorrhoeae")
+    assert "Prister" in r["authors"] and "Seifert" in r["authors"]
+    assert r["total_pages"] == 1
+    assert r["total_text_regions"] == 9
+
+
+def test_permutation_invariance():
+    kinds, texts, refs, offs = _transcript_spans()
+    base = process_document(kinds, texts, refs, offs)
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        p = rng.permutation(len(kinds))
+        r = process_document(
+            [kinds[i] for i in p], [texts[i] for i in p],
+            [refs[i] for i in p], [offs[i] for i in p],
+        )
+        assert r["spans"]["text"] == base["spans"]["text"]
+        assert r["title"] == base["title"]
+        assert r["main_text"] == base["main_text"]
+
+
+def test_abandon_dropped_on_pages_after_one():
+    kinds = ["abandon", "text", "abandon", "text"]
+    texts = ["header p1", "body one text", "header p2", "body two text"]
+    refs = [""] * 4
+    offs = [
+        int(schema.pack_offset([1], [10], [300])[0]),
+        int(schema.pack_offset([1], [500], [300])[0]),
+        int(schema.pack_offset([2], [10], [300])[0]),
+        int(schema.pack_offset([2], [500], [300])[0]),
+    ]
+    idx, _ = order_document(kinds, texts, refs, offs)
+    ordered = [texts[i] for i in idx]
+    assert "header p1" in ordered  # kept for publisher detection (v10A.R:183)
+    assert "header p2" not in ordered
+
+
+def test_media_spans_keep_reading_position():
+    kinds = ["text", "figure", "text"]
+    texts = ["above the figure block", "", "below the figure block"]
+    refs = ["", "media://d/0", ""]
+    offs = [
+        int(schema.pack_offset([2], [100], [300])[0]),
+        int(schema.pack_offset([2], [300], [300])[0]),
+        int(schema.pack_offset([2], [500], [300])[0]),
+    ]
+    idx, _ = order_document(kinds, texts, refs, offs)
+    assert [refs[i] for i in idx] == ["", "media://d/0", ""]
+    assert [texts[i] for i in idx][1] == ""
+
+
+def test_empty_text_spans_dropped():
+    kinds = ["text", "text"]
+    texts = ["   ", "real content"]
+    refs = ["", ""]
+    offs = [int(schema.pack_offset([1], [100], [300])[0]), int(schema.pack_offset([1], [200], [300])[0])]
+    idx, _ = order_document(kinds, texts, refs, offs)
+    assert [texts[i] for i in idx] == ["real content"]
+
+
+# ---------------------------------------------------------------------------
+# formats
+
+
+def test_banding_format_priority():
+    # elsevier checked before nature (v10A.R:250 vs 298)
+    assert banding_format(["published by elsevier", "nature communications"]) == "elsevier"
+    assert banding_format(["nature communications vol 2"]) == "nature"
+    assert banding_format(["Journal of Antimicrobial Chemotherapy"]) == "jac"
+    assert banding_format(["JSM Nanotechnology"]) == "jsm"
+    assert banding_format(["plain bulletin"]) == "generic"
+
+
+def test_detect_document_format_mdpi():
+    kinds = ["abandon", "text"]
+    texts = ["licensee mdpi basel, switzerland", "Academic Editor: X"]
+    fmt = detect_document_format(kinds, texts, np.array([1, 1]), np.array([100.0, 200.0]))
+    assert fmt == "mdpi"
+
+
+def test_detect_document_format_tie_goes_to_first():
+    # no signals, first title-region y<300 adds nature+1 -> ties generic(1)
+    # -> R which.max picks nature_communications (list order, v10A.R:612-618)
+    kinds = ["text"]
+    texts = ["a sufficiently long heading line for the hint"]
+    fmt = detect_document_format(kinds, texts, np.array([1]), np.array([100.0]))
+    assert fmt == "nature_communications"
+
+
+# ---------------------------------------------------------------------------
+# cleaners
+
+
+def test_dedup_sentences_first_seen():
+    s = "Alpha beta. Gamma delta. Alpha beta. Epsilon zeta"
+    assert dedup_sentences(s) == "Alpha beta. Gamma delta. Epsilon zeta"
+
+
+def test_scrub_citations():
+    s = "Result [1] and [2, 3] plus [4–6] (Figure 2a) (Table 1) end."
+    assert scrub_citations(s) == "Result and plus end."
+
+
+def test_hybrid_order_sensitivity():
+    # de-hyphenation must run before whitespace collapse merges differently
+    assert clean_hybrid("double- strand break") == "doublestrand break"
+    assert clean_hybrid("the p H value and Ag NPs react") == "the pH value and AgNPs react"
+    assert clean_hybrid("see (Fig. 3a) here") == "see here"
+
+
+def test_aggressive_camelcase_split():
+    # step 1 of the chain (v10A.R:3441) consumes `."*` INCLUDING the period
+    # — order-sensitive behavior preserved from the reference
+    assert clean_aggressive('structure."* Next sentence') == "structure Next sentence"
+    assert clean_aggressive("wordBreak") == "word Break"
+
+
+def test_split_authors():
+    assert split_authors("A. Smith; B. Jones") == ["A. Smith", "B. Jones"]
+    assert split_authors("A. Smith, B. Jones") == ["A. Smith", "B. Jones"]
+    assert split_authors("Here are the authors") == ["Authors not found"]
+
+
+def test_normalize_ws():
+    assert normalize_ws("  a\n b\tc  ") == "a b c"
