@@ -51,6 +51,68 @@ def _build_rdf(kinds, texts, media_refs, geometry, idx):
     }
 
 
+def order_spans(kinds, texts, media_refs, offsets):
+    """Reading-order a span list; returns ordered parallel lists.
+
+    Used both whole-doc and per page-range FRAGMENT of a heavy document:
+    ordering is strictly per-page (v10A.R:40-199 page loop), so ordering
+    page-aligned fragments independently and concatenating them in page
+    order is identical to whole-doc ordering (SURVEY.md §4.2 skew row).
+    """
+    idx, _ = order_document(kinds, texts, media_refs, offsets)
+    return (
+        [kinds[i] for i in idx],
+        [texts[i] for i in idx],
+        [media_refs[i] for i in idx],
+        [int(offsets[i]) for i in idx],
+    )
+
+
+def build_rdf_from_ordered(kinds, texts, media_refs, offsets):
+    """Rebuild the rdf frame from ALREADY-ORDERED spans (fragment reassembly)."""
+    geometry = decode_geometry(kinds, texts, offsets)
+    idx = np.arange(len(kinds))
+    return _build_rdf(kinds, texts, media_refs, geometry, idx)
+
+
+def finalize_document(rdf, cleaning_method="hybrid"):
+    """Doc-level extraction over an ordered rdf -> output dict (no spans)."""
+    if rdf["_n"] == 0:
+        return {
+            "title": "Title not found",
+            "authors": "Authors not found",
+            "abstract": "Abstract not found",
+            "main_text": "",
+            "document_format": "generic_academic",
+            "boundary_start": 0,
+            "boundary_end": 0,
+            "total_pages": 0,
+            "total_text_regions": 0,
+        }
+    doc_format = detect_document_format(rdf["kinds"], rdf["texts"], rdf["page"], rdf["y"])
+    title = extract_title_universal(rdf)
+    authors = extract_authors(rdf)
+    abstract = extract_abstract_universal(rdf)
+    main = extract_main_text_smart(rdf, doc_format)
+    if cleaning_method != "none":
+        title = apply_cleaning_method(title, cleaning_method)
+        abstract = apply_cleaning_method(abstract, cleaning_method)
+        main_text = apply_cleaning_method(main["main"], cleaning_method)
+    else:
+        main_text = main["main"]
+    return {
+        "title": title,
+        "authors": authors,
+        "abstract": abstract,
+        "main_text": main_text,
+        "document_format": doc_format,
+        "boundary_start": int(main["start"]),
+        "boundary_end": int(main["end"]),
+        "total_pages": int(np.max(rdf["page"])),
+        "total_text_regions": int(rdf["_n"]),
+    }
+
+
 def process_document(kinds, texts, media_refs, offsets, cleaning_method="hybrid"):
     """Flagship deterministic pipeline for one document.
 
@@ -67,46 +129,9 @@ def process_document(kinds, texts, media_refs, offsets, cleaning_method="hybrid"
         "order": np.arange(len(idx), dtype=np.int32),
     }
 
-    if rdf["_n"] == 0:
-        return {
-            "spans": out_spans,
-            "title": "Title not found",
-            "authors": "Authors not found",
-            "abstract": "Abstract not found",
-            "main_text": "",
-            "document_format": "generic_academic",
-            "boundary_start": 0,
-            "boundary_end": 0,
-            "total_pages": 0,
-            "total_text_regions": 0,
-        }
-
-    doc_format = detect_document_format(rdf["kinds"], rdf["texts"], rdf["page"], rdf["y"])
-
-    title = extract_title_universal(rdf)
-    authors = extract_authors(rdf)
-    abstract = extract_abstract_universal(rdf)
-    main = extract_main_text_smart(rdf, doc_format)
-
-    if cleaning_method != "none":
-        title_c = apply_cleaning_method(title, cleaning_method)
-        abstract_c = apply_cleaning_method(abstract, cleaning_method)
-        main_c = apply_cleaning_method(main["main"], cleaning_method)
-    else:
-        title_c, abstract_c, main_c = title, abstract, main["main"]
-
-    return {
-        "spans": out_spans,
-        "title": title_c,
-        "authors": authors,
-        "abstract": abstract_c,
-        "main_text": main_c,
-        "document_format": doc_format,
-        "boundary_start": int(main["start"]),
-        "boundary_end": int(main["end"]),
-        "total_pages": int(np.max(rdf["page"])),
-        "total_text_regions": int(rdf["_n"]),
-    }
+    out = finalize_document(rdf, cleaning_method)
+    out["spans"] = out_spans
+    return out
 
 
 def process_document_simple(kinds, texts, media_refs, offsets, cleaning_method="hybrid"):

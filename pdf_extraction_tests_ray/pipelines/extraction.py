@@ -1,0 +1,125 @@
+"""The flagship extraction pipeline (SURVEY.md §3 "our shape").
+
+    read_parquet(spans table)
+      -> map_batches(add_span_count)                     [vectorized Arrow]
+      -> light docs: map_batches(ExtractDocuments, actor pool)
+         heavy docs: map_batches(fragment)               [skew defusal]
+                     -> groupby(doc_id).map_groups(assemble)   [the one
+                        ordering-sensitive shuffle, keyed on doc_id]
+      -> union
+      -> ok rows -> write_parquet / caller; error rows -> quarantine sink
+
+Heavy-doc splitting exists for the north rule's pathological
+multi-hundred-page documents: one 10^4-span row would otherwise pin a task
+for minutes while its batch-mates finish (SURVEY.md §4.2 skew row). The
+threshold routes only the tail through the shuffle; everything else is
+embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..stages.extract_stage import (
+    ExtractDocuments,
+    add_span_count,
+    assemble_fragments,
+    fragment_heavy_batch,
+)
+
+DEFAULT_SPLIT_THRESHOLD = 4000  # spans; ~100 pages at reference density
+DEFAULT_BATCH_SIZE = 32  # docs per batch — rows are fat (SURVEY.md §7.3.6)
+
+
+def extract_dataset(
+    ds: "ray.data.Dataset",
+    cleaning_method: str = "hybrid",
+    split_threshold: int = DEFAULT_SPLIT_THRESHOLD,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    concurrency=None,
+    pages_per_fragment: int = 25,
+) -> "ray.data.Dataset":
+    """Build the lazy extraction pipeline over a spans Dataset.
+
+    Returns the full output Dataset (including the ``error`` column);
+    use :func:`split_quarantine` to separate failed docs.
+    """
+    counted = ds.map_batches(add_span_count, batch_format="pyarrow")
+
+    def _filter_light(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less_equal(t["n_spans"], split_threshold)).drop_columns(["n_spans"])
+
+    def _filter_heavy(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["n_spans"], split_threshold)).drop_columns(["n_spans"])
+
+    light = counted.map_batches(_filter_light, batch_format="pyarrow")
+    heavy = counted.map_batches(_filter_heavy, batch_format="pyarrow")
+
+    if concurrency is None:
+        # autoscaling actor pool up to the CPU count: the extraction stage
+        # dominates wall time, but an autoscaling pool lets the read/write
+        # stages keep their share under backpressure.
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        concurrency = (1, max(2, ncpu))
+    out_light = light.map_batches(
+        ExtractDocuments,
+        fn_constructor_kwargs={"cleaning_method": cleaning_method},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    fragments = heavy.map_batches(
+        lambda t: fragment_heavy_batch(t, pages_per_fragment),
+        batch_format="pyarrow",
+        batch_size=4,
+    )
+    out_heavy = fragments.groupby("doc_id").map_groups(
+        lambda g: assemble_fragments(g, cleaning_method), batch_format="pyarrow"
+    )
+
+    return out_light.union(out_heavy)
+
+
+def split_quarantine(out: "ray.data.Dataset"):
+    """(ok, quarantined) — error rows carry the traceback, never dropped."""
+
+    def _ok(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["error"], "")).drop_columns(["error"])
+
+    def _bad(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["error"], ""))
+        return t.select(["doc_id", "error"])
+
+    return out.map_batches(_ok, batch_format="pyarrow"), out.map_batches(
+        _bad, batch_format="pyarrow"
+    )
+
+
+def read_spans(path: str, **kwargs) -> "ray.data.Dataset":
+    """Source: a directory of parquet span files (Lance at real scale —
+    same shape; reading is S1's replacement per SURVEY.md §2.1)."""
+    return ray.data.read_parquet(path, **kwargs)
+
+
+def run_extraction(
+    input_path: str,
+    output_path: str | None = None,
+    quarantine_path: str | None = None,
+    **kwargs,
+):
+    """Read -> extract -> (optionally) write ok + quarantine parquet."""
+    ds = read_spans(input_path)
+    out = extract_dataset(ds, **kwargs)
+    ok, bad = split_quarantine(out)
+    if output_path is not None:
+        ok.write_parquet(output_path)
+        if quarantine_path is not None:
+            bad.write_parquet(quarantine_path)
+        return None
+    return ok
