@@ -1,0 +1,214 @@
+"""Vectorized text primitives: normalization, token counts, quality
+scoring, language ID, fingerprints, shingles, MinHash, SimHash.
+
+All deterministic (fixed seeds / fixed hash parameters). These power the
+training-data-pipeline operators (dedup, quality filtering, lang ID) that
+complement the reference's extraction semantics at corpus scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+
+_WS_RE = re.compile(r"\s+")
+_TOKEN_RE = re.compile(r"\w+|[^\w\s]")  # BPE-ish: words + single punct marks
+# ASCII punctuation only — matches the DuckDB (RE2) oracle class exactly;
+# \w-based classes diverge between Python (unicode) and RE2 (ASCII) on CJK.
+_PUNCT_RE = re.compile(r"[!-/:-@\[-`{-~]")
+
+
+def normalize_text(s: str) -> str:
+    """lower + collapse whitespace + trim — the dedup key normalization."""
+    return _WS_RE.sub(" ", s).strip().lower()
+
+
+def whitespace_token_count(s: str) -> int:
+    """len(split on \\s+) of trimmed text — matches DuckDB
+    ``length(regexp_split_to_array(trim(text), '\\s+'))``."""
+    t = s.strip()
+    return len(_WS_RE.split(t)) if t else 1  # DuckDB returns [''] -> 1
+
+
+def bpe_ish_token_count(s: str) -> int:
+    return len(_TOKEN_RE.findall(s))
+
+
+def punct_char_count(s: str) -> int:
+    return len(_PUNCT_RE.findall(s))
+
+
+def nonspace_char_count(s: str) -> int:
+    return len(_WS_RE.sub("", s))
+
+
+# --------------------------------------------------------------------------
+# quality scoring (length / punctuation / stopword / word-length signals)
+
+_EN_STOP = frozenset(
+    "the a an and or of to in is are was were be been for on with as by at it this that from".split()
+)
+
+
+def quality_features(s: str) -> tuple[int, float, float, float]:
+    """(n_words, punct_ratio, avg_word_len, stopword_ratio) — all
+    deterministic; ratios over trimmed text."""
+    t = s.strip()
+    words = _WS_RE.split(t) if t else [""]
+    n_words = len(words)
+    n_chars = len(t)
+    punct_ratio = punct_char_count(t) / n_chars if n_chars else 0.0
+    avg_word_len = nonspace_char_count(t) / n_words if n_words else 0.0
+    stop = sum(1 for w in words if w.lower() in _EN_STOP)
+    stopword_ratio = stop / n_words if n_words else 0.0
+    return n_words, punct_ratio, avg_word_len, stopword_ratio
+
+
+def is_quality(n_words, punct_ratio, avg_word_len) -> bool:
+    """Simple trainability gate: enough words, sane punctuation density,
+    plausible word lengths (C4-style heuristics)."""
+    return bool(n_words >= 10 and punct_ratio < 0.3 and 2.0 <= avg_word_len <= 12.0)
+
+
+# --------------------------------------------------------------------------
+# language ID: stopword-hit heuristic over a tiny per-language lexicon
+
+_LANG_STOPS = {
+    "en": frozenset("the and of to in is that it for on with as be are this".split()),
+    "de": frozenset("der die das und ist nicht von zu mit den ein eine im für auf".split()),
+    "fr": frozenset("le la les et de des un une est pas pour dans que sur avec".split()),
+    "es": frozenset("el la los las y de que en un una es no por con para".split()),
+}
+_LANG_ORDER = ("en", "de", "fr", "es", "zh")
+
+
+def detect_language(s: str) -> str:
+    """Argmax of per-language stopword hits; CJK codepoint share beats the
+    lexicons; ties resolve in fixed _LANG_ORDER."""
+    t = s.lower()
+    if t and sum(1 for c in t if "一" <= c <= "鿿") / max(1, len(t)) > 0.2:
+        return "zh"
+    words = _WS_RE.split(t.strip()) if t.strip() else []
+    scores = {lang: sum(1 for w in words if w in stops) for lang, stops in _LANG_STOPS.items()}
+    scores["zh"] = 0
+    return max(_LANG_ORDER, key=lambda l: (scores[l], -_LANG_ORDER.index(l)))
+
+
+# --------------------------------------------------------------------------
+# fingerprints
+
+def md5_fingerprint(s: str) -> str:
+    """md5 hex of the normalized text — matches DuckDB ``md5(...)``."""
+    return hashlib.md5(normalize_text(s).encode("utf-8")).hexdigest()
+
+
+_ROLL_BASE = np.uint64(1099511628211)
+_ROLL_INIT = np.uint64(14695981039346656037)
+
+
+def rolling_fingerprint(s: str) -> int:
+    """FNV-1a-style rolling 64-bit hash of normalized text (int64)."""
+    h = _ROLL_INIT
+    for b in normalize_text(s).encode("utf-8"):
+        h = np.uint64(h ^ np.uint64(b)) * _ROLL_BASE
+    return int(h.astype(np.int64))
+
+
+# --------------------------------------------------------------------------
+# shingles + MinHash
+
+def char_shingles(s: str, k: int = 5) -> set[int]:
+    """k-char shingles of normalized text, each hashed to uint64."""
+    t = normalize_text(s)
+    if len(t) < k:
+        return {hash_u64(t)} if t else set()
+    return {hash_u64(t[i : i + k]) for i in range(len(t) - k + 1)}
+
+
+def word_ngrams(s: str, n: int = 1) -> set[str]:
+    words = _WS_RE.split(normalize_text(s))
+    if not words or words == [""]:
+        return set()
+    if n == 1:
+        return set(words)
+    return {" ".join(words[i : i + n]) for i in range(max(0, len(words) - n + 1))}
+
+
+def hash_u64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
+
+
+# Universal hashing mod the Mersenne prime 2^31-1: a,b,x < 2^31 so the
+# product a*x fits in uint64 and the whole signature is exact + vectorized.
+_MERSENNE31 = np.uint64((1 << 31) - 1)
+_N_PERM = 128
+_rng = np.random.default_rng(np.random.SeedSequence([12345]))
+_MINHASH_A = _rng.integers(1, int(_MERSENNE31), size=_N_PERM, dtype=np.uint64)
+_MINHASH_B = _rng.integers(0, int(_MERSENNE31), size=_N_PERM, dtype=np.uint64)
+
+
+def minhash_signature(shingles: set[int], n_perm: int = _N_PERM) -> np.ndarray:
+    """(n_perm,) uint64 MinHash signature; empty set -> all-max sentinel."""
+    if not shingles:
+        return np.full(n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    x = np.fromiter(shingles, dtype=np.uint64, count=len(shingles)) % _MERSENNE31
+    a = _MINHASH_A[:n_perm, None]
+    b = _MINHASH_B[:n_perm, None]
+    hashed = (a * x[None, :] + b) % _MERSENNE31  # (n_perm, n_shingles)
+    return hashed.min(axis=1)
+
+
+def minhash_signature_batch(shingle_sets: list[set[int]], n_perm: int = _N_PERM) -> np.ndarray:
+    """(n_docs, n_perm) signatures."""
+    out = np.empty((len(shingle_sets), n_perm), dtype=np.uint64)
+    for d, sh in enumerate(shingle_sets):
+        out[d] = minhash_signature(sh, n_perm)
+    return out
+
+
+def lsh_bands(sig: np.ndarray, n_bands: int = 32) -> list[int]:
+    """Hash each band of the signature to uint64 bucket keys."""
+    n_perm = sig.shape[-1]
+    rows = n_perm // n_bands
+    keys = []
+    for bidx in range(n_bands):
+        band = sig[bidx * rows : (bidx + 1) * rows]
+        keys.append(hash_u64(f"{bidx}:" + ",".join(str(int(v)) for v in band)))
+    return keys
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    u = len(a | b)
+    return len(a & b) / u if u else 0.0
+
+
+# --------------------------------------------------------------------------
+# SimHash
+
+def simhash64(s: str, ngram: int = 2) -> int:
+    """64-bit SimHash over word n-grams (weight 1 each)."""
+    feats = word_ngrams(s, ngram)
+    if not feats:
+        return 0
+    v = np.zeros(64, dtype=np.int64)
+    for f in feats:
+        h = hash_u64(f)
+        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+        v += np.where(bits.astype(bool), 1, -1)
+    return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64).astype(np.int64))
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def simhash_chunks(h: int, n_chunks: int = 4) -> list[int]:
+    """Split into 16-bit chunks: near-dups within hamming<=n_chunks-1 share
+    at least one chunk (pigeonhole) — the LSH blocking key."""
+    u = h & ((1 << 64) - 1)
+    w = 64 // n_chunks
+    return [(u >> (i * w)) & ((1 << w) - 1) for i in range(n_chunks)]

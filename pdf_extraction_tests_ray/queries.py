@@ -1,0 +1,456 @@
+"""Driver-conformance queries: each function takes ``sf_dir`` and returns a
+Ray Dataset / pandas DataFrame whose rows match the paired DuckDB oracle in
+``__ray_entry__.oracle_sql()`` (column NAMES must match — the driver hashes
+values after sorting columns by name).
+
+Implementation rules mirrored from the engine design:
+- every aggregate pre-aggregates per batch before the groupby shuffle;
+- dimension tables are broadcast (ray.put) not shuffled;
+- floats that cross the Ray/DuckDB boundary are rounded identically on
+  both sides (documented per query).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from .functions import text as T
+from .relational import broadcast_join, tumbling_window_events
+from .stages import dedup as D
+from .stages import similarity as S
+from .stages import text_analysis as TA
+
+
+def _read(sf_dir: str, name: str, **kw) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", **kw)
+
+
+# --------------------------------------------------------------------------
+# TPC-H-ish relational
+
+
+def q1_pricing_summary(sf_dir: str):
+    """Q1-style pricing summary; per-batch partial agg -> tiny groupby."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cutoff = pd.Timestamp("1998-09-02")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] <= cutoff]
+        # exact integer-cents arithmetic: float sums are order-dependent and
+        # can land on opposite sides of a rounding boundary vs the oracle
+        price_c = df["l_extendedprice"].mul(100).round().astype("int64")
+        disc_c = df["l_discount"].mul(100).round().astype("int64")
+        df = df.assign(
+            base_c=price_c,
+            disc_price_c4=price_c * (100 - disc_c),  # value * 10^4
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("base_c", "sum"),
+            sum_disc_price=("disc_price_c4", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+        return g.reset_index()
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order"),
+        )
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["avg_qty"] = (df["sum_qty"] / df["count_order"]).round(6)
+        df["sum_qty"] = df["sum_qty"].round(2)
+        df["sum_base_price"] = df["sum_base_price"] / 100.0
+        # 10^-4 units -> cents with integer half-up rounding (float rounding
+        # at the .xx5 boundary differs between pandas and DuckDB)
+        df["sum_disc_price"] = ((df["sum_disc_price"] + 50) // 100) / 100.0
+        return df[
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "sum_disc_price", "avg_qty", "count_order"]
+        ]
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def q3_top_revenue_orders(sf_dir: str):
+    """Hash join lineitem<->orders, revenue per order, top 10."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(df: pd.DataFrame) -> pd.DataFrame:
+        price_c = df["l_extendedprice"].mul(100).round().astype("int64")
+        disc_c = df["l_discount"].mul(100).round().astype("int64")
+        out = df.assign(revenue=price_c * (100 - disc_c))  # exact, value*10^4
+        g = out.groupby("l_orderkey", sort=False).agg(revenue=("revenue", "sum"))
+        return g.reset_index()
+
+    per_order = (
+        li.map_batches(rev, batch_format="pandas")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = per_order.join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+    top = joined.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"],
+                "o_orderpriority": df["o_orderpriority"],
+                "revenue": ((df["revenue"] + 50) // 100) / 100.0,
+            }
+        )
+
+    return top.map_batches(finish, batch_format="pandas")
+
+
+def q_region_customer_balance(sf_dir: str):
+    """customer x nation x region via BROADCAST joins; per-region stats."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "r_name"]
+    ]
+    cust = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+    joined = broadcast_join(cust, dim, on="c_nationkey", right_on="n_nationkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(bal_c=df["c_acctbal"].mul(100).round().astype("int64"))
+        g = df.groupby("r_name", sort=False).agg(
+            n_customers=("bal_c", "size"), sum_acctbal=("bal_c", "sum")
+        )
+        return g.reset_index()
+
+    agg = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("r_name")
+        .aggregate(
+            Sum("n_customers", alias_name="n_customers"),
+            Sum("sum_acctbal", alias_name="sum_acctbal"),
+        )
+    )
+    return agg.map_batches(
+        lambda df: df.assign(sum_acctbal=(df["sum_acctbal"] / 100.0).round(2)),
+        batch_format="pandas",
+    )
+
+
+def q_orders_priority(sf_dir: str):
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_orderpriority", sort=False).size().rename("n_orders").reset_index()
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
+
+
+def q_part_topk(sf_dir: str):
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_name", "p_retailprice"])
+    return ds.sort(["p_retailprice", "p_partkey"], descending=[True, False]).limit(10)
+
+
+def q_events_tumbling(sf_dir: str):
+    """Tumbling 1h window per event_type; epoch-second window ids.
+
+    value sums use exact integer micro-units so the result is independent
+    of summation order (matches the oracle's round(value*1e6) sums).
+    """
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "window_start_s": df["ts"]
+                .dt.floor("1h")
+                .astype("datetime64[s]")
+                .astype("int64"),
+                "value_u": df["value"].mul(1_000_000).round().astype("int64"),
+            }
+        )
+        g = out.groupby(["event_type", "window_start_s"], sort=False).agg(
+            n_events=("value_u", "size"), sum_value_u=("value_u", "sum")
+        )
+        return g.reset_index()
+
+    agg = (
+        ev.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "window_start_s"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value_u", alias_name="sum_value_u"),
+        )
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "window_start_s": df["window_start_s"],
+                "n_events": df["n_events"],
+                # micro-units -> 10^-4 units with integer half-up rounding
+                "sum_value": ((df["sum_value_u"] + 50) // 100) / 10000.0,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def q_customer_segment_orders(sf_dir: str):
+    """Large-large hash join orders<->customer, per-segment stats."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(tp_c=df["o_totalprice"].mul(100).round().astype("int64"))
+        g = df.groupby("c_mktsegment", sort=False).agg(
+            n_orders=("tp_c", "size"), sum_totalprice=("tp_c", "sum")
+        )
+        return g.reset_index()
+
+    agg = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("sum_totalprice", alias_name="sum_totalprice"),
+        )
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["avg_totalprice"] = (df["sum_totalprice"] / 100.0 / df["n_orders"]).round(4)
+        return df[["c_mktsegment", "n_orders", "avg_totalprice"]]
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# documents: text analysis
+
+
+def doc_token_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    return ds.map_batches(TA.token_count_batch, batch_format="pandas").select_columns(
+        ["doc_id", "n_tokens_ws"]
+    )
+
+
+def doc_token_totals_by_lang(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    tok = ds.map_batches(TA.token_count_batch, batch_format="pandas")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", sort=False).agg(
+            total_tokens=("n_tokens_ws", "sum"), n_docs=("n_tokens_ws", "size")
+        )
+        return g.reset_index()
+
+    return (
+        tok.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(
+            Sum("total_tokens", alias_name="total_tokens"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+    )
+
+
+def doc_quality(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    out = ds.map_batches(TA.quality_batch, batch_format="pandas")
+    return out.select_columns(["doc_id", "n_words", "punct_ratio", "avg_word_len", "is_quality"])
+
+
+def doc_langid(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    return ds.map_batches(TA.LangId, batch_format="pandas", concurrency=(1, 4))
+
+
+def doc_fingerprint(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(TA.fingerprint_batch, batch_format="pandas").select_columns(
+        ["doc_id", "text_md5"]
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup family
+
+
+def dedup_exact(sf_dir: str):
+    return D.exact_dedup(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def dedup_jaccard_pairs(sf_dir: str):
+    """Word-set (1-gram) Jaccard >= 0.8 within source blocks (SQL-checked)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    return D.ngram_jaccard_pairs(ds, n=1, threshold=0.8).select_columns(
+        ["doc_a", "doc_b", "jaccard"]
+    )
+
+
+def dedup_ngram3_jaccard_pairs(sf_dir: str):
+    """Word-3-gram Jaccard >= 0.5 (rows-only; n-gram sets not SQL-friendly)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    return D.ngram_jaccard_pairs(ds, n=3, threshold=0.5).select_columns(
+        ["doc_a", "doc_b", "jaccard"]
+    )
+
+
+def dedup_minhash(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return D.minhash_lsh_pairs(ds, threshold=0.6)
+
+
+def dedup_simhash(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return D.simhash_pairs(ds, max_hamming=3)
+
+
+def dedup_embedding_pairs(sf_dir: str):
+    """Cosine >= 0.35 within label blocks (threshold sits in a wide gap of
+    the synthetic distribution — fp-boundary safe; round 6)."""
+    emb = _read(sf_dir, "embeddings")
+    return D.embedding_neardup_pairs(emb, threshold=0.35)
+
+
+# --------------------------------------------------------------------------
+# similarity search
+
+
+def _query_vec(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", filters=[("vec_id", "=", 0)])
+    return np.asarray(t.column("embedding")[0].as_py(), dtype=np.float64)
+
+
+def knn_bruteforce(sf_dir: str):
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return S.knn_bruteforce(emb, _query_vec(sf_dir), k=10, exclude_vec_id=0)
+
+
+def knn_lsh(sf_dir: str):
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return S.knn_lsh(emb, _query_vec(sf_dir), k=10, exclude_vec_id=0)
+
+
+# --------------------------------------------------------------------------
+# flagship extraction over synthesized spans
+
+
+def _spans_dataset(sf_dir: str):
+    from .fixtures import spans_from_flat_text
+    from .schema import INPUT_SCHEMA
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "doc_id": [f"doc-{i:08d}" for i in ids],
+                "spans": [spans_from_flat_text(i, t) for i, t in zip(ids, texts)],
+            },
+            schema=INPUT_SCHEMA,
+        )
+
+    return docs.map_batches(synth, batch_format="pyarrow")
+
+
+def extract_flagship(sf_dir: str):
+    """Full extraction pipeline over spans synthesized from the flat
+    documents table; scalar columns only (rows-only check)."""
+    from .pipelines.extraction import extract_dataset, split_quarantine
+
+    ok, _ = split_quarantine(extract_dataset(_spans_dataset(sf_dir)))
+    return ok.select_columns(
+        [
+            "doc_id",
+            "title",
+            "authors",
+            "abstract",
+            "main_text",
+            "document_format",
+            "boundary_start",
+            "boundary_end",
+            "total_pages",
+            "total_text_regions",
+        ]
+    )
+
+
+def extract_spans_flat(sf_dir: str):
+    """Ordered span sequences exploded to flat rows (rows-only check)."""
+    from .pipelines.extraction import extract_dataset, split_quarantine
+
+    ok, _ = split_quarantine(extract_dataset(_spans_dataset(sf_dir)))
+
+    def explode(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        spans = t.column("spans").combine_chunks()
+        n = pc.list_value_length(spans)
+        doc_ids = pa.array(
+            np.repeat(t.column("doc_id").to_numpy(zero_copy_only=False), n.to_numpy(zero_copy_only=False))
+        )
+        vals = spans.values
+        return pa.Table.from_arrays(
+            [doc_ids, vals.field("order"), vals.field("kind"), vals.field("media_ref"), vals.field("text")],
+            names=["doc_id", "span_order", "kind", "media_ref", "text"],
+        )
+
+    return ok.select_columns(["doc_id", "spans"]).map_batches(explode, batch_format="pyarrow")
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_revenue_orders": q3_top_revenue_orders,
+    "q_region_customer_balance": q_region_customer_balance,
+    "q_orders_priority": q_orders_priority,
+    "q_part_topk": q_part_topk,
+    "q_events_tumbling": q_events_tumbling,
+    "q_customer_segment_orders": q_customer_segment_orders,
+    "doc_token_counts": doc_token_counts,
+    "doc_token_totals_by_lang": doc_token_totals_by_lang,
+    "doc_quality": doc_quality,
+    "doc_langid": doc_langid,
+    "doc_fingerprint": doc_fingerprint,
+    "dedup_exact": dedup_exact,
+    "dedup_jaccard_pairs": dedup_jaccard_pairs,
+    "dedup_ngram3_jaccard_pairs": dedup_ngram3_jaccard_pairs,
+    "dedup_minhash": dedup_minhash,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_pairs": dedup_embedding_pairs,
+    "knn_bruteforce": knn_bruteforce,
+    "knn_lsh": knn_lsh,
+    "extract_flagship": extract_flagship,
+    "extract_spans_flat": extract_spans_flat,
+}

@@ -1,0 +1,84 @@
+"""Generic relational capabilities: broadcast joins, hash joins, grouped
+aggregates, top-k, windowed event aggregation.
+
+The reference has no relational joins (SURVEY.md §2.5) — these are ENGINE
+capabilities used by the driver conformance queries and by pipelines that
+join document tables against metadata. Join strategy:
+
+- small side  -> broadcast: ``ray.put`` the lookup ONCE, merge per batch
+  inside ``map_batches`` (no shuffle).
+- both large  -> ``Dataset.join`` (hash-partitioned); ``num_partitions``
+  sized to the cluster.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+
+def broadcast_join(
+    large: "ray.data.Dataset",
+    small_df: pd.DataFrame,
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+) -> "ray.data.Dataset":
+    """Merge a broadcast pandas dimension table into every batch."""
+    right_on = right_on or on
+    ref = ray.put(small_df)
+
+    class Join:
+        def __init__(self):
+            self.small = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return df.merge(self.small, how=how, left_on=on, right_on=right_on)
+
+    return large.map_batches(Join, batch_format="pandas", concurrency=(1, 8))
+
+
+def hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    num_partitions: int = 16,
+    join_type: str = "inner",
+) -> "ray.data.Dataset":
+    """Partitioned hash join for two large sides (all-to-all shuffle)."""
+    return left.join(
+        right, join_type=join_type, num_partitions=num_partitions, on=(on,)
+    )
+
+
+def to_small_pandas(ds: "ray.data.Dataset") -> pd.DataFrame:
+    """Materialize a SMALL dataset (dimension table / final aggregate)."""
+    return ds.to_pandas()
+
+
+def tumbling_window_events(
+    events: "ray.data.Dataset", window: str = "1h"
+) -> "ray.data.Dataset":
+    """Per (event_type, window) count + sum(value): the window id is a
+    derived column, so the 'windowed aggregate' is a plain pre-aggregated
+    groupby — no event-time machinery needed for bounded data."""
+
+    def add_window(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["event_type", "value"]].copy()
+        out["window_start"] = df["ts"].dt.floor(window)
+        # per-batch partial aggregation before the shuffle
+        agg = out.groupby(["event_type", "window_start"], sort=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        return agg.reset_index()
+
+    from ray.data.aggregate import Sum
+
+    partials = events.map_batches(add_window, batch_format="pandas")
+    return partials.groupby(["event_type", "window_start"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_value", alias_name="sum_value"),
+    )

@@ -1,0 +1,243 @@
+"""Corpus deduplication operators (exact, MinHash-LSH, SimHash, n-gram
+Jaccard, embedding-cosine) as Ray Data pipelines.
+
+Scale notes (every operator documents its shuffle):
+- exact: vectorized hash per batch + PER-BATCH PRE-AGGREGATION, then one
+  small ``groupby(hash)`` over partials — the canonical pre-aggregate
+  pattern (the shuffle moves one row per distinct hash per batch, not one
+  per document).
+- minhash-lsh: signature per batch -> explode to (band_key, doc_id) rows ->
+  ``groupby(band_key)`` -> within-bucket candidate pairs -> pair-level dedup
+  -> verify exact Jaccard with a broadcast doc->text lookup (``ray.put``
+  once; at 10^12 scale verification becomes a bucketed hash join instead —
+  the blocking/banding structure is unchanged).
+- simhash: 64-bit signature -> 4x16-bit chunk blocking (pigeonhole: any
+  pair within hamming<=3 shares a chunk) -> verify hamming.
+- ngram-jaccard: block by ``source`` (bounded blocks) -> all-pairs within
+  block via ``map_groups``.
+- embedding: block by ``label`` -> within-block cosine via numpy matmul.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min, Sum
+
+from ..functions import text as T
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+
+
+def exact_dedup(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """One row per distinct normalized text: (text_md5, keep_doc_id,
+    dup_count). keep = min doc_id (deterministic representative)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = [T.md5_fingerprint(t) for t in df["text"].tolist()]
+        g = pd.DataFrame({"text_md5": h, "doc_id": df["doc_id"].values})
+        agg = g.groupby("text_md5", sort=False).agg(
+            keep_doc_id=("doc_id", "min"), dup_count=("doc_id", "size")
+        )
+        return agg.reset_index()
+
+    partials = docs.map_batches(partial, batch_format="pandas")
+    return partials.groupby("text_md5").aggregate(
+        Min("keep_doc_id", alias_name="keep_doc_id"),
+        Sum("dup_count", alias_name="dup_count"),
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup
+
+
+class MinHashStage:
+    """Actor stage: emits (band_key, doc_id) rows per document."""
+
+    def __init__(self, k: int = 5, n_perm: int = 128, n_bands: int = 32):
+        self.k, self.n_perm, self.n_bands = k, n_perm, n_bands
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        doc_ids, band_keys = [], []
+        for did, txt in zip(df["doc_id"].tolist(), df["text"].tolist()):
+            sh = T.char_shingles(txt, self.k)
+            sig = T.minhash_signature(sh, self.n_perm)
+            for key in T.lsh_bands(sig, self.n_bands):
+                doc_ids.append(did)
+                band_keys.append(np.int64(np.uint64(key).astype(np.int64)))
+        return pd.DataFrame({"band_key": band_keys, "doc_id": doc_ids})
+
+
+def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    ids = sorted(set(g["doc_id"].tolist()))
+    a, b = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a.append(ids[i])
+            b.append(ids[j])
+    return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+
+def minhash_lsh_pairs(
+    docs: "ray.data.Dataset",
+    threshold: float = 0.6,
+    k: int = 5,
+    n_perm: int = 128,
+    n_bands: int = 32,
+) -> "ray.data.Dataset":
+    """Verified near-duplicate pairs (doc_a, doc_b, jaccard>=threshold)."""
+    bands = docs.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs={"k": k, "n_perm": n_perm, "n_bands": n_bands},
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )
+    cand = bands.groupby("band_key").map_groups(_bucket_pairs, batch_format="pandas")
+    # a pair can surface from several bands -> dedup pairs
+    cand = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands_hit"))
+
+    # broadcast the small side for verification (ray.put ONCE, read per actor)
+    lookup_ref = ray.put(dict(zip(*_collect_texts(docs))))
+
+    class Verify:
+        def __init__(self, ref, k, thr):
+            self.texts = ray.get(ref)
+            self.k, self.thr = k, thr
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            out = {"doc_a": [], "doc_b": [], "jaccard": []}
+            for a, b in zip(df["doc_a"].tolist(), df["doc_b"].tolist()):
+                j = T.jaccard(
+                    T.char_shingles(self.texts[a], self.k),
+                    T.char_shingles(self.texts[b], self.k),
+                )
+                if j >= self.thr:
+                    out["doc_a"].append(a)
+                    out["doc_b"].append(b)
+                    out["jaccard"].append(round(j, 6))
+            return pd.DataFrame(out)
+
+    return cand.map_batches(
+        Verify,
+        fn_constructor_kwargs={"ref": lookup_ref, "k": k, "thr": threshold},
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )
+
+
+def _collect_texts(docs):
+    """Driver-side collect of (doc_id, text) — valid ONLY for the broadcast
+    small side; at corpus scale replace with a bucketed join."""
+    ids, texts = [], []
+    for b in docs.select_columns(["doc_id", "text"]).iter_batches(
+        batch_size=8192, batch_format="pyarrow"
+    ):
+        ids.extend(b.column("doc_id").to_pylist())
+        texts.extend(b.column("text").to_pylist())
+    return ids, texts
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup
+
+
+def simhash_pairs(docs: "ray.data.Dataset", max_hamming: int = 3) -> "ray.data.Dataset":
+    """Pairs with SimHash hamming distance <= max_hamming (64-bit, word
+    2-grams), blocked by 16-bit chunks (pigeonhole-complete for <=3)."""
+
+    def sigs(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"chunk_id": [], "chunk_val": [], "doc_id": [], "simhash": []}
+        for did, txt in zip(df["doc_id"].tolist(), df["text"].tolist()):
+            h = T.simhash64(txt)
+            for ci, cv in enumerate(T.simhash_chunks(h)):
+                rows["chunk_id"].append(ci)
+                rows["chunk_val"].append(cv)
+                rows["doc_id"].append(did)
+                rows["simhash"].append(h)
+        return pd.DataFrame(rows)
+
+    blocked = docs.map_batches(sigs, batch_format="pandas")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        recs = sorted(set(zip(g["doc_id"].tolist(), g["simhash"].tolist())))
+        out = {"doc_a": [], "doc_b": [], "hamming": []}
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                d = T.hamming64(recs[i][1], recs[j][1])
+                if d <= max_hamming:
+                    out["doc_a"].append(recs[i][0])
+                    out["doc_b"].append(recs[j][0])
+                    out["hamming"].append(d)
+        return pd.DataFrame(out)
+
+    cand = blocked.groupby(["chunk_id", "chunk_val"]).map_groups(pairs, batch_format="pandas")
+    return cand.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard within source blocks
+
+
+def ngram_jaccard_pairs(
+    docs: "ray.data.Dataset", n: int = 1, threshold: float = 0.5
+) -> "ray.data.Dataset":
+    """All-pairs word-n-gram Jaccard within each ``source`` block.
+
+    Blocking bounds the quadratic term to the block size; at corpus scale
+    the block key would be (source, length-bucket) with hot blocks salted.
+    """
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        recs = sorted(zip(g["doc_id"].tolist(), g["text"].tolist()))
+        sets = [T.word_ngrams(t, n) for _, t in recs]
+        src = g["source"].iloc[0]
+        out = {"source": [], "doc_a": [], "doc_b": [], "jaccard": []}
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                jac = T.jaccard(sets[i], sets[j])
+                if jac >= threshold:
+                    out["source"].append(src)
+                    out["doc_a"].append(recs[i][0])
+                    out["doc_b"].append(recs[j][0])
+                    out["jaccard"].append(round(jac, 6))
+        return pd.DataFrame(out)
+
+    return docs.groupby("source").map_groups(pairs, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup within label blocks
+
+
+def embedding_neardup_pairs(
+    emb: "ray.data.Dataset", threshold: float = 0.95
+) -> "ray.data.Dataset":
+    """Pairs with cosine similarity >= threshold within each label block
+    (numpy matmul per block; float64, rounded to 6 decimals)."""
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in g["embedding"]])
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mn = m / norms
+        sim = mn @ mn.T
+        iu = np.triu_indices(len(ids), k=1)
+        mask = sim[iu] >= threshold
+        return pd.DataFrame(
+            {
+                "vec_a": ids[iu[0][mask]],
+                "vec_b": ids[iu[1][mask]],
+                "cosine": np.round(sim[iu][mask], 6),
+            }
+        )
+
+    return emb.groupby("label").map_groups(pairs, batch_format="pandas")

@@ -1,0 +1,134 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``knn_bruteforce``: exact top-k cosine — the query matrix is broadcast
+  once via ``ray.put``; each batch does one numpy matmul and emits its
+  LOCAL top-k, and a final tiny sort+limit reduces the per-batch
+  candidates. The shuffle moves k rows per batch, never the corpus.
+- ``knn_lsh``: sign-random-projection LSH — each vector is bucketed by a
+  seeded hyperplane signature; the query probes only matching buckets
+  (multi-probe over nearby signatures). Approximate: the scale path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def knn_bruteforce(
+    emb: "ray.data.Dataset", query_vec, k: int = 10, exclude_vec_id=None
+) -> "ray.data.Dataset":
+    """Top-k (vec_id, cos_sim) for one query vector; deterministic ties by
+    vec_id ascending. cos rounded to 6 decimals AFTER selection."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    q_ref = ray.put(q)
+
+    class LocalTopK:
+        def __init__(self, ref, k, exclude):
+            self.q = ray.get(ref)
+            self.k = k
+            self.exclude = exclude
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if self.exclude is not None:
+                df = df[df["vec_id"] != self.exclude]
+            if df.empty:
+                return pd.DataFrame({"vec_id": [], "cos_sim": []})
+            m = _norm_rows(_as_matrix(df["embedding"]))
+            sims = m @ self.q
+            order = np.lexsort((df["vec_id"].to_numpy(), -sims))[: self.k]
+            return pd.DataFrame(
+                {
+                    "vec_id": df["vec_id"].to_numpy()[order],
+                    "cos_sim": sims[order],
+                }
+            )
+
+    local = emb.map_batches(
+        LocalTopK,
+        fn_constructor_kwargs={"ref": q_ref, "k": k, "exclude": exclude_vec_id},
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+    top = local.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
+    return top.map_batches(
+        lambda df: df.assign(cos_sim=np.round(df["cos_sim"], 6)), batch_format="pandas"
+    )
+
+
+_N_PLANES = 12
+_LSH_RNG = np.random.default_rng(np.random.SeedSequence([777]))
+
+
+def _planes(dim: int) -> np.ndarray:
+    rng = np.random.default_rng(np.random.SeedSequence([777, dim]))
+    return rng.standard_normal((_N_PLANES, dim))
+
+
+def _signature(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (m @ planes.T) > 0
+    return (bits.astype(np.uint32) << np.arange(planes.shape[0], dtype=np.uint32)).sum(axis=1)
+
+
+def knn_lsh(
+    emb: "ray.data.Dataset", query_vec, k: int = 10, exclude_vec_id=None, probes: int = 3
+) -> "ray.data.Dataset":
+    """Approximate top-k: probe the query's bucket plus single-bit-flip
+    neighbors (multi-probe). Recall/latency knob: ``probes`` bits."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    dim = q.shape[0]
+    planes = _planes(dim)
+    q_sig = int(_signature(qn[None, :], planes)[0])
+    probe_set = {q_sig}
+    margins = np.abs(qn @ planes.T)
+    for b in np.argsort(margins)[:probes]:
+        probe_set.add(q_sig ^ (1 << int(b)))
+    probe_ref = ray.put((qn, planes, frozenset(probe_set)))
+
+    class ProbeTopK:
+        def __init__(self, ref, k, exclude):
+            self.q, self.planes, self.probes = ray.get(ref)
+            self.k, self.exclude = k, exclude
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if self.exclude is not None:
+                df = df[df["vec_id"] != self.exclude]
+            if df.empty:
+                return pd.DataFrame({"vec_id": [], "cos_sim": []})
+            m = _norm_rows(_as_matrix(df["embedding"]))
+            sigs = _signature(m, self.planes)
+            mask = np.isin(sigs, list(self.probes))
+            if not mask.any():
+                return pd.DataFrame({"vec_id": [], "cos_sim": []})
+            sims = m[mask] @ self.q
+            ids = df["vec_id"].to_numpy()[mask]
+            order = np.lexsort((ids, -sims))[: self.k]
+            return pd.DataFrame({"vec_id": ids[order], "cos_sim": sims[order]})
+
+    local = emb.map_batches(
+        ProbeTopK,
+        fn_constructor_kwargs={"ref": probe_ref, "k": k, "exclude": exclude_vec_id},
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+    top = local.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
+    return top.map_batches(
+        lambda df: df.assign(cos_sim=np.round(df["cos_sim"], 6)), batch_format="pandas"
+    )

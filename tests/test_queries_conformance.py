@@ -1,0 +1,115 @@
+"""Driver-style conformance: run every queries() entry at sf0.001 and
+compare row-multisets against the paired oracle_sql() via DuckDB
+(column-name-sorted, order-insensitive), mirroring CORRECTNESS_r{N}.json."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def _canon(df: pd.DataFrame):
+    df = df[sorted(df.columns)]
+    rows = []
+    for tup in df.itertuples(index=False):
+        row = []
+        for v in tup:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    row.append("nan")
+                else:
+                    row.append(round(v, 6))
+            elif hasattr(v, "item"):
+                row.append(_scalar(v.item()))
+            else:
+                row.append(_scalar(v))
+        rows.append(tuple(row))
+    return sorted(rows, key=repr)
+
+
+def _scalar(v):
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, float):
+        return round(v, 6)
+    return v
+
+
+def _to_pandas(res):
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q1_pricing_summary",
+        "q3_top_revenue_orders",
+        "q_region_customer_balance",
+        "q_orders_priority",
+        "q_part_topk",
+        "q_events_tumbling",
+        "q_customer_segment_orders",
+        "doc_token_counts",
+        "doc_token_totals_by_lang",
+        "doc_quality",
+        "doc_fingerprint",
+        "dedup_exact",
+        "dedup_jaccard_pairs",
+        "dedup_embedding_pairs",
+        "knn_bruteforce",
+    ],
+)
+def test_query_matches_oracle(name, duck):
+    import __ray_entry__ as entrymod
+
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    got = _canon(_to_pandas(q(SF_DIR)))
+    exp = _canon(duck.execute(sql).df())
+    assert len(got) == len(exp), f"{name}: row count {len(got)} != {len(exp)}"
+    assert got == exp, f"{name}: value mismatch"
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize(
+    "name",
+    ["doc_langid", "dedup_minhash", "dedup_simhash", "dedup_ngram3_jaccard_pairs", "knn_lsh"],
+)
+def test_rows_only_queries_run(name):
+    import __ray_entry__ as entrymod
+
+    q = entrymod.queries()[name]
+    df = _to_pandas(q(SF_DIR))
+    assert df is not None
+    assert len(df.columns) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_entry_smoke():
+    import __ray_entry__ as entrymod
+
+    ds = entrymod.entry()
+    df = _to_pandas(ds.limit(5))
+    assert len(df) > 0
+    assert "doc_id" in df.columns and "main_text" in df.columns
