@@ -75,15 +75,7 @@ def run_partitioned(
             continue
         t0 = time.time()
         ds = ray.data.read_parquet(input_path)
-        ds_g = ds.map_batches(
-            lambda t, g=g: _group_column(t, num_groups).filter(
-                pc.equal(pc.field("part_group"), g) if False else pc.equal(
-                    _group_column(t, num_groups)["part_group"], g
-                )
-            ),
-            batch_format="pyarrow",
-        )
-        # simpler + correct: filter inside one map_batches
+
         def pick(t: pa.Table, g=g) -> pa.Table:
             t2 = _group_column(t, num_groups)
             return t2.filter(pc.equal(t2["part_group"], g)).drop_columns(["part_group"])
@@ -134,9 +126,11 @@ def _iter_doc_ids(part_dir: str):
 
 def read_output(out_dir: str) -> "ray.data.Dataset":
     """Read the committed output across all partition groups."""
-    parts = [
-        os.path.join(out_dir, d)
-        for d in sorted(os.listdir(out_dir))
-        if d.startswith("part=")
-    ]
-    return ray.data.read_parquet(parts)
+    files = []
+    for d in sorted(os.listdir(out_dir)):
+        if d.startswith("part="):
+            pdir = os.path.join(out_dir, d)
+            files.extend(
+                os.path.join(pdir, f) for f in sorted(os.listdir(pdir)) if f.endswith(".parquet")
+            )
+    return ray.data.read_parquet(files)

@@ -1,0 +1,166 @@
+"""Tests for media plumbing, resumable partitioned runs, and the text/sketch
+primitives behind the dedup & similarity stages."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pdf_extraction_tests_ray.functions import text as T
+
+
+# ---------------------------------------------------------------------------
+# primitives
+
+
+def test_minhash_estimates_jaccard():
+    rng = np.random.default_rng(5)
+    base = {T.hash_u64(f"sh{i}") for i in range(200)}
+    # ~70% overlap set
+    other = set(list(base)[:140]) | {T.hash_u64(f"x{i}") for i in range(60)}
+    true_j = T.jaccard(base, other)
+    s1 = T.minhash_signature(base)
+    s2 = T.minhash_signature(other)
+    est = float((s1 == s2).mean())
+    assert abs(est - true_j) < 0.15
+
+
+def test_minhash_identical_sets():
+    s = T.char_shingles("the same exact text appears twice here")
+    assert np.array_equal(T.minhash_signature(s), T.minhash_signature(set(s)))
+    assert T.lsh_bands(T.minhash_signature(s)) == T.lsh_bands(T.minhash_signature(s))
+
+
+def test_simhash_near_vs_far():
+    a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    b = a.replace("today", "tonight")
+    c = "completely different content about silver nanoparticle synthesis methods"
+    assert T.hamming64(T.simhash64(a), T.simhash64(b)) < T.hamming64(
+        T.simhash64(a), T.simhash64(c)
+    )
+    assert T.hamming64(T.simhash64(a), T.simhash64(a)) == 0
+
+
+def test_simhash_chunks_pigeonhole():
+    h1 = T.simhash64("some document text here with several words")
+    h2 = h1 ^ 0b111  # hamming 3
+    c1, c2 = T.simhash_chunks(h1), T.simhash_chunks(h2)
+    assert any(a == b for a, b in zip(c1, c2))
+
+
+def test_langid():
+    assert T.detect_language("the cat sat on the mat and it is happy") == "en"
+    assert T.detect_language("der hund ist nicht zu hause und die katze") == "de"
+    assert T.detect_language("le chat est dans la maison avec les enfants") == "fr"
+    assert T.detect_language("el perro es grande y la casa es bonita") == "es"
+    assert T.detect_language("这是一个中文句子 里面有很多汉字") == "zh"
+
+
+def test_token_counts():
+    assert T.whitespace_token_count("a b  c") == 3
+    assert T.whitespace_token_count("  ") == 1  # DuckDB [''] semantics
+    assert T.bpe_ish_token_count("don't stop!") == 5  # don ' t stop !
+
+
+def test_fingerprints_normalization_invariant():
+    assert T.md5_fingerprint("Hello  World") == T.md5_fingerprint("hello world")
+    assert T.rolling_fingerprint("A  b") == T.rolling_fingerprint("a b")
+
+
+# ---------------------------------------------------------------------------
+# media plumbing
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_decode_pipeline():
+    import ray.data
+
+    from pdf_extraction_tests_ray.stages.media import decode_pipeline, synth_media_table
+
+    t = synth_media_table(
+        [f"doc-{i}" for i in range(20)],
+        [f"media://doc-{i}/0" for i in range(20)],
+        ["image" if i % 2 else "video" for i in range(20)],
+    )
+    out = decode_pipeline(ray.data.from_arrow(t), fake=True).to_pandas()
+    assert len(out) == 20
+    assert (out["resized_width"] <= 512).all() and (out["resized_height"] <= 512).all()
+    assert out["frame_indices"].map(len).max() <= 8
+    assert all(len(f) == 16 for f in out["feature"])
+    # deterministic: same payloads -> same features
+    out2 = decode_pipeline(ray.data.from_arrow(t), fake=True).to_pandas()
+    f1 = sorted(map(tuple, out["feature"].map(list)))
+    f2 = sorted(map(tuple, out2["feature"].map(list)))
+    assert f1 == f2
+
+
+def test_media_real_decode_is_explicit_stub():
+    from pdf_extraction_tests_ray.stages.media import DecodeMedia
+
+    with pytest.raises(NotImplementedError):
+        DecodeMedia(fake=False)._decode_real(b"x", "image")
+
+
+# ---------------------------------------------------------------------------
+# resumable partitioned runs
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_skips_completed_groups(tmp_path, golden_corpus):
+    import pyarrow.parquet as pq
+
+    from pdf_extraction_tests_ray.state.checkpoint import (
+        completed_groups,
+        read_output,
+        run_partitioned,
+    )
+
+    small = golden_corpus.slice(0, 60)
+    inp = tmp_path / "input"
+    inp.mkdir()
+    pq.write_table(small, str(inp / "part-0.parquet"))
+
+    out1 = tmp_path / "run"
+    s1 = run_partitioned(str(inp), str(out1), num_groups=4, resume=False)
+    assert len(s1["ran"]) == 4
+    full = read_output(str(out1)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(full) == 60
+
+    # simulate a crash: delete the outputs+manifests of groups 2,3
+    import shutil
+
+    for g in (2, 3):
+        shutil.rmtree(out1 / f"part={g}")
+        os.remove(out1 / "manifest" / f"part-{g}.json")
+    assert completed_groups(str(out1)) == {0, 1}
+
+    s2 = run_partitioned(str(inp), str(out1), num_groups=4, resume=True)
+    assert sorted(s2["skipped"]) == [0, 1]
+    assert [m["group"] for m in s2["ran"]] == [2, 3]
+
+    resumed = read_output(str(out1)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(resumed) == 60
+    # byte-identical content vs the uninterrupted run
+    for col in ("doc_id", "title", "main_text", "boundary_start", "boundary_end"):
+        assert list(resumed[col]) == list(full[col])
+    got_spans = [tuple((s["kind"], s["text"], s["media_ref"], s["order"]) for s in row) for row in resumed["spans"]]
+    exp_spans = [tuple((s["kind"], s["text"], s["media_ref"], s["order"]) for s in row) for row in full["spans"]]
+    assert got_spans == exp_spans
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_manifest_lineage_fields(tmp_path, golden_corpus):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from pdf_extraction_tests_ray.state.checkpoint import run_partitioned
+
+    small = golden_corpus.slice(0, 10)
+    inp = tmp_path / "inp"
+    inp.mkdir()
+    pq.write_table(small, str(inp / "d.parquet"))
+    run_partitioned(str(inp), str(tmp_path / "o"), num_groups=2, resume=False)
+    m = json.load(open(tmp_path / "o" / "manifest" / "part-0.json"))
+    for key in ("group", "num_groups", "input_path", "rows_written", "quarantined", "elapsed_sec", "engine_version"):
+        assert key in m
