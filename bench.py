@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Default mode: ray.init(num_cpus=$RAY_GRAFT_CPUS or 32), run the headline
+extraction pipeline + a representative query suite over $GRAFT_SF_DIR
+(default /root/testdata/sf0.1), print ONE JSON line:
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+--scaling: run the headline job twice in FRESH processes at num_cpus=8 and
+num_cpus=32 on the same input (the sandbox stand-in for N vs 4N nodes) and
+print both throughputs + scaling efficiency (BASELINE.md criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+QUERY_SUITE = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q_customer_segment_orders",
+    "q_events_tumbling",
+    "doc_quality",
+    "doc_token_totals_by_lang",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_embedding_pairs",
+    "knn_bruteforce",
+    "knn_lsh",
+]
+
+
+def _consume(res):
+    """Fully execute a query result without materializing on the driver."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        n = 0
+        for b in res.iter_batches(batch_size=4096, batch_format="pyarrow"):
+            n += b.num_rows
+        return n
+    if isinstance(res, (pd.DataFrame, pa.Table)):
+        return len(res)
+    return 0
+
+
+def _warm_cache():
+    for name in ("documents", "lineitem", "orders", "customer", "events", "embeddings"):
+        p = os.path.join(SF_DIR, f"{name}.parquet")
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                while f.read(1 << 22):
+                    pass
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from pdf_extraction_tests_ray.queries import QUERIES, extract_flagship
+
+    _warm_cache()
+
+    # headline: flagship extraction (docs/sec)
+    t0 = time.perf_counter()
+    n_docs = _consume(extract_flagship(SF_DIR))
+    headline = time.perf_counter() - t0
+
+    timings = {}
+    for name in QUERY_SUITE:
+        t0 = time.perf_counter()
+        _consume(QUERIES[name](SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "flagship extraction wall time at sf (docs/sec in docs_per_sec)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / headline, 2) if headline > 0 else None,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling():
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    tput_lo = r_lo["n_docs"] / r_lo["value"]
+    tput_hi = r_hi["n_docs"] / r_hi["value"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency (throughput ratio / cpu ratio), 8 -> 32 cpus",
+                "sec_8": r_lo["value"],
+                "sec_32": r_hi["value"],
+                "docs_per_sec_8": round(tput_lo, 2),
+                "docs_per_sec_32": round(tput_hi, 2),
+                "scaling_efficiency": round(eff, 3),
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -46,7 +46,31 @@ def extract_dataset(
 
     Returns the full output Dataset (including the ``error`` column);
     use :func:`split_quarantine` to separate failed docs.
+
+    ``split_threshold=None`` disables the heavy-doc branch entirely: the
+    light/heavy routing re-executes the upstream once per branch (Ray Data
+    lineage), which is free over a parquet read but wasteful when the
+    upstream is an expensive synthesis — callers that KNOW their docs are
+    bounded skip it.
     """
+    if concurrency is None:
+        # autoscaling actor pool up to the CPU count: the extraction stage
+        # dominates wall time, but an autoscaling pool lets the read/write
+        # stages keep their share under backpressure.
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        concurrency = (1, max(2, ncpu))
+
+    if split_threshold is None:
+        return ds.map_batches(
+            ExtractDocuments,
+            fn_constructor_kwargs={"cleaning_method": cleaning_method},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+
     counted = ds.map_batches(add_span_count, batch_format="pyarrow")
 
     def _filter_light(t: pa.Table) -> pa.Table:
@@ -58,14 +82,6 @@ def extract_dataset(
     light = counted.map_batches(_filter_light, batch_format="pyarrow")
     heavy = counted.map_batches(_filter_heavy, batch_format="pyarrow")
 
-    if concurrency is None:
-        # autoscaling actor pool up to the CPU count: the extraction stage
-        # dominates wall time, but an autoscaling pool lets the read/write
-        # stages keep their share under backpressure.
-        import ray
-
-        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        concurrency = (1, max(2, ncpu))
     out_light = light.map_batches(
         ExtractDocuments,
         fn_constructor_kwargs={"cleaning_method": cleaning_method},

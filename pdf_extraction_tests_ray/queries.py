@@ -103,11 +103,18 @@ def q3_top_revenue_orders(sf_dir: str):
         .groupby("l_orderkey")
         .aggregate(Sum("revenue", alias_name="revenue"))
     )
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
-    joined = per_order.join(
-        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    # top-k first (k rows), THEN decorate with the order attribute via a
+    # broadcast lookup — joining before the limit would shuffle every order
+    # row to decorate 10 of them
+    top = per_order.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
+    import pyarrow.parquet as pq
+
+    odf = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).to_pandas()
+    top = broadcast_join(top, odf, on="l_orderkey", right_on="o_orderkey").drop_columns(
+        ["o_orderkey"]
     )
-    top = joined.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -390,7 +397,9 @@ def extract_flagship(sf_dir: str):
     documents table; scalar columns only (rows-only check)."""
     from .pipelines.extraction import extract_dataset, split_quarantine
 
-    ok, _ = split_quarantine(extract_dataset(_spans_dataset(sf_dir)))
+    # split_threshold=None: synthesized docs are bounded (<100 spans), and
+    # the heavy-doc branch would re-run the synthesis once per branch
+    ok, _ = split_quarantine(extract_dataset(_spans_dataset(sf_dir), split_threshold=None))
     return ok.select_columns(
         [
             "doc_id",
@@ -411,7 +420,7 @@ def extract_spans_flat(sf_dir: str):
     """Ordered span sequences exploded to flat rows (rows-only check)."""
     from .pipelines.extraction import extract_dataset, split_quarantine
 
-    ok, _ = split_quarantine(extract_dataset(_spans_dataset(sf_dir)))
+    ok, _ = split_quarantine(extract_dataset(_spans_dataset(sf_dir), split_threshold=None))
 
     def explode(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -72,16 +72,22 @@ class MinHashStage:
             for key in T.lsh_bands(sig, self.n_bands):
                 doc_ids.append(did)
                 band_keys.append(np.int64(np.uint64(key).astype(np.int64)))
-        return pd.DataFrame({"band_key": band_keys, "doc_id": doc_ids})
+        out = pd.DataFrame({"band_key": band_keys, "doc_id": doc_ids})
+        # coarse shuffle bucket: groupby on the full band_key would spawn
+        # one map_groups call per (mostly singleton) bucket; grouping on a
+        # 256-way coarsening moves the same rows but amortizes group calls
+        out["bucket"] = out["band_key"] % 256
+        return out
 
 
 def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    ids = sorted(set(g["doc_id"].tolist()))
     a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
+    for _, sub in g.groupby("band_key", sort=False):
+        ids = sorted(set(sub["doc_id"].tolist()))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
     return pd.DataFrame({"doc_a": a, "doc_b": b})
 
 
@@ -99,7 +105,7 @@ def minhash_lsh_pairs(
         batch_format="pandas",
         concurrency=(1, 8),
     )
-    cand = bands.groupby("band_key").map_groups(_bucket_pairs, batch_format="pandas")
+    cand = bands.groupby("bucket").map_groups(_bucket_pairs, batch_format="pandas")
     # a pair can surface from several bands -> dedup pairs
     cand = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands_hit"))
 
@@ -153,7 +159,7 @@ def simhash_pairs(docs: "ray.data.Dataset", max_hamming: int = 3) -> "ray.data.D
     2-grams), blocked by 16-bit chunks (pigeonhole-complete for <=3)."""
 
     def sigs(df: pd.DataFrame) -> pd.DataFrame:
-        rows = {"chunk_id": [], "chunk_val": [], "doc_id": [], "simhash": []}
+        rows = {"chunk_id": [], "chunk_val": [], "doc_id": [], "simhash": [], "bucket": []}
         for did, txt in zip(df["doc_id"].tolist(), df["text"].tolist()):
             h = T.simhash64(txt)
             for ci, cv in enumerate(T.simhash_chunks(h)):
@@ -161,23 +167,25 @@ def simhash_pairs(docs: "ray.data.Dataset", max_hamming: int = 3) -> "ray.data.D
                 rows["chunk_val"].append(cv)
                 rows["doc_id"].append(did)
                 rows["simhash"].append(h)
+                rows["bucket"].append((ci * 65536 + cv) % 256)  # coarse shuffle key
         return pd.DataFrame(rows)
 
     blocked = docs.map_batches(sigs, batch_format="pandas")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        recs = sorted(set(zip(g["doc_id"].tolist(), g["simhash"].tolist())))
         out = {"doc_a": [], "doc_b": [], "hamming": []}
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                d = T.hamming64(recs[i][1], recs[j][1])
-                if d <= max_hamming:
-                    out["doc_a"].append(recs[i][0])
-                    out["doc_b"].append(recs[j][0])
-                    out["hamming"].append(d)
+        for _, sub in g.groupby(["chunk_id", "chunk_val"], sort=False):
+            recs = sorted(set(zip(sub["doc_id"].tolist(), sub["simhash"].tolist())))
+            for i in range(len(recs)):
+                for j in range(i + 1, len(recs)):
+                    d = T.hamming64(recs[i][1], recs[j][1])
+                    if d <= max_hamming:
+                        out["doc_a"].append(recs[i][0])
+                        out["doc_b"].append(recs[j][0])
+                        out["hamming"].append(d)
         return pd.DataFrame(out)
 
-    cand = blocked.groupby(["chunk_id", "chunk_val"]).map_groups(pairs, batch_format="pandas")
+    cand = blocked.groupby("bucket").map_groups(pairs, batch_format="pandas")
     return cand.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
