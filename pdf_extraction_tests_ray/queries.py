@@ -21,7 +21,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from .functions import text as T
-from .relational import broadcast_join, tumbling_window_events
+from .relational import broadcast_join, bucketed_group_merge, tumbling_window_events
 from .stages import dedup as D
 from .stages import similarity as S
 from .stages import text_analysis as TA
@@ -98,10 +98,14 @@ def q3_top_revenue_orders(sf_dir: str):
         g = out.groupby("l_orderkey", sort=False).agg(revenue=("revenue", "sum"))
         return g.reset_index()
 
-    per_order = (
-        li.map_batches(rev, batch_format="pandas")
-        .groupby("l_orderkey")
-        .aggregate(Sum("revenue", alias_name="revenue"))
+    # high-cardinality key (one group per order) -> bucketed merge, not
+    # Dataset.aggregate (see relational.bucketed_group_merge)
+    per_order = bucketed_group_merge(
+        li.map_batches(rev, batch_format="pandas"),
+        ["l_orderkey"],
+        lambda df: df.groupby("l_orderkey", sort=False)
+        .agg(revenue=("revenue", "sum"))
+        .reset_index(),
     )
     # top-k first (k rows), THEN decorate with the order attribute via a
     # broadcast lookup — joining before the limit would shuffle every order
@@ -203,13 +207,13 @@ def q_events_tumbling(sf_dir: str):
         )
         return g.reset_index()
 
-    agg = (
-        ev.map_batches(partial, batch_format="pandas")
-        .groupby(["event_type", "window_start_s"])
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("sum_value_u", alias_name="sum_value_u"),
-        )
+    # (event_type x hour) is high-cardinality -> bucketed merge
+    agg = bucketed_group_merge(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["event_type", "window_start_s"],
+        lambda df: df.groupby(["event_type", "window_start_s"], sort=False)
+        .agg(n_events=("n_events", "sum"), sum_value_u=("sum_value_u", "sum"))
+        .reset_index(),
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:

@@ -47,10 +47,15 @@ def exact_dedup(docs: "ray.data.Dataset") -> "ray.data.Dataset":
         )
         return agg.reset_index()
 
+    from ..relational import bucketed_group_merge
+
     partials = docs.map_batches(partial, batch_format="pandas")
-    return partials.groupby("text_md5").aggregate(
-        Min("keep_doc_id", alias_name="keep_doc_id"),
-        Sum("dup_count", alias_name="dup_count"),
+    return bucketed_group_merge(
+        partials,
+        ["text_md5"],
+        lambda df: df.groupby("text_md5", sort=False)
+        .agg(keep_doc_id=("keep_doc_id", "min"), dup_count=("dup_count", "sum"))
+        .reset_index(),
     )
 
 
@@ -105,9 +110,19 @@ def minhash_lsh_pairs(
         batch_format="pandas",
         concurrency=(1, 8),
     )
+    from ..relational import bucketed_group_merge
+
     cand = bands.groupby("bucket").map_groups(_bucket_pairs, batch_format="pandas")
-    # a pair can surface from several bands -> dedup pairs
-    cand = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands_hit"))
+    # a pair can surface from several bands -> dedup pairs (bucketed merge:
+    # pair keys are high-cardinality)
+    cand = bucketed_group_merge(
+        cand,
+        ["doc_a", "doc_b"],
+        lambda df: df.groupby(["doc_a", "doc_b"], sort=False)
+        .size()
+        .rename("n_bands_hit")
+        .reset_index(),
+    )
 
     # broadcast the small side for verification (ray.put ONCE, read per actor)
     lookup_ref = ray.put(dict(zip(*_collect_texts(docs))))
@@ -185,8 +200,16 @@ def simhash_pairs(docs: "ray.data.Dataset", max_hamming: int = 3) -> "ray.data.D
                         out["hamming"].append(d)
         return pd.DataFrame(out)
 
+    from ..relational import bucketed_group_merge
+
     cand = blocked.groupby("bucket").map_groups(pairs, batch_format="pandas")
-    return cand.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    return bucketed_group_merge(
+        cand,
+        ["doc_a", "doc_b"],
+        lambda df: df.groupby(["doc_a", "doc_b"], sort=False)
+        .agg(hamming=("hamming", "min"))
+        .reset_index(),
+    )
 
 
 # --------------------------------------------------------------------------
