@@ -631,6 +631,148 @@ def extract_main_text_elsevier(rdf):
 
 
 # ==========================================================================
+# E2 — extract_title_elsevier (v10A.R:2306-2348): y-banded multi-line merge.
+
+
+def extract_title_elsevier(rdf) -> str:
+    page = rdf["page"]
+    p1 = _sub(rdf, page == 1)
+    order = np.lexsort((p1["x"], p1["y"]))
+    p1 = _take(p1, order)
+    tc = [normalize_ws(t) for t in p1["texts"]]
+    y = p1["y"]
+    cands = [
+        i
+        for i in range(len(tc))
+        if 400 < y[i] < 800
+        and 30 < len(tc[i]) < 400
+        and not re.search(
+            r"journal|elsevier|doi:|review article|research article|sciencedirect", tc[i].lower()
+        )
+        and not re.search(r"^(article|paper|correspondence)\s*$", tc[i].lower())
+        and re.search(r"^[A-Z].*[a-z]", tc[i])
+        and tc[i].count(" ") > 3
+    ]
+    if not cands:
+        return "Title not found"
+    cands.sort(key=lambda i: y[i])
+    y0 = y[cands[0]]
+    merged = [tc[i] for i in cands if y[i] < y0 + 200]
+    return normalize_ws(" ".join(merged))
+
+
+# ==========================================================================
+# E6 — extract_abstract_with_llm (v10A.R:1267-1346): LLM-region slice else
+# aggressive scoring. The deterministic path passes structure=None.
+
+
+def extract_abstract_from_regions(rdf, structure=None) -> str:
+    page = rdf["page"]
+    p1 = _sub(rdf, page == 1)
+    order = np.lexsort((p1["x"], p1["y"]))
+    p1 = _take(p1, order)
+    texts = p1["texts"]
+    n = len(texts)
+    abstract_text = None
+    regions = (structure or {}).get("abstract_regions")
+    if regions:
+        rows = [r for r in regions if 1 <= r <= n]
+        if rows:
+            abstract_text = " ".join(texts[r - 1] for r in rows)
+    if abstract_text is None:
+        scored = []
+        for i, t in enumerate(texts):
+            if re.search(r"^abstract|^summary", t.lower()):
+                s = 10
+            elif len(t) > 200 and re.search(r"nanomaterials|nanocrystals|antibacterial", t):
+                s = 8
+            elif len(t) > 150 and t.count(".") >= 2:
+                s = 6
+            elif len(t) > 100 and t.count(".") >= 1:
+                s = 4
+            else:
+                s = 0
+            if s >= 4:
+                scored.append((-s, -len(t), i))
+        if scored:
+            scored.sort()
+            abstract_text = texts[scored[0][2]]
+        else:
+            large = [i for i in range(n) if len(texts[i]) > 50]
+            if large:
+                abstract_text = texts[max(large, key=lambda i: len(texts[i]))]
+            else:
+                return "Abstract not found"
+    if not abstract_text:
+        return "Abstract not found"
+    out = re.sub(r"^(Abstract|ABSTRACT|Summary|SUMMARY):?\s*", "", abstract_text)
+    return normalize_ws(out)
+
+
+# ==========================================================================
+# E10 — extract_body_text_only (v10A.R:1844-1918): conservative boundaries
+# + running-header filter; <1000-char fallback to E7.
+
+
+def extract_body_text_only(rdf, doc_format: str) -> str:
+    texts = rdf["texts"]
+    mask = np.fromiter(
+        (len(texts[i].strip()) > 10 for i in range(len(texts))), dtype=bool, count=len(texts)
+    )
+    f = _sub(rdf, mask)
+    order = np.lexsort((f["x"], f["y"], f["page"]))
+    f = _take(f, order)
+    tclean = [re.sub(r"\s+", " ", t) for t in f["texts"]]
+    page = f["page"]
+    n = len(tclean)
+    if n == 0:
+        return ""
+
+    best = None
+    for i in range(n):
+        score = (
+            (2 if re.search(r"introduction|background|infectious diseases|noble metal", tclean[i].lower()) else 0)
+            + (1 if re.search(r"^\d+\.?\s", tclean[i]) else 0)
+            + (1 if len(tclean[i]) > 100 else 0)
+            + (1 if page[i] <= 2 else 0)
+        )
+        if score >= 2 and (best is None or (-score, page[i], i) < best):
+            best = (-score, page[i], i)
+    start_row = best[2] + 1 if best is not None else 10
+
+    end_row = None
+    for i in range(n):
+        t = tclean[i].strip()
+        is_ref = bool(re.search(r"^\s*References\s*$|^\s*REFERENCES\s*$", t))
+        is_ack = bool(re.search(r"^\s*Acknowledgments?\s*$", t))
+        if (
+            (is_ref or is_ack)
+            and len(t) < 50
+            and page[i] >= 6
+            and not re.search(r"doi|www\.|http", tclean[i].lower())
+        ):
+            end_row = i + 1
+            break
+
+    if end_row is not None:
+        rows = [i for i in r_seq(start_row, end_row - 1) if 1 <= i <= n]
+        body = " ".join(tclean[i - 1] for i in rows).strip()
+    else:
+        rows = [i for i in r_seq(start_row, n) if 1 <= i <= n]
+        body = " ".join(
+            tclean[i - 1]
+            for i in rows
+            if not re.search(r"^\s*NATURE COMMUNICATIONS.*\|.*DOI", tclean[i - 1])
+            and not re.search(r"^\s*URE COMMUNICATIONS.*\|.*DOI", tclean[i - 1])
+            and len(tclean[i - 1]) > 20
+        ).strip()
+
+    if len(body) < 1000:
+        return extract_main_text_smart(rdf, doc_format)["main"]
+    return body
+
+
+# ==========================================================================
 # E11 — extract_content_simple_universal (v10A.R:1967-2075): the
 # process_document_simple path.
 

@@ -131,14 +131,19 @@ def minhash_lsh_pairs(
         def __init__(self, ref, k, thr):
             self.texts = ray.get(ref)
             self.k, self.thr = k, thr
+            self._shingles: dict = {}  # per-actor memo: each doc shingled once
+
+        def _sh(self, doc_id):
+            s = self._shingles.get(doc_id)
+            if s is None:
+                s = T.char_shingles(self.texts[doc_id], self.k)
+                self._shingles[doc_id] = s
+            return s
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             out = {"doc_a": [], "doc_b": [], "jaccard": []}
             for a, b in zip(df["doc_a"].tolist(), df["doc_b"].tolist()):
-                j = T.jaccard(
-                    T.char_shingles(self.texts[a], self.k),
-                    T.char_shingles(self.texts[b], self.k),
-                )
+                j = T.jaccard(self._sh(a), self._sh(b))
                 if j >= self.thr:
                     out["doc_a"].append(a)
                     out["doc_b"].append(b)
