@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""``ray job submit``-able entry point for the flagship extraction job.
+
+Usage (local sandbox / real cluster — identical code; the cluster address
+comes from RAY_ADDRESS or --address):
+
+    ray job submit --working-dir . -- \
+        python jobs/run_extraction.py \
+            --input /data/corpus_spans --output /data/extracted \
+            --num-groups 64 --resume
+
+On a fixed-size multi-node cluster the only knobs that change are
+``--num-groups`` (commit granularity / resume unit) and the Dataset-level
+concurrency, which is derived from the cluster's CPU count at runtime.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="directory of span parquet files")
+    p.add_argument("--output", required=True, help="output root (part=G dirs + manifests)")
+    p.add_argument("--num-groups", type=int, default=16)
+    p.add_argument("--resume", action="store_true", default=True)
+    p.add_argument("--no-resume", dest="resume", action="store_false")
+    p.add_argument("--cleaning-method", default="hybrid")
+    p.add_argument("--split-threshold", type=int, default=4000)
+    p.add_argument("--num-cpus", type=int, default=None, help="local mode only")
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        init_kwargs = dict(include_dashboard=False, ignore_reinit_error=True)
+        if args.num_cpus:
+            init_kwargs.update(address="local", num_cpus=args.num_cpus)
+        ray.init(**init_kwargs)
+
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from pdf_extraction_tests_ray.state.checkpoint import run_partitioned
+
+    summary = run_partitioned(
+        args.input,
+        args.output,
+        num_groups=args.num_groups,
+        resume=args.resume,
+        cleaning_method=args.cleaning_method,
+        split_threshold=args.split_threshold,
+    )
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

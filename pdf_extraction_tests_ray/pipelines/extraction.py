@@ -27,6 +27,7 @@ from ..stages.extract_stage import (
     ExtractDocuments,
     add_span_count,
     assemble_fragments,
+    extract_batch,
     fragment_heavy_batch,
 )
 
@@ -53,23 +54,32 @@ def extract_dataset(
     upstream is an expensive synthesis — callers that KNOW their docs are
     bounded skip it.
     """
-    if concurrency is None:
-        # autoscaling actor pool up to the CPU count: the extraction stage
-        # dominates wall time, but an autoscaling pool lets the read/write
-        # stages keep their share under backpressure.
-        import ray
-
-        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        concurrency = (1, max(2, ncpu))
-
-    if split_threshold is None:
-        return ds.map_batches(
+    # Stage compute: by DEFAULT the extraction body runs as stateless TASKS
+    # — its "warm state" is module-level compiled regex/rule tables, cached
+    # per worker process by Python import, so tasks already amortize it and
+    # stay elastic (measured: a fixed ncpu-sized actor pool reserves every
+    # CPU and starves the read stage; an autoscaling pool ramps too slowly
+    # for short jobs). Pass ``concurrency`` explicitly to get the
+    # ``ExtractDocuments`` ACTOR pool — the drop-in shape for a real layout
+    # model whose state is per-process GPU/weights (SURVEY.md §2.4 A1).
+    def _extract_stage(dset):
+        if concurrency is None:
+            return dset.map_batches(
+                extract_batch,
+                fn_kwargs={"cleaning_method": cleaning_method},
+                batch_format="pyarrow",
+                batch_size=batch_size,
+            )
+        return dset.map_batches(
             ExtractDocuments,
             fn_constructor_kwargs={"cleaning_method": cleaning_method},
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
         )
+
+    if split_threshold is None:
+        return _extract_stage(ds)
 
     counted = ds.map_batches(add_span_count, batch_format="pyarrow")
 
@@ -82,13 +92,7 @@ def extract_dataset(
     light = counted.map_batches(_filter_light, batch_format="pyarrow")
     heavy = counted.map_batches(_filter_heavy, batch_format="pyarrow")
 
-    out_light = light.map_batches(
-        ExtractDocuments,
-        fn_constructor_kwargs={"cleaning_method": cleaning_method},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    out_light = _extract_stage(light)
 
     fragments = heavy.map_batches(
         lambda t: fragment_heavy_batch(t, pages_per_fragment),

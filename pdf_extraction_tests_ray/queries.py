@@ -376,24 +376,48 @@ def knn_lsh(sf_dir: str):
 # flagship extraction over synthesized spans
 
 
-def _spans_dataset(sf_dir: str):
+def _spans_dataset(sf_dir: str, replicate: int = 1):
+    """Synthesize span documents from the flat documents table.
+
+    ``replicate > 1`` (bench only) emits K deterministic variants per source
+    row with distinct doc_ids/seeds — used to size the headline job so the
+    scaling run measures compute, not per-job fixed overhead.
+    """
     from .fixtures import spans_from_flat_text
     from .schema import INPUT_SCHEMA
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    # a single parquet file reads as ~16 blocks, capping every downstream
+    # stage at 16 tasks; split to ~4 blocks per CPU (no shuffle)
+    import ray as _ray
+
+    ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+    docs = docs.repartition(max(32, 4 * ncpu))
 
     def synth(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
+        out_ids, out_spans = [], []
+        for i, t in zip(ids, texts):
+            for k in range(replicate):
+                out_ids.append(f"doc-{i:08d}-r{k}")
+                out_spans.append(spans_from_flat_text(i * replicate + k, t))
         return pa.Table.from_pydict(
-            {
-                "doc_id": [f"doc-{i:08d}" for i in ids],
-                "spans": [spans_from_flat_text(i, t) for i, t in zip(ids, texts)],
-            },
-            schema=INPUT_SCHEMA,
+            {"doc_id": out_ids, "spans": out_spans}, schema=INPUT_SCHEMA
         )
 
     return docs.map_batches(synth, batch_format="pyarrow")
+
+
+def flagship_bench(sf_dir: str, replicate: int = 8):
+    """Bench headline: extraction over the replicated synthetic corpus,
+    consumed by a distributed parquet write (no driver materialization)."""
+    from .pipelines.extraction import extract_dataset, split_quarantine
+
+    ok, _ = split_quarantine(
+        extract_dataset(_spans_dataset(sf_dir, replicate), split_threshold=None)
+    )
+    return ok
 
 
 def extract_flagship(sf_dir: str):
