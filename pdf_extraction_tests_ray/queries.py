@@ -392,7 +392,9 @@ def _spans_dataset(sf_dir: str, replicate: int = 1):
     import ray as _ray
 
     ncpu = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
-    docs = docs.repartition(max(32, 4 * ncpu))
+    # ~8 blocks per CPU: fine enough that the straggler tail of the fused
+    # synth+extract tasks packs well, coarse enough to amortize task launch
+    docs = docs.repartition(max(64, 8 * ncpu))
 
     def synth(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
