@@ -103,6 +103,62 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         """,
+        "q_asof_user_order": """
+            WITH r AS (
+              SELECT o_custkey, o_orderdate,
+                     max(CAST(round(o_totalprice * 100) AS BIGINT)) AS best_price_c
+              FROM orders GROUP BY o_custkey, o_orderdate
+            )
+            SELECT e.event_id, r.best_price_c
+            FROM events e
+            ASOF JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        """,
+        "q_events_sliding": """
+            WITH x AS (
+              SELECT event_type,
+                     CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+                     CAST(round(value * 1000000) AS BIGINT) AS v
+              FROM events
+            ), w AS (
+              SELECT event_type, h AS ws, v FROM x
+              UNION ALL
+              SELECT event_type, h - 3600 AS ws, v FROM x
+            )
+            SELECT event_type, ws AS window_start_s,
+                   count(*) AS n_events,
+                   ((sum(v) + 50) // 100) / 10000.0 AS sum_value
+            FROM w GROUP BY event_type, ws
+        """,
+        "q_topk_per_brand": """
+            SELECT p_brand, p_partkey, price_c FROM (
+              SELECT p_brand, p_partkey,
+                     CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+                     row_number() OVER (
+                       PARTITION BY p_brand
+                       ORDER BY round(p_retailprice * 100) DESC, p_partkey
+                     ) AS rn
+              FROM part
+            ) WHERE rn <= 3
+        """,
+        "q_quantity_range_buckets": """
+            SELECT b.label AS bucket,
+                   count(*) AS n_items,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+                       AS sum_price,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem l
+            JOIN (VALUES (0.0, 10.0, 'q00_10'), (10.0, 20.0, 'q10_20'),
+                         (20.0, 30.0, 'q20_30'), (30.0, 40.0, 'q30_40'),
+                         (40.0, 60.0, 'q40_60')) b(lo, hi, label)
+              ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+            GROUP BY b.label
+        """,
+        "doc_hash_sample": """
+            SELECT doc_id, lang, n_chars
+            FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS UBIGINT) % 20 = 0
+        """,
         "doc_token_counts": f"""
             SELECT doc_id, length({_WORDS}) AS n_tokens_ws FROM documents
         """,

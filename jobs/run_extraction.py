@@ -18,7 +18,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# `python jobs/run_extraction.py` puts jobs/ (not the repo root) on
+# sys.path; with `ray job submit --working-dir .` the root IS the cwd.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None) -> int:
@@ -29,7 +34,13 @@ def main(argv=None) -> int:
     p.add_argument("--resume", action="store_true", default=True)
     p.add_argument("--no-resume", dest="resume", action="store_false")
     p.add_argument("--cleaning-method", default="hybrid")
-    p.add_argument("--split-threshold", type=int, default=4000)
+    p.add_argument(
+        "--split-threshold",
+        type=int,
+        default=None,
+        help="spans per doc above which the heavy-doc fragment/assemble path "
+        "engages (default: off — see pipelines/extraction.py docstring)",
+    )
     p.add_argument("--num-cpus", type=int, default=None, help="local mode only")
     args = p.parse_args(argv)
 

@@ -14,6 +14,15 @@ multi-hundred-page documents: one 10^4-span row would otherwise pin a task
 for minutes while its batch-mates finish (SURVEY.md §4.2 skew row). The
 threshold routes only the tail through the shuffle; everything else is
 embarrassingly parallel.
+
+Splitting is OPT-IN (``split_threshold=None`` by default). Measured on this
+host (Ray 2.49.2, 480k-doc corpus): the dual-branch DAG (2 lineages + empty
+sort + union, 8 operators) holds the extract stage to ~2 concurrent tasks at
+num_cpus=8 — 1.5k docs/s vs 4.7k docs/s single-pass — and costs ~25% at 32
+CPUs even when ZERO docs cross the threshold. A heavy doc inside a block is
+an *additive* cost to one task, so bounded corpora (the reference's PDFs are
+tens of pages, v10A.R:3776) are better served by block sizing; enable the
+threshold only for corpora with genuinely unbounded documents.
 """
 
 from __future__ import annotations
@@ -31,14 +40,14 @@ from ..stages.extract_stage import (
     fragment_heavy_batch,
 )
 
-DEFAULT_SPLIT_THRESHOLD = 4000  # spans; ~100 pages at reference density
+SUGGESTED_SPLIT_THRESHOLD = 4000  # spans; ~100 pages at reference density
 DEFAULT_BATCH_SIZE = 32  # docs per batch — rows are fat (SURVEY.md §7.3.6)
 
 
 def extract_dataset(
     ds: "ray.data.Dataset",
     cleaning_method: str = "hybrid",
-    split_threshold: int = DEFAULT_SPLIT_THRESHOLD,
+    split_threshold: int | None = None,
     batch_size: int = DEFAULT_BATCH_SIZE,
     concurrency=None,
     pages_per_fragment: int = 25,

@@ -21,7 +21,13 @@ import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from .functions import text as T
-from .relational import broadcast_join, bucketed_group_merge, tumbling_window_events
+from .relational import (
+    asof_join_backward,
+    broadcast_join,
+    bucketed_group_merge,
+    grouped_topk,
+    tumbling_window_events,
+)
 from .stages import dedup as D
 from .stages import similarity as S
 from .stages import text_analysis as TA
@@ -261,6 +267,177 @@ def q_customer_segment_orders(sf_dir: str):
     return agg.map_batches(finish, batch_format="pandas")
 
 
+def q_asof_user_order(sf_dir: str):
+    """Backward as-of join: each event matched to the user's most recent
+    order on-or-before the event (DuckDB ASOF JOIN oracle).
+
+    The right side is pre-deduplicated to one row per (custkey, orderdate)
+    — max total price in integer cents — so the as-of tie-break is
+    deterministic on both engines.
+    """
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def dedupe_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(best_price_c=df["o_totalprice"].mul(100).round().astype("int64"))
+        g = df.groupby(["o_custkey", "o_orderdate"], sort=False).agg(
+            best_price_c=("best_price_c", "max")
+        )
+        return g.reset_index()
+
+    # (custkey x date) is high-cardinality -> bucketed merge, not groupby
+    right = bucketed_group_merge(
+        orders.map_batches(dedupe_partial, batch_format="pandas"),
+        ["o_custkey", "o_orderdate"],
+        lambda df: df.groupby(["o_custkey", "o_orderdate"], sort=False)
+        .agg(best_price_c=("best_price_c", "max"))
+        .reset_index(),
+    )
+
+    joined = asof_join_backward(
+        ev,
+        right,
+        by="user_id",
+        right_by="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        left_cols=["event_id"],
+        right_cols=["best_price_c"],
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "best_price_c": df["best_price_c"].astype("int64"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def q_events_sliding(sf_dir: str):
+    """Hopping window (2h width, 1h hop): each event lands in two windows;
+    the window explode happens inside the per-batch partial aggregation, so
+    the shuffle moves partial rows, never the doubled event stream."""
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    HOP_S = 3600
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["ts"].dt.floor("1h").astype("datetime64[s]").astype("int64")
+        v = df["value"].mul(1_000_000).round().astype("int64")
+        base = pd.DataFrame({"event_type": df["event_type"], "w": h, "value_u": v})
+        shifted = base.assign(w=base["w"] - HOP_S)
+        out = pd.concat([base, shifted], ignore_index=True)
+        g = out.groupby(["event_type", "w"], sort=False).agg(
+            n_events=("value_u", "size"), sum_value_u=("value_u", "sum")
+        )
+        return g.reset_index()
+
+    agg = bucketed_group_merge(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["event_type", "w"],
+        lambda df: df.groupby(["event_type", "w"], sort=False)
+        .agg(n_events=("n_events", "sum"), sum_value_u=("sum_value_u", "sum"))
+        .reset_index(),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "window_start_s": df["w"],
+                "n_events": df["n_events"],
+                "sum_value": ((df["sum_value_u"] + 50) // 100) / 10000.0,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def q_topk_per_brand(sf_dir: str):
+    """Top-3 parts per brand by retail price: partial per-block top-k, then
+    a grouped final top-k over k*blocks survivors (no full-table shuffle)."""
+    ds = _read(sf_dir, "part", columns=["p_brand", "p_partkey", "p_retailprice"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p_brand": df["p_brand"],
+                "p_partkey": df["p_partkey"],
+                "price_c": df["p_retailprice"].mul(100).round().astype("int64"),
+            }
+        )
+
+    return grouped_topk(
+        ds.map_batches(cents, batch_format="pandas"),
+        group_keys=["p_brand"],
+        sort_cols=["price_c", "p_partkey"],
+        ascending=[False, True],
+        k=3,
+    )
+
+
+def q_quantity_range_buckets(sf_dir: str):
+    """Range join of lineitem quantity against broadcast bucket boundaries
+    (np.digitize per batch — the small side never ships per row)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
+    edges = np.array([0.0, 10.0, 20.0, 30.0, 40.0, 60.0])
+    labels = np.array(["q00_10", "q10_20", "q20_30", "q30_40", "q40_60"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        idx = np.digitize(df["l_quantity"].to_numpy(), edges) - 1
+        ok = (idx >= 0) & (idx < len(labels))
+        price_c = df["l_extendedprice"].mul(100).round().astype("int64").to_numpy()
+        out = pd.DataFrame(
+            {"bucket": labels[idx[ok]], "price_c": price_c[ok], "qty": df["l_quantity"].to_numpy()[ok]}
+        )
+        g = out.groupby("bucket", sort=False).agg(
+            n_items=("price_c", "size"), sum_price_c=("price_c", "sum"), sum_qty=("qty", "sum")
+        )
+        return g.reset_index()
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("sum_price_c", alias_name="sum_price_c"),
+            Sum("sum_qty", alias_name="sum_qty"),
+        )
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "bucket": df["bucket"],
+                "n_items": df["n_items"],
+                "sum_price": df["sum_price_c"] / 100.0,
+                "sum_qty": df["sum_qty"].round(2),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+def doc_hash_sample(sf_dir: str):
+    """Deterministic 1-in-20 QA sample keyed on md5(doc_id) — reproducible
+    across engines AND cluster sizes, unlike seeded random_sample whose
+    output depends on block boundaries."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        mask = pa.array(
+            [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 20 == 0 for i in ids]
+        )
+        return t.filter(mask)
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # documents: text analysis
 
@@ -477,6 +654,11 @@ QUERIES = {
     "q_part_topk": q_part_topk,
     "q_events_tumbling": q_events_tumbling,
     "q_customer_segment_orders": q_customer_segment_orders,
+    "q_asof_user_order": q_asof_user_order,
+    "q_events_sliding": q_events_sliding,
+    "q_topk_per_brand": q_topk_per_brand,
+    "q_quantity_range_buckets": q_quantity_range_buckets,
+    "doc_hash_sample": doc_hash_sample,
     "doc_token_counts": doc_token_counts,
     "doc_token_totals_by_lang": doc_token_totals_by_lang,
     "doc_quality": doc_quality,

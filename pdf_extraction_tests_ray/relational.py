@@ -92,6 +92,109 @@ def bucketed_group_merge(
     )
 
 
+def asof_join_backward(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    by: str,
+    right_by: str,
+    left_ts: str,
+    right_ts: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Backward as-of join (Ray Data has no native one; SURVEY.md custom-op
+    rule (a): composition of map_batches + groupby.map_groups).
+
+    For each left row, match the right row with the greatest
+    ``right_ts <= left_ts`` sharing the join key. ONE co-partitioning
+    shuffle: both sides are tagged and unioned, bucketed by a deterministic
+    hash of the key, and each bucket group runs a vectorized
+    ``pd.merge_asof``. Partitioning assumption: all rows of one key land in
+    one bucket (guaranteed by the hash), and a single key's rows fit in one
+    group's memory — salt hot keys upstream if a key is pathological.
+
+    Right-side ties on (key, ts) must be pre-deduplicated by the caller —
+    tie choice is otherwise engine-dependent (same caveat as DuckDB ASOF).
+    Inner semantics: unmatched left rows are dropped.
+    """
+
+    # payload columns ride through the union as float64 (both sides must
+    # present one schema; exact for ints < 2^53 — callers re-cast at the end)
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[by, left_ts] + left_cols].rename(columns={left_ts: "_ts"})
+        out["_side"] = 1
+        for c in left_cols:
+            out[c] = out[c].astype("float64")
+        for c in right_cols:
+            out[c] = np.nan
+        return out
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[right_by, right_ts] + right_cols].rename(
+            columns={right_by: by, right_ts: "_ts"}
+        )
+        out["_side"] = 0
+        for c in right_cols:
+            out[c] = out[c].astype("float64")
+        for c in left_cols:
+            out[c] = np.nan
+        return out
+
+    cols = [by, "_ts", "_side"] + left_cols + right_cols
+    tagged = left.map_batches(tag_left, batch_format="pandas").select_columns(cols).union(
+        right.map_batches(tag_right, batch_format="pandas").select_columns(cols)
+    )
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bucket"] = _bucket_of(df, [by], num_buckets)
+        return df
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["_side"] == 1][[by, "_ts"] + left_cols].sort_values("_ts", kind="stable")
+        r = g[g["_side"] == 0][[by, "_ts"] + right_cols].sort_values("_ts", kind="stable")
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame({c: pd.Series(dtype="float64") for c in left_cols + right_cols})
+        out = pd.merge_asof(l, r, on="_ts", by=by, direction="backward")
+        out = out.dropna(subset=right_cols)
+        return out[left_cols + right_cols]
+
+    return (
+        tagged.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def grouped_topk(
+    ds: "ray.data.Dataset",
+    group_keys: list[str],
+    sort_cols: list[str],
+    ascending: list[bool],
+    k: int,
+) -> "ray.data.Dataset":
+    """Top-k rows per group: per-block partial top-k (cheap, no shuffle)
+    then a grouped final top-k over the k*num_blocks survivors. The shuffle
+    moves at most k rows per (group, block) — never the full table."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(sort_cols, ascending=ascending, kind="stable")
+            .groupby(group_keys, sort=False)
+            .head(k)
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(sort_cols, ascending=ascending, kind="stable").head(k)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(group_keys)
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def to_small_pandas(ds: "ray.data.Dataset") -> pd.DataFrame:
     """Materialize a SMALL dataset (dimension table / final aggregate)."""
     return ds.to_pandas()

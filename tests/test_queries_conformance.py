@@ -78,6 +78,11 @@ def _to_pandas(res):
         "dedup_jaccard_pairs",
         "dedup_embedding_pairs",
         "knn_bruteforce",
+        "q_asof_user_order",
+        "q_events_sliding",
+        "q_topk_per_brand",
+        "q_quantity_range_buckets",
+        "doc_hash_sample",
     ],
 )
 def test_query_matches_oracle(name, duck):
