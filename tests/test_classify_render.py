@@ -110,3 +110,29 @@ def test_render_claude_text():
     assert "MAIN CONTENT (Cleaned):" in txt
     assert "Total Pages: 9" in txt
     assert "Document Format: mdpi" in txt
+
+
+def test_layout_overlay_sink(tmp_path, golden_corpus):
+    """S5 debug sink: per-(doc,page) PGM overlays + index table; deterministic."""
+    from pdf_extraction_tests_ray.stages.render import write_layout_overlays
+
+    sample = golden_corpus.slice(0, 4)
+    out = write_layout_overlays(sample, str(tmp_path / "a"))
+    assert set(out.column_names) == {"doc_id", "page", "path"}
+    assert out.num_rows > 0
+    paths = out.column("path").to_pylist()
+    head = open(paths[0], "rb").read(15)
+    assert head.startswith(b"P5\n")
+    # deterministic: a second render produces byte-identical images
+    out2 = write_layout_overlays(sample, str(tmp_path / "b"))
+    for p1, p2 in zip(paths, out2.column("path").to_pylist()):
+        assert open(p1, "rb").read() == open(p2, "rb").read()
+    # every span page of the first doc is covered
+    spans0 = sample.column("spans").to_pylist()[0]
+    pages0 = {s["offset"] // 1_000_000 for s in spans0}
+    got0 = {
+        p
+        for d, p in zip(out.column("doc_id").to_pylist(), out.column("page").to_pylist())
+        if d == sample.column("doc_id").to_pylist()[0]
+    }
+    assert got0 == pages0
