@@ -103,6 +103,14 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         """,
+        "q_supplier_nation_balance": """
+            SELECT n_name,
+                   count(*) AS n_suppliers,
+                   round(sum(CAST(round(s_acctbal * 100) AS BIGINT)) / 100.0, 2)
+                       AS sum_acctbal
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
         "q_asof_user_order": """
             WITH r AS (
               SELECT o_custkey, o_orderdate,

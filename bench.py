@@ -29,6 +29,9 @@ QUERY_SUITE = [
     "q3_top_revenue_orders",
     "q_customer_segment_orders",
     "q_events_tumbling",
+    "q_asof_user_order",
+    "q_events_sliding",
+    "q_topk_per_brand",
     "doc_quality",
     "doc_token_totals_by_lang",
     "dedup_exact",

@@ -267,6 +267,35 @@ def q_customer_segment_orders(sf_dir: str):
     return agg.map_batches(finish, batch_format="pandas")
 
 
+def q_supplier_nation_balance(sf_dir: str):
+    """Supplier balances per nation (broadcast dim join; covers supplier)."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]).to_pandas()
+    sup = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+    joined = broadcast_join(sup, nation, on="s_nationkey", right_on="n_nationkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(bal_c=df["s_acctbal"].mul(100).round().astype("int64"))
+        g = df.groupby("n_name", sort=False).agg(
+            n_suppliers=("bal_c", "size"), sum_acctbal=("bal_c", "sum")
+        )
+        return g.reset_index()
+
+    agg = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(
+            Sum("n_suppliers", alias_name="n_suppliers"),
+            Sum("sum_acctbal", alias_name="sum_acctbal"),
+        )
+    )
+    return agg.map_batches(
+        lambda df: df.assign(sum_acctbal=(df["sum_acctbal"] / 100.0).round(2)),
+        batch_format="pandas",
+    )
+
+
 def q_asof_user_order(sf_dir: str):
     """Backward as-of join: each event matched to the user's most recent
     order on-or-before the event (DuckDB ASOF JOIN oracle).
@@ -654,6 +683,7 @@ QUERIES = {
     "q_part_topk": q_part_topk,
     "q_events_tumbling": q_events_tumbling,
     "q_customer_segment_orders": q_customer_segment_orders,
+    "q_supplier_nation_balance": q_supplier_nation_balance,
     "q_asof_user_order": q_asof_user_order,
     "q_events_sliding": q_events_sliding,
     "q_topk_per_brand": q_topk_per_brand,
