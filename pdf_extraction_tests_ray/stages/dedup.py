@@ -63,26 +63,25 @@ def exact_dedup(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 # MinHash + LSH near-dup
 
 
-class MinHashStage:
-    """Actor stage: emits (band_key, doc_id) rows per document."""
-
-    def __init__(self, k: int = 5, n_perm: int = 128, n_bands: int = 32):
-        self.k, self.n_perm, self.n_bands = k, n_perm, n_bands
-
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        doc_ids, band_keys = [], []
-        for did, txt in zip(df["doc_id"].tolist(), df["text"].tolist()):
-            sh = T.char_shingles(txt, self.k)
-            sig = T.minhash_signature(sh, self.n_perm)
-            for key in T.lsh_bands(sig, self.n_bands):
-                doc_ids.append(did)
-                band_keys.append(np.int64(np.uint64(key).astype(np.int64)))
-        out = pd.DataFrame({"band_key": band_keys, "doc_id": doc_ids})
-        # coarse shuffle bucket: groupby on the full band_key would spawn
-        # one map_groups call per (mostly singleton) bucket; grouping on a
-        # 256-way coarsening moves the same rows but amortizes group calls
-        out["bucket"] = out["band_key"] % 256
-        return out
+def minhash_band_rows(
+    df: pd.DataFrame, k: int = 5, n_perm: int = 128, n_bands: int = 32
+) -> pd.DataFrame:
+    """Emit (band_key, doc_id) rows per document. Stateless task fn — the
+    permutation constants are module-level (per-worker import-cached), so
+    an actor pool would only cap elasticity (CLAUDE.md actor-pool note)."""
+    doc_ids, band_keys = [], []
+    for did, txt in zip(df["doc_id"].tolist(), df["text"].tolist()):
+        sh = T.char_shingles_u64(txt, k)
+        sig = T.minhash_signature(sh, n_perm)
+        for key in T.lsh_bands(sig, n_bands):
+            doc_ids.append(did)
+            band_keys.append(np.int64(np.uint64(key).astype(np.int64)))
+    out = pd.DataFrame({"band_key": band_keys, "doc_id": doc_ids})
+    # coarse shuffle bucket: groupby on the full band_key would spawn
+    # one map_groups call per (mostly singleton) bucket; grouping on a
+    # 256-way coarsening moves the same rows but amortizes group calls
+    out["bucket"] = out["band_key"] % 256
+    return out
 
 
 def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -104,11 +103,11 @@ def minhash_lsh_pairs(
     n_bands: int = 32,
 ) -> "ray.data.Dataset":
     """Verified near-duplicate pairs (doc_a, doc_b, jaccard>=threshold)."""
+    import functools
+
     bands = docs.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={"k": k, "n_perm": n_perm, "n_bands": n_bands},
+        functools.partial(minhash_band_rows, k=k, n_perm=n_perm, n_bands=n_bands),
         batch_format="pandas",
-        concurrency=(1, 8),
     )
     from ..relational import bucketed_group_merge
 
@@ -136,14 +135,14 @@ def minhash_lsh_pairs(
         def _sh(self, doc_id):
             s = self._shingles.get(doc_id)
             if s is None:
-                s = T.char_shingles(self.texts[doc_id], self.k)
+                s = T.char_shingles_u64(self.texts[doc_id], self.k)
                 self._shingles[doc_id] = s
             return s
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             out = {"doc_a": [], "doc_b": [], "jaccard": []}
             for a, b in zip(df["doc_a"].tolist(), df["doc_b"].tolist()):
-                j = T.jaccard(self._sh(a), self._sh(b))
+                j = T.jaccard_u64(self._sh(a), self._sh(b))
                 if j >= self.thr:
                     out["doc_a"].append(a)
                     out["doc_b"].append(b)
@@ -154,7 +153,7 @@ def minhash_lsh_pairs(
         Verify,
         fn_constructor_kwargs={"ref": lookup_ref, "k": k, "thr": threshold},
         batch_format="pandas",
-        concurrency=(1, 4),
+        concurrency=(1, 8),
     )
 
 
