@@ -130,10 +130,13 @@ def split_quarantine(out: "ray.data.Dataset"):
     )
 
 
-def read_spans(path: str, **kwargs) -> "ray.data.Dataset":
-    """Source: a directory of parquet span files (Lance at real scale —
-    same shape; reading is S1's replacement per SURVEY.md §2.1)."""
-    return ray.data.read_parquet(path, **kwargs)
+def read_spans(path: str, format: str = "parquet", **kwargs) -> "ray.data.Dataset":
+    """Source: a directory of span files (S1's replacement, SURVEY.md §2.1).
+    Dispatches through the pluggable reader registry — ``format="lance"``
+    at real scale, parquet in tests/bench."""
+    from ..sources import read_corpus
+
+    return read_corpus(path, format=format, **kwargs)
 
 
 def run_extraction(

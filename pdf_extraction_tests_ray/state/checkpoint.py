@@ -134,3 +134,29 @@ def read_output(out_dir: str) -> "ray.data.Dataset":
                 os.path.join(pdir, f) for f in sorted(os.listdir(pdir)) if f.endswith(".parquet")
             )
     return ray.data.read_parquet(files)
+
+
+def metrics_rollup(out_dir: str) -> dict:
+    """G7 — per-partition metrics rollup from the manifest ledger.
+
+    Manifests are the run's lineage/metrics side-channel (one small JSON
+    per partition — driver-side aggregation is correct here: O(num_groups)
+    records, not O(rows)). Returns totals + per-group rows.
+    """
+    mdir = os.path.join(out_dir, "manifest")
+    rows = []
+    for name in sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []:
+        if name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as f:
+                rows.append(json.load(f))
+    total_rows = sum(r["rows_written"] for r in rows)
+    total_q = sum(r["quarantined"] for r in rows)
+    total_sec = sum(r["elapsed_sec"] for r in rows)
+    return {
+        "groups_done": len(rows),
+        "rows_written": total_rows,
+        "quarantined": total_q,
+        "elapsed_sec_sum": round(total_sec, 3),
+        "docs_per_sec_sum": round(total_rows / total_sec, 2) if total_sec else None,
+        "per_group": rows,
+    }

@@ -164,3 +164,35 @@ def test_manifest_lineage_fields(tmp_path, golden_corpus):
     m = json.load(open(tmp_path / "o" / "manifest" / "part-0.json"))
     for key in ("group", "num_groups", "input_path", "rows_written", "quarantined", "elapsed_sec", "engine_version"):
         assert key in m
+
+
+def test_read_corpus_registry(tmp_path, ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from pdf_extraction_tests_ray.sources import read_corpus
+
+    t = pa.table({"doc_id": ["a", "b"], "n": [1, 2]})
+    pq.write_table(t, str(tmp_path / "x.parquet"))
+    ds = read_corpus(str(tmp_path), format="parquet")
+    assert ds.count() == 2
+    with _pytest.raises(ValueError, match="unknown corpus format"):
+        read_corpus(str(tmp_path), format="avro")
+    with _pytest.raises(NotImplementedError, match="lance"):
+        read_corpus(str(tmp_path), format="lance")
+
+
+def test_metrics_rollup(tmp_path, golden_corpus, ray_session):
+    import pyarrow.parquet as pq
+
+    from pdf_extraction_tests_ray.state.checkpoint import metrics_rollup, run_partitioned
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(golden_corpus.slice(0, 24), str(src / "c.parquet"))
+    run_partitioned(str(src), str(tmp_path / "out"), num_groups=3)
+    r = metrics_rollup(str(tmp_path / "out"))
+    assert r["groups_done"] == 3
+    assert r["rows_written"] == 24
+    assert r["elapsed_sec_sum"] > 0
