@@ -81,19 +81,29 @@ def run_partitioned(
             return t2.filter(pc.equal(t2["part_group"], g)).drop_columns(["part_group"])
 
         ds_g = ds.map_batches(pick, batch_format="pyarrow")
-        out, bad = split_quarantine(extract_dataset(ds_g, **extract_kwargs))
+        full = extract_dataset(ds_g, **extract_kwargs)
 
         part_tmp = os.path.join(out_dir, f"_tmp_part={g}")
         part_final = os.path.join(out_dir, f"part={g}")
+        # no "=" in the name: read_parquet would hive-parse it into a column
+        full_tmp = os.path.join(out_dir, f"_tmp_full_{g}")
         q_tmp = os.path.join(out_dir, "quarantine", f"_tmp_part={g}")
         q_final = os.path.join(out_dir, "quarantine", f"part={g}")
-        for p in (part_tmp, part_final, q_tmp, q_final):
+        for p in (part_tmp, part_final, full_tmp, q_tmp, q_final):
             shutil.rmtree(p, ignore_errors=True)
 
-        out.write_parquet(part_tmp)
-        bad_count = bad.count()
+        # ONE extraction pass: write the full output (incl. the error
+        # column), then split ok/quarantine by RE-READING the local parquet
+        # — consuming ok and bad branches directly would re-execute the
+        # expensive extraction lineage once per consumer (Ray re-runs
+        # upstream per branch). The re-read is cheap local IO.
+        full.write_parquet(full_tmp)
+        ok2, bad2 = split_quarantine(ray.data.read_parquet(full_tmp))
+        ok2.write_parquet(part_tmp)
+        bad_count = bad2.count()
         if bad_count:
-            bad.write_parquet(q_tmp)
+            bad2.write_parquet(q_tmp)
+        shutil.rmtree(full_tmp, ignore_errors=True)
         os.rename(part_tmp, part_final)
         if bad_count:
             os.makedirs(os.path.dirname(q_final), exist_ok=True)
