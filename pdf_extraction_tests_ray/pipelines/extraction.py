@@ -148,10 +148,25 @@ def run_extraction(
     """Read -> extract -> (optionally) write ok + quarantine parquet."""
     ds = read_spans(input_path)
     out = extract_dataset(ds, **kwargs)
-    ok, bad = split_quarantine(out)
     if output_path is not None:
-        ok.write_parquet(output_path)
         if quarantine_path is not None:
-            bad.write_parquet(quarantine_path)
+            # one extraction pass: write full (incl. error col), split from
+            # a cheap local re-read — consuming both branches would run the
+            # extraction lineage twice (see state/checkpoint.py)
+            import shutil
+            import tempfile
+
+            full_tmp = tempfile.mkdtemp(prefix="extract_full_")
+            try:
+                out.write_parquet(full_tmp)
+                ok, bad = split_quarantine(ray.data.read_parquet(full_tmp))
+                ok.write_parquet(output_path)
+                bad.write_parquet(quarantine_path)
+            finally:
+                shutil.rmtree(full_tmp, ignore_errors=True)
+            return None
+        ok, _ = split_quarantine(out)
+        ok.write_parquet(output_path)
         return None
+    ok, _ = split_quarantine(out)
     return ok
