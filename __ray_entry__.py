@@ -234,6 +234,23 @@ def oracle_sql() -> dict[str, str]:
                      e.vec_id
             LIMIT 10
         """,
+        "knn_multi": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id IN (0, 1, 2)
+            )
+            SELECT query_id, vec_id, cos_sim FROM (
+              SELECT q.query_id, e.vec_id,
+                     round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.v), 6)
+                         AS cos_sim,
+                     row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.v) DESC,
+                                e.vec_id
+                     ) AS rn
+              FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+            ) WHERE rn <= 10
+        """,
         # dedup_minhash / dedup_simhash / dedup_ngram3_jaccard_pairs /
         # knn_lsh / doc_langid / extract_flagship / extract_spans_flat:
         # intentionally omitted (non-SQL-expressible or approximate) ->

@@ -573,6 +573,20 @@ def knn_bruteforce(sf_dir: str):
     return S.knn_bruteforce(emb, _query_vec(sf_dir), k=10, exclude_vec_id=0)
 
 
+def knn_multi(sf_dir: str):
+    """Batched brute-force ANN: top-10 per query for query vectors 0,1,2
+    (one matmul per batch against the broadcast query matrix)."""
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", filters=[("vec_id", "in", [0, 1, 2])]
+    )
+    qids = qt.column("vec_id").to_pylist()
+    qm = np.array([np.asarray(v, dtype=np.float64) for v in qt.column("embedding").to_pylist()])
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return S.knn_bruteforce_multi(emb, qids, qm, k=10)
+
+
 def knn_lsh(sf_dir: str):
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return S.knn_lsh(emb, _query_vec(sf_dir), k=10, exclude_vec_id=0)
@@ -701,6 +715,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_pairs": dedup_embedding_pairs,
     "knn_bruteforce": knn_bruteforce,
+    "knn_multi": knn_multi,
     "knn_lsh": knn_lsh,
     "extract_flagship": extract_flagship,
     "extract_spans_flat": extract_spans_flat,

@@ -71,6 +71,61 @@ def knn_bruteforce(
     )
 
 
+def knn_bruteforce_multi(
+    emb: "ray.data.Dataset", query_ids, query_mat, k: int = 10
+) -> "ray.data.Dataset":
+    """Batched brute-force ANN: top-k per query via ONE matmul per batch
+    against a broadcast (n_queries, dim) matrix (``ray.put`` once, read in
+    every task — never re-shipped per batch). Self-matches (vec_id ==
+    query id) are excluded. Per-batch local top-k keeps the shuffle to
+    k rows per (query, batch); the final grouped top-k merges survivors."""
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qm = _norm_rows(np.asarray(query_mat, dtype=np.float64))
+    q_ref = ray.put((qids, qm))
+
+    class LocalTopK:
+        def __init__(self, ref, k):
+            self.qids, self.qm = ray.get(ref)
+            self.k = k
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame({"query_id": [], "vec_id": [], "cos_sim": []})
+            vec_ids = df["vec_id"].to_numpy()
+            m = _norm_rows(_as_matrix(df["embedding"]))
+            sims = m @ self.qm.T  # (batch, n_queries)
+            out_q, out_v, out_s = [], [], []
+            for j, qid in enumerate(self.qids):
+                s = sims[:, j]
+                mask = vec_ids != qid
+                vi, si = vec_ids[mask], s[mask]
+                order = np.lexsort((vi, -si))[: self.k]
+                out_q.append(np.full(len(order), qid, dtype=np.int64))
+                out_v.append(vi[order])
+                out_s.append(si[order])
+            return pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "cos_sim": np.concatenate(out_s),
+                }
+            )
+
+    local = emb.map_batches(
+        LocalTopK,
+        fn_constructor_kwargs={"ref": q_ref, "k": k},
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos_sim", "vec_id"], ascending=[False, True], kind="stable").head(k)
+        return g.assign(cos_sim=np.round(g["cos_sim"], 6))
+
+    return local.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
 _N_PLANES = 12
 _LSH_RNG = np.random.default_rng(np.random.SeedSequence([777]))
 

@@ -78,6 +78,7 @@ def _to_pandas(res):
         "dedup_jaccard_pairs",
         "dedup_embedding_pairs",
         "knn_bruteforce",
+        "knn_multi",
         "q_supplier_nation_balance",
         "q_asof_user_order",
         "q_events_sliding",
