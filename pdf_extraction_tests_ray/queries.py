@@ -18,15 +18,13 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Sum
 
-from .functions import text as T
 from .relational import (
     asof_join_backward,
     broadcast_join,
     bucketed_group_merge,
     grouped_topk,
-    tumbling_window_events,
 )
 from .stages import dedup as D
 from .stages import similarity as S
