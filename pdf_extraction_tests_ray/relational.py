@@ -223,3 +223,12 @@ def tumbling_window_events(
         Sum("n_events", alias_name="n_events"),
         Sum("sum_value", alias_name="sum_value"),
     )
+
+
+def qa_sample(ds: "ray.data.Dataset", frac: float, seed: int = 42) -> "ray.data.Dataset":
+    """Seeded QA sample (SURVEY.md §2.7 engine-add): explicit seed, never
+    ambient RNG. NOTE: ``random_sample`` draws per block, so the realized
+    row SET varies with block boundaries (cluster size / file layout) even
+    at a fixed seed — use ``queries.doc_hash_sample``-style hash sampling
+    when the sample must be reproducible across engines or cluster sizes."""
+    return ds.random_sample(frac, seed=seed)

@@ -196,3 +196,15 @@ def test_metrics_rollup(tmp_path, golden_corpus, ray_session):
     assert r["groups_done"] == 3
     assert r["rows_written"] == 24
     assert r["elapsed_sec_sum"] > 0
+
+
+def test_qa_sample_seeded(ray_session):
+    import ray as _ray
+
+    from pdf_extraction_tests_ray.relational import qa_sample
+
+    ds = _ray.data.range(10_000)
+    n1 = qa_sample(ds, 0.1, seed=7).count()
+    n2 = qa_sample(ds, 0.1, seed=7).count()
+    assert n1 == n2  # same seed + same block layout -> same draw
+    assert 500 < n1 < 1500
