@@ -41,14 +41,19 @@ from ..stages.extract_stage import (
 )
 
 SUGGESTED_SPLIT_THRESHOLD = 4000  # spans; ~100 pages at reference density
-DEFAULT_BATCH_SIZE = 32  # docs per batch — rows are fat (SURVEY.md §7.3.6)
+# Whole-block batches for the stateless regex extractor: per-UDF-call
+# overhead at batch_size=32 cost ~45% throughput (12.7k vs 19k docs/s
+# measured at 32 cpus). Pass a small batch_size (4-32) explicitly when the
+# stage holds a real model actor — there batches are VRAM-bound and rows
+# are fat (SURVEY.md §7.3.6).
+DEFAULT_BATCH_SIZE = None
 
 
 def extract_dataset(
     ds: "ray.data.Dataset",
     cleaning_method: str = "hybrid",
     split_threshold: int | None = None,
-    batch_size: int = DEFAULT_BATCH_SIZE,
+    batch_size: int | None = DEFAULT_BATCH_SIZE,
     concurrency=None,
     pages_per_fragment: int = 25,
 ) -> "ray.data.Dataset":
