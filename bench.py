@@ -47,6 +47,7 @@ QUERY_SUITE = [
     "dedup_simhash",
     "dedup_embedding_pairs",
     "knn_bruteforce",
+    "knn_multi",
     "knn_lsh",
 ]
 

@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis) for the deterministic kernels that
+everything else leans on: codec round-trips, shingle/jaccard equivalence,
+cleaner idempotence, bucket determinism."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_extraction_tests_ray.doclogic.cleaners import dedup_sentences, normalize_ws
+from pdf_extraction_tests_ray.functions import text as T
+from pdf_extraction_tests_ray.relational import _bucket_of
+from pdf_extraction_tests_ray.schema import pack_offset, unpack_offset
+
+texts = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF), max_size=400
+)
+
+
+@given(
+    st.integers(min_value=1, max_value=999),
+    st.integers(min_value=0, max_value=999),
+    st.integers(min_value=0, max_value=999),
+)
+def test_offset_codec_roundtrip(page, y, x):
+    p, yy, xx = unpack_offset(pack_offset([page], [y], [x]))
+    assert (int(p[0]), int(yy[0]), int(xx[0])) == (page, y, x)
+
+
+@given(texts, texts)
+@settings(max_examples=60)
+def test_jaccard_u64_matches_true_byte_shingle_jaccard(a, b):
+    """The vectorized rolling-hash shingle Jaccard must equal the Jaccard
+    of the true byte-shingle sets (hash collisions would break this)."""
+    k = 5
+
+    def true_shingles(s):
+        t = T.normalize_text(s).encode("utf-8")
+        if not t:
+            return set()
+        if len(t) < k:
+            t = t + b"\x00" * (k - len(t))
+        return {t[i : i + k] for i in range(len(t) - k + 1)}
+
+    sa, sb = true_shingles(a), true_shingles(b)
+    union = len(sa | sb)
+    expected = (len(sa & sb) / union) if union else 1.0
+    got = T.jaccard_u64(T.char_shingles_u64(a, k), T.char_shingles_u64(b, k))
+    assert abs(got - expected) < 1e-12
+
+
+@given(texts)
+@settings(max_examples=60)
+def test_dedup_sentences_idempotent(s):
+    once = dedup_sentences(s)
+    assert dedup_sentences(once) == once
+
+
+@given(texts)
+@settings(max_examples=60)
+def test_normalize_ws_idempotent(s):
+    once = normalize_ws(s)
+    assert normalize_ws(once) == once
+
+
+@given(st.lists(st.integers(min_value=-10**9, max_value=10**9), min_size=1, max_size=50))
+def test_bucket_of_deterministic_and_in_range(vals):
+    df = pd.DataFrame({"k": vals})
+    b1 = _bucket_of(df, ["k"], 64)
+    b2 = _bucket_of(df.copy(), ["k"], 64)
+    assert (b1 == b2).all()
+    assert ((b1 >= 0) & (b1 < 64)).all()
+
+
+@given(st.lists(st.text(max_size=30), min_size=0, max_size=40))
+@settings(max_examples=40)
+def test_minhash_identity(words):
+    """Identical shingle sets -> identical signatures; signature length fixed."""
+    s = " ".join(words)
+    sig1 = T.minhash_signature(T.char_shingles_u64(s))
+    sig2 = T.minhash_signature(T.char_shingles_u64(s))
+    assert sig1.shape == (128,)
+    assert np.array_equal(sig1, sig2)
