@@ -111,6 +111,27 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier JOIN nation ON s_nationkey = n_nationkey
             GROUP BY n_name
         """,
+        "q_user_sessions": """
+            WITH e AS (
+              -- floor, not round: pandas datetime64[s] truncates subseconds
+              SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events
+            ), b AS (
+              SELECT user_id, t,
+                     CASE WHEN lag(t) OVER w IS NULL
+                          OR t - lag(t) OVER w > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+            ), s AS (
+              SELECT user_id, t,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM b
+            )
+            SELECT user_id, min(t) AS session_start_s,
+                   count(*) AS n_events,
+                   max(t) - min(t) AS duration_s
+            FROM s GROUP BY user_id, sid
+        """,
         "q_asof_user_order": """
             WITH r AS (
               SELECT o_custkey, o_orderdate,

@@ -40,6 +40,7 @@ QUERY_SUITE = [
     "q_asof_user_order",
     "q_events_sliding",
     "q_topk_per_brand",
+    "q_user_sessions",
     "doc_quality",
     "doc_token_totals_by_lang",
     "dedup_exact",

@@ -22,6 +22,7 @@ from ray.data.aggregate import Sum
 
 from .relational import (
     asof_join_backward,
+    sessionize,
     broadcast_join,
     bucketed_group_merge,
     grouped_topk,
@@ -263,6 +264,13 @@ def q_customer_segment_orders(sf_dir: str):
         return df[["c_mktsegment", "n_orders", "avg_totalprice"]]
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def q_user_sessions(sf_dir: str):
+    """Gap-based sessionization: 30-min inactivity splits a user's events
+    into sessions (oracle: lag + cumulative-sum window functions)."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return sessionize(ev, by="user_id", ts="ts", gap_s=1800)
 
 
 def q_supplier_nation_balance(sf_dir: str):
@@ -696,6 +704,7 @@ QUERIES = {
     "q_events_tumbling": q_events_tumbling,
     "q_customer_segment_orders": q_customer_segment_orders,
     "q_supplier_nation_balance": q_supplier_nation_balance,
+    "q_user_sessions": q_user_sessions,
     "q_asof_user_order": q_asof_user_order,
     "q_events_sliding": q_events_sliding,
     "q_topk_per_brand": q_topk_per_brand,

@@ -195,6 +195,64 @@ def grouped_topk(
     )
 
 
+def sessionize(
+    events: "ray.data.Dataset",
+    by: str,
+    ts: str,
+    gap_s: int,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Gap-based sessionization (stateful streaming window, batch form):
+    events of one key, sorted by time, split into sessions wherever the
+    inter-event gap exceeds ``gap_s`` seconds.
+
+    ONE bucket shuffle co-locates each key's events; the per-bucket pass is
+    fully vectorized (sort -> diff -> boundary cumsum). Deterministic under
+    timestamp ties: a zero gap never opens a session, so tie order cannot
+    change the result. Partitioning assumption: one key's events fit in one
+    group (salt upstream for pathological keys).
+
+    Output: (by, session_start_s, n_events, duration_s) per session.
+    """
+
+    def to_epoch(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {by: df[by], "_t": df[ts].astype("datetime64[s]").astype("int64")}
+        )
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bucket"] = _bucket_of(df, [by], num_buckets)
+        return df
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([by, "_t"], kind="stable")
+        t = g["_t"].to_numpy()
+        u = g[by].to_numpy()
+        if len(t) == 0:
+            return pd.DataFrame(
+                {by: [], "session_start_s": [], "n_events": [], "duration_s": []}
+            )
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        gap = np.r_[0, t[1:] - t[:-1]]
+        sid = np.cumsum(new_user | (gap > gap_s))
+        out = (
+            pd.DataFrame({by: u, "_t": t, "_sid": sid})
+            .groupby([by, "_sid"], sort=False)
+            .agg(session_start_s=("_t", "min"), n_events=("_t", "size"), _end=("_t", "max"))
+            .reset_index()
+        )
+        out["duration_s"] = out["_end"] - out["session_start_s"]
+        return out[[by, "session_start_s", "n_events", "duration_s"]]
+
+    return (
+        events.map_batches(to_epoch, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
 def to_small_pandas(ds: "ray.data.Dataset") -> pd.DataFrame:
     """Materialize a SMALL dataset (dimension table / final aggregate)."""
     return ds.to_pandas()

@@ -80,6 +80,7 @@ def _to_pandas(res):
         "knn_bruteforce",
         "knn_multi",
         "q_supplier_nation_balance",
+        "q_user_sessions",
         "q_asof_user_order",
         "q_events_sliding",
         "q_topk_per_brand",
