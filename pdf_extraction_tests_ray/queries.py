@@ -320,14 +320,11 @@ def q_asof_user_order(sf_dir: str):
         )
         return g.reset_index()
 
-    # (custkey x date) is high-cardinality -> bucketed merge, not groupby
-    right = bucketed_group_merge(
-        orders.map_batches(dedupe_partial, batch_format="pandas"),
-        ["o_custkey", "o_orderdate"],
-        lambda df: df.groupby(["o_custkey", "o_orderdate"], sort=False)
-        .agg(best_price_c=("best_price_c", "max"))
-        .reset_index(),
-    )
+    # per-batch PARTIAL dedupe only — exact (custkey, date) resolution
+    # happens inside the as-of merge groups via right_dedupe (the as-of
+    # bucket shuffle already co-locates a key's rows; a separate grouped
+    # dedupe would be a second full shuffle)
+    right = orders.map_batches(dedupe_partial, batch_format="pandas")
 
     joined = asof_join_backward(
         ev,
@@ -338,6 +335,8 @@ def q_asof_user_order(sf_dir: str):
         right_ts="o_orderdate",
         left_cols=["event_id"],
         right_cols=["best_price_c"],
+        right_dedupe=lambda r: r.groupby(["user_id", "_ts"], sort=False, as_index=False)
+        .agg({"best_price_c": "max"}),
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:

@@ -102,6 +102,7 @@ def asof_join_backward(
     left_cols: list[str],
     right_cols: list[str],
     num_buckets: int = 64,
+    right_dedupe=None,
 ) -> "ray.data.Dataset":
     """Backward as-of join (Ray Data has no native one; SURVEY.md custom-op
     rule (a): composition of map_batches + groupby.map_groups).
@@ -114,9 +115,13 @@ def asof_join_backward(
     one bucket (guaranteed by the hash), and a single key's rows fit in one
     group's memory — salt hot keys upstream if a key is pathological.
 
-    Right-side ties on (key, ts) must be pre-deduplicated by the caller —
-    tie choice is otherwise engine-dependent (same caveat as DuckDB ASOF).
-    Inner semantics: unmatched left rows are dropped.
+    Right-side ties on (key, ts) must be resolved or the tie choice is
+    engine-dependent (same caveat as DuckDB ASOF). Pass ``right_dedupe``
+    (pandas df in/out over [by, "_ts"] + right_cols, float64 payloads) to
+    resolve ties INSIDE the merge group — the bucket already co-locates a
+    key's rows, so this costs no extra shuffle, unlike pre-deduplicating
+    with a separate grouped aggregate. Inner semantics: unmatched left
+    rows are dropped.
     """
 
     # payload columns ride through the union as float64 (both sides must
@@ -156,6 +161,8 @@ def asof_join_backward(
         r = g[g["_side"] == 0][[by, "_ts"] + right_cols].sort_values("_ts", kind="stable")
         if len(l) == 0 or len(r) == 0:
             return pd.DataFrame({c: pd.Series(dtype="float64") for c in left_cols + right_cols})
+        if right_dedupe is not None:
+            r = right_dedupe(r).sort_values("_ts", kind="stable")
         out = pd.merge_asof(l, r, on="_ts", by=by, direction="backward")
         out = out.dropna(subset=right_cols)
         return out[left_cols + right_cols]
