@@ -46,7 +46,14 @@ def quality_batch(df: pd.DataFrame) -> pd.DataFrame:
 
 
 class LangId:
-    """Actor-pool stage: lexicons live in actor state (warm once)."""
+    """Actor-pool stage: lexicons live in actor state (warm once).
+
+    Note on the synthetic testdata: the documents table's ``lang`` column
+    is a synthetic partition dimension — its TEXT is language-less
+    technical tokens for every label (verified by inspection), so
+    ``predicted_lang`` correctly lands on 'en' regardless of ``lang``.
+    The heuristic itself is exercised on real multilingual strings in
+    tests/test_stages.py::test_langid."""
 
     def __init__(self):
         self.detect = T.detect_language
