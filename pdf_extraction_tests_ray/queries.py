@@ -511,7 +511,9 @@ def doc_quality(sf_dir: str):
 
 def doc_langid(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
-    return ds.map_batches(TA.LangId, batch_format="pandas", concurrency=(1, 4))
+    from .relational import pool_max
+
+    return ds.map_batches(TA.LangId, batch_format="pandas", concurrency=(1, pool_max()))
 
 
 def doc_fingerprint(sf_dir: str):

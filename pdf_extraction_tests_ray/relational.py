@@ -20,6 +20,15 @@ import ray
 import ray.data
 
 
+def pool_max(minimum: int = 8) -> int:
+    """Autoscaling actor-pool ceiling sized to the CLUSTER, not a constant:
+    a fixed (1, 8) cap throttles a multi-node cluster to 8 actors."""
+    try:
+        return max(minimum, int(ray.cluster_resources().get("CPU", minimum)))
+    except Exception:
+        return minimum
+
+
 def broadcast_join(
     large: "ray.data.Dataset",
     small_df: pd.DataFrame,
@@ -38,7 +47,7 @@ def broadcast_join(
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             return df.merge(self.small, how=how, left_on=on, right_on=right_on)
 
-    return large.map_batches(Join, batch_format="pandas", concurrency=(1, 8))
+    return large.map_batches(Join, batch_format="pandas", concurrency=(1, pool_max()))
 
 
 def hash_join(

@@ -26,9 +26,9 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min, Sum
 
 from ..functions import text as T
+from ..relational import pool_max
 
 
 # --------------------------------------------------------------------------
@@ -153,7 +153,7 @@ def minhash_lsh_pairs(
         Verify,
         fn_constructor_kwargs={"ref": lookup_ref, "k": k, "thr": threshold},
         batch_format="pandas",
-        concurrency=(1, 8),
+        concurrency=(1, pool_max()),
     )
 
 

@@ -20,6 +20,8 @@ import pandas as pd
 import ray
 import ray.data
 
+from ..relational import pool_max
+
 
 def _as_matrix(col) -> np.ndarray:
     return np.asarray([np.asarray(v, dtype=np.float64) for v in col])
@@ -66,7 +68,7 @@ def knn_bruteforce(
         fn_constructor_kwargs={"ref": q_ref, "k": k, "exclude": exclude_vec_id},
         batch_format="pandas",
         batch_size=4096,
-        concurrency=(1, 8),
+        concurrency=(1, pool_max()),
     )
     top = local.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
     return top.map_batches(
@@ -119,7 +121,7 @@ def knn_bruteforce_multi(
         fn_constructor_kwargs={"ref": q_ref, "k": k},
         batch_format="pandas",
         batch_size=4096,
-        concurrency=(1, 8),
+        concurrency=(1, pool_max()),
     )
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
@@ -213,7 +215,7 @@ def knn_lsh(
         fn_constructor_kwargs={"ref": probe_ref, "k": k, "exclude": exclude_vec_id},
         batch_format="pandas",
         batch_size=4096,
-        concurrency=(1, 8),
+        concurrency=(1, pool_max()),
     )
     top = local.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
     return top.map_batches(
