@@ -219,6 +219,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS dup_count
             FROM documents GROUP BY md5({_NORM})
         """,
+        "dedup_exact_apply": f"""
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d
+            JOIN (
+              SELECT md5({_NORM}) AS h, min(doc_id) AS keep_doc_id
+              FROM documents GROUP BY md5({_NORM})
+            ) k ON d.doc_id = k.keep_doc_id
+        """,
         "dedup_jaccard_pairs": f"""
             WITH d AS (
               SELECT doc_id, source, list_distinct(string_split({_NORM}, ' ')) AS w

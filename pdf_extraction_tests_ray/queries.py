@@ -531,6 +531,13 @@ def dedup_exact(sf_dir: str):
     return D.exact_dedup(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def dedup_exact_apply(sf_dir: str):
+    """The dedup APPLY step: corpus with exact duplicates removed (keep =
+    min doc_id per normalized text), via broadcast keep-list semi-join."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars", "text"])
+    return D.apply_exact_dedup(ds).select_columns(["doc_id", "lang", "n_chars"])
+
+
 def dedup_jaccard_pairs(sf_dir: str):
     """Word-set (1-gram) Jaccard >= 0.8 within source blocks (SQL-checked)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
@@ -717,6 +724,7 @@ QUERIES = {
     "doc_langid": doc_langid,
     "doc_fingerprint": doc_fingerprint,
     "dedup_exact": dedup_exact,
+    "dedup_exact_apply": dedup_exact_apply,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_ngram3_jaccard_pairs": dedup_ngram3_jaccard_pairs,
     "dedup_minhash": dedup_minhash,

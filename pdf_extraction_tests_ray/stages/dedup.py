@@ -59,6 +59,30 @@ def exact_dedup(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+def apply_exact_dedup(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Corpus hygiene end-to-end: keep exactly one document (min doc_id)
+    per distinct normalized text. The keep-list from :func:`exact_dedup`
+    is a SMALL result (one row per distinct text) -> broadcast semi-join:
+    ``ray.put`` the keep set once, filter every batch against it. No
+    second shuffle over the corpus."""
+    keep_df = exact_dedup(docs).to_pandas()  # small: distinct texts only
+    keep_ref = ray.put(frozenset(keep_df["keep_doc_id"].tolist()))
+
+    class KeepFilter:
+        def __init__(self, ref):
+            self.keep = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return df[df["doc_id"].isin(self.keep)]
+
+    return docs.map_batches(
+        KeepFilter,
+        fn_constructor_kwargs={"ref": keep_ref},
+        batch_format="pandas",
+        concurrency=(1, pool_max()),
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH near-dup
 

@@ -75,6 +75,7 @@ def _to_pandas(res):
         "doc_quality",
         "doc_fingerprint",
         "dedup_exact",
+        "dedup_exact_apply",
         "dedup_jaccard_pairs",
         "dedup_embedding_pairs",
         "knn_bruteforce",
