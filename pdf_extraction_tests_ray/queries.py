@@ -454,6 +454,13 @@ def q_quantity_range_buckets(sf_dir: str):
     return agg.map_batches(finish, batch_format="pandas")
 
 
+def doc_pack_sequences(sf_dir: str):
+    """Greedy 2048-token sequence packing (rows-only: greedy packing is
+    not SQL-expressible without recursive CTE gymnastics)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return TA.pack_sequences(ds, max_tokens=2048)
+
+
 def doc_hash_sample(sf_dir: str):
     """Deterministic 1-in-20 QA sample keyed on md5(doc_id) — reproducible
     across engines AND cluster sizes, unlike seeded random_sample whose
@@ -718,6 +725,7 @@ QUERIES = {
     "q_topk_per_brand": q_topk_per_brand,
     "q_quantity_range_buckets": q_quantity_range_buckets,
     "doc_hash_sample": doc_hash_sample,
+    "doc_pack_sequences": doc_pack_sequences,
     "doc_token_counts": doc_token_counts,
     "doc_token_totals_by_lang": doc_token_totals_by_lang,
     "doc_quality": doc_quality,

@@ -78,3 +78,57 @@ def fingerprint_batch(df: pd.DataFrame) -> pd.DataFrame:
             "rolling_fp": [T.rolling_fingerprint(t) for t in texts],
         }
     )
+
+
+def pack_sequences(
+    docs: "ray.data.Dataset", max_tokens: int = 2048, group_size: int = 256
+):
+    """Greedy sequence packing for LLM training batches: pack documents
+    into sequences of at most ``max_tokens`` whitespace tokens.
+
+    Packing is LOCAL by construction — docs are grouped by a fixed
+    ``doc_id // group_size`` range key (ONE bounded shuffle), each group
+    packed in doc_id order — so the result is deterministic across block
+    layouts and cluster sizes, unlike per-block packing. A doc longer than
+    ``max_tokens`` gets its own (oversized) pack rather than being dropped
+    or split — truncation policy belongs to the tokenizer stage.
+
+    Output: (pack_id, n_docs, total_tokens, doc_ids) one row per pack.
+    """
+    import ray.data  # noqa: F401  (type only)
+
+    def key_and_count(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": [T.whitespace_token_count(t) for t in df["text"].tolist()],
+                "pack_group": df["doc_id"].astype("int64") // group_size,
+            }
+        )
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="stable")
+        group = int(g["pack_group"].iloc[0])
+        packs, cur_ids, cur_tok = [], [], 0
+        for did, nt in zip(g["doc_id"].tolist(), g["n_tokens"].tolist()):
+            if cur_ids and cur_tok + nt > max_tokens:
+                packs.append((cur_ids, cur_tok))
+                cur_ids, cur_tok = [], 0
+            cur_ids.append(did)
+            cur_tok += nt
+        if cur_ids:
+            packs.append((cur_ids, cur_tok))
+        return pd.DataFrame(
+            {
+                "pack_id": [f"{group}-{i}" for i in range(len(packs))],
+                "n_docs": [len(ids) for ids, _ in packs],
+                "total_tokens": [tok for _, tok in packs],
+                "doc_ids": [",".join(str(d) for d in ids) for ids, _ in packs],
+            }
+        )
+
+    return (
+        docs.map_batches(key_and_count, batch_format="pandas")
+        .groupby("pack_group")
+        .map_groups(pack, batch_format="pandas")
+    )

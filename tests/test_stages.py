@@ -208,3 +208,27 @@ def test_qa_sample_seeded(ray_session):
     n2 = qa_sample(ds, 0.1, seed=7).count()
     assert n1 == n2  # same seed + same block layout -> same draw
     assert 500 < n1 < 1500
+
+
+def test_pack_sequences(ray_session):
+    import pyarrow as pa
+    import ray as _ray
+
+    from pdf_extraction_tests_ray.stages.text_analysis import pack_sequences
+
+    docs = pa.table(
+        {
+            "doc_id": list(range(10)),
+            "text": ["w " * 50] * 9 + ["w " * 300],  # 50-token docs + one oversized
+        }
+    )
+    out = pack_sequences(_ray.data.from_arrow(docs), max_tokens=120, group_size=4).to_pandas()
+    # every doc appears exactly once
+    all_ids = sorted(int(x) for row in out["doc_ids"] for x in row.split(","))
+    assert all_ids == list(range(10))
+    # no pack exceeds the budget unless it is a single oversized doc
+    for _, r in out.iterrows():
+        assert r["total_tokens"] <= 120 or r["n_docs"] == 1
+    # deterministic across re-runs
+    out2 = pack_sequences(_ray.data.from_arrow(docs), max_tokens=120, group_size=4).to_pandas()
+    assert sorted(map(tuple, out.values.tolist())) == sorted(map(tuple, out2.values.tolist()))
