@@ -608,6 +608,12 @@ def knn_multi(sf_dir: str):
     return S.knn_bruteforce_multi(emb, qids, qm, k=10)
 
 
+def knn_ivf(sf_dir: str):
+    """IVF-style ANN (k-means cells, probe nearest 4 of 16; rows-only)."""
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return S.knn_ivf(emb, _query_vec(sf_dir), k=10, exclude_vec_id=0)
+
+
 def knn_lsh(sf_dir: str):
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return S.knn_lsh(emb, _query_vec(sf_dir), k=10, exclude_vec_id=0)
@@ -741,6 +747,7 @@ QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_multi": knn_multi,
     "knn_lsh": knn_lsh,
+    "knn_ivf": knn_ivf,
     "extract_flagship": extract_flagship,
     "extract_spans_flat": extract_spans_flat,
 }

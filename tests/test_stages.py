@@ -232,3 +232,14 @@ def test_pack_sequences(ray_session):
     # deterministic across re-runs
     out2 = pack_sequences(_ray.data.from_arrow(docs), max_tokens=120, group_size=4).to_pandas()
     assert sorted(map(tuple, out.values.tolist())) == sorted(map(tuple, out2.values.tolist()))
+
+
+def test_knn_ivf_runs_and_overlaps_bruteforce(ray_session):
+    from pdf_extraction_tests_ray.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    ivf = QUERIES["knn_ivf"](sf).to_pandas()
+    bf = QUERIES["knn_bruteforce"](sf).to_pandas()
+    assert len(ivf) == 10
+    assert ivf["cos_sim"].is_monotonic_decreasing
+    assert len(set(ivf.vec_id) & set(bf.vec_id)) >= 5  # recall floor
