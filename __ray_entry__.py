@@ -39,7 +39,43 @@ _PUNCT = "regexp_replace(trim(text), '[^!-/:-@\\[-`{-~]', '', 'g')"  # keep ASCI
 _NONSPACE = "regexp_replace(trim(text), '\\s', '', 'g')"
 
 
+# Extraction-oracle input: the pipeline's input is SYNTHESIZED (not one of
+# the pre-registered views), so the paired SQL reads the exact same spans
+# from a parquet dump (one row per span). oracle_sql() refreshes the dump
+# for the driver's sf0.01 before returning the strings — the driver must
+# call oracle_sql() to obtain them, so the dump exists by execution time.
+# The dump is the INPUT, never expected output: the SQL below recomputes
+# reading order / keep rules / scalars independently (window functions).
+_EXTRACT_DUMP = "/tmp/graft_oracle_io/extract_input.parquet"
+
+# Shared decode CTEs: offset -> (page, y_s, xb), extent w from
+# schema.derive_extent's formula (12px/char capped at 80 chars; fixed media
+# extents), keep rules from doclogic.reading_order.keep_mask.
+_EXTRACT_DEC = f"""
+  dec AS (
+    SELECT doc_id, kind, text, media_ref,
+           "offset" // 1000000 AS page,
+           ("offset" % 1000000) // 1000 AS y_s,
+           "offset" % 1000 AS xb,
+           CASE WHEN kind = 'figure' THEN 900.0
+                WHEN kind = 'table' THEN 1000.0
+                ELSE 12.0 * LEAST(GREATEST(length(text), 1), 80) END AS w
+    FROM read_parquet('{_EXTRACT_DUMP}')
+  ), kept AS (
+    SELECT * FROM dec
+    WHERE NOT (media_ref = '' AND trim(text) = '')
+      AND NOT (kind = 'abandon' AND page > 1)
+  )
+"""
+
+
 def oracle_sql() -> dict[str, str]:
+    try:
+        from pdf_extraction_tests_ray.oracle_io import dump_extract_input
+
+        dump_extract_input("/root/testdata/sf0.01", _EXTRACT_DUMP)
+    except Exception:
+        pass  # testdata absent: extraction oracles will error, others run
     return {
         # money aggregates use exact integer-cents sums (matching the Ray
         # side) so the result is independent of float summation order
@@ -193,7 +229,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_token_totals_by_lang": f"""
             SELECT lang,
-                   sum(length({_WORDS})) AS total_tokens,
+                   CAST(sum(length({_WORDS})) AS BIGINT) AS total_tokens,
                    count(*) AS n_docs
             FROM documents GROUP BY lang
         """,
@@ -227,6 +263,52 @@ def oracle_sql() -> dict[str, str]:
               FROM documents GROUP BY md5({_NORM})
             ) k ON d.doc_id = k.keep_doc_id
         """,
+        "doc_pack_group_totals": """
+            SELECT doc_id // 256 AS pack_group,
+                   CAST(sum(length(regexp_split_to_array(trim(text), '\\s+')))
+                        AS BIGINT) AS total_tokens,
+                   count(*) AS n_docs
+            FROM documents GROUP BY doc_id // 256
+        """,
+        # lexicon-hit argmax with the fixed en>de>fr>es>zh tie order of
+        # functions.text.detect_language (the CASE chain resolves ties
+        # first-listed-wins, matching the Python max(key=...) order);
+        # the zh branch replicates the CJK-codepoint-share gate
+        "doc_langid": f"""
+            WITH t AS (
+              SELECT doc_id, lang, lower(text) AS lt FROM documents
+            ), w AS (
+              SELECT doc_id, lang, lt,
+                     string_split(regexp_replace(trim(lt), '\\s+', ' ', 'g'), ' ')
+                         AS words
+              FROM t
+            ), s AS (
+              SELECT doc_id, lang, lt,
+                     length(list_filter(words, x -> x IN
+                       ('the','and','of','to','in','is','that','it','for','on',
+                        'with','as','be','are','this'))) AS s_en,
+                     length(list_filter(words, x -> x IN
+                       ('der','die','das','und','ist','nicht','von','zu','mit',
+                        'den','ein','eine','im','für','auf'))) AS s_de,
+                     length(list_filter(words, x -> x IN
+                       ('le','la','les','et','de','des','un','une','est','pas',
+                        'pour','dans','que','sur','avec'))) AS s_fr,
+                     length(list_filter(words, x -> x IN
+                       ('el','la','los','las','y','de','que','en','un','una',
+                        'es','no','por','con','para'))) AS s_es
+              FROM w
+            )
+            SELECT doc_id, lang,
+                   CASE WHEN length(lt) > 0
+                             AND CAST(length(regexp_replace(lt,
+                                   '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS DOUBLE)
+                                 / greatest(length(lt), 1) > 0.2 THEN 'zh'
+                        WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                        WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                        WHEN s_fr >= s_es THEN 'fr'
+                        ELSE 'es' END AS predicted_lang
+            FROM s
+        """,
         "dedup_jaccard_pairs": f"""
             WITH d AS (
               SELECT doc_id, source, list_distinct(string_split({_NORM}, ' ')) AS w
@@ -240,6 +322,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(length(list_intersect(a.w, b.w)) AS DOUBLE)
                   / (length(a.w) + length(b.w) - length(list_intersect(a.w, b.w)))
                   >= 0.8
+        """,
+        # word-3-gram sets via a list comprehension over the split words;
+        # empty-vs-empty sets define jaccard = 1.0 (functions.text.jaccard)
+        "dedup_ngram3_jaccard_pairs": f"""
+            WITH d AS (
+              SELECT doc_id, source, string_split({_NORM}, ' ') AS w
+              FROM documents
+            ), g AS (
+              SELECT doc_id, source,
+                     list_distinct(list_transform(
+                       range(1, greatest(length(w) - 1, 1)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ng
+              FROM d
+            ), p AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     length(list_intersect(a.ng, b.ng)) AS i,
+                     length(a.ng) + length(b.ng)
+                       - length(list_intersect(a.ng, b.ng)) AS u
+              FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   round(CASE WHEN u = 0 THEN 1.0
+                              ELSE CAST(i AS DOUBLE) / u END, 6) AS jaccard
+            FROM p
+            WHERE CASE WHEN u = 0 THEN 1.0 ELSE CAST(i AS DOUBLE) / u END >= 0.5
         """,
         "dedup_embedding_pairs": """
             WITH e AS (
@@ -280,8 +387,38 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings e JOIN q ON e.vec_id <> q.query_id
             ) WHERE rn <= 10
         """,
-        # dedup_minhash / dedup_simhash / dedup_ngram3_jaccard_pairs /
-        # knn_lsh / doc_langid / extract_flagship / extract_spans_flat:
-        # intentionally omitted (non-SQL-expressible or approximate) ->
-        # driver records rows-only checks.
+        # Reading-order invariant (v10A.R:484-508 pages>=2 + the banded
+        # page 1, which for this fixture family collapses to pure
+        # (page, y, x) order — single-column docs only, where column-aware
+        # ordering cannot legitimately reorder; see
+        # queries.extract_order_generic).
+        "extract_order_generic": f"""
+            WITH {_EXTRACT_DEC}, onecol AS (
+              SELECT doc_id FROM dec GROUP BY doc_id HAVING min(xb) >= 350
+            )
+            SELECT k.doc_id,
+                   row_number() OVER (
+                     PARTITION BY k.doc_id
+                     ORDER BY k.page, k.y_s, k.xb * 3.3 - k.w / 2
+                   ) - 1 AS span_order,
+                   k.kind, k.media_ref, md5(k.text) AS text_md5
+            FROM kept k JOIN onecol o ON k.doc_id = o.doc_id
+        """,
+        "extract_doc_scalars": f"""
+            WITH {_EXTRACT_DEC}
+            SELECT doc_id,
+                   CAST(max(page) AS BIGINT) AS total_pages,
+                   count(*) AS total_text_regions,
+                   count(*) AS n_spans_out,
+                   true AS boundary_ok
+            FROM kept GROUP BY doc_id
+        """,
+        # Remaining rows-only entries, each genuinely non-SQL-expressible:
+        # dedup_minhash / dedup_simhash (seeded hash-permutation /
+        # blake2b-based signatures), knn_lsh / knn_ivf (seeded-RNG
+        # approximate probing), doc_pack_sequences (greedy stateful scan —
+        # its token/doc conservation IS oracled via doc_pack_group_totals),
+        # extract_flagship / extract_spans_flat (full structural output —
+        # the order + scalar invariants ARE oracled via
+        # extract_order_generic / extract_doc_scalars).
     }

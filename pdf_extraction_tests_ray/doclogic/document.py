@@ -25,6 +25,7 @@ import numpy as np
 from ..schema import decode_geometry
 from .cleaners import apply_cleaning_method
 from .extract import (
+    extract_abstract_from_regions,
     extract_abstract_universal,
     extract_authors,
     extract_content_simple_universal,
@@ -75,8 +76,14 @@ def build_rdf_from_ordered(kinds, texts, media_refs, offsets):
     return _build_rdf(kinds, texts, media_refs, geometry, idx)
 
 
-def finalize_document(rdf, cleaning_method="hybrid"):
-    """Doc-level extraction over an ordered rdf -> output dict (no spans)."""
+def finalize_document(rdf, cleaning_method="hybrid", structure=None):
+    """Doc-level extraction over an ordered rdf -> output dict (no spans).
+
+    ``structure`` is the optional A4 LLM region analysis (M26-parsed dict,
+    v10A.R:914-1040): when present the abstract is sliced by its labeled
+    regions (E6, ``extract_abstract_from_regions`` — the reference's
+    LLM-first path, v10A.R:1267-1346); when None the deterministic E4
+    universal extractor runs, exactly as before."""
     if rdf["_n"] == 0:
         return {
             "title": "Title not found",
@@ -92,7 +99,10 @@ def finalize_document(rdf, cleaning_method="hybrid"):
     doc_format = detect_document_format(rdf["kinds"], rdf["texts"], rdf["page"], rdf["y"])
     title = extract_title_universal(rdf)
     authors = extract_authors(rdf)
-    abstract = extract_abstract_universal(rdf)
+    if structure is not None:
+        abstract = extract_abstract_from_regions(rdf, structure)
+    else:
+        abstract = extract_abstract_universal(rdf)
     main = extract_main_text_smart(rdf, doc_format)
     if cleaning_method != "none":
         title = apply_cleaning_method(title, cleaning_method)
@@ -113,11 +123,17 @@ def finalize_document(rdf, cleaning_method="hybrid"):
     }
 
 
-def process_document(kinds, texts, media_refs, offsets, cleaning_method="hybrid"):
+def process_document(
+    kinds, texts, media_refs, offsets, cleaning_method="hybrid", structure_provider=None
+):
     """Flagship deterministic pipeline for one document.
 
     Args are parallel sequences (kind/text/media_ref: str, offset: int).
     Returns a plain dict matching schema.OUTPUT_SCHEMA minus doc_id.
+
+    ``structure_provider`` is the A4 hook (``rdf -> structure dict|None``):
+    the LLM actor stage (stages/llm_stage.py) injects a client-backed
+    provider here; None keeps the fully deterministic path.
     """
     idx, geometry = order_document(kinds, texts, media_refs, offsets)
     rdf = _build_rdf(kinds, texts, media_refs, geometry, idx)
@@ -129,7 +145,8 @@ def process_document(kinds, texts, media_refs, offsets, cleaning_method="hybrid"
         "order": np.arange(len(idx), dtype=np.int32),
     }
 
-    out = finalize_document(rdf, cleaning_method)
+    structure = structure_provider(rdf) if structure_provider is not None else None
+    out = finalize_document(rdf, cleaning_method, structure=structure)
     out["spans"] = out_spans
     return out
 

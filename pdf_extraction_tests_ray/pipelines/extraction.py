@@ -56,6 +56,7 @@ def extract_dataset(
     batch_size: int | None = DEFAULT_BATCH_SIZE,
     concurrency=None,
     pages_per_fragment: int = 25,
+    llm_client_factory=None,
 ) -> "ray.data.Dataset":
     """Build the lazy extraction pipeline over a spans Dataset.
 
@@ -77,6 +78,20 @@ def extract_dataset(
     # ``ExtractDocuments`` ACTOR pool — the drop-in shape for a real layout
     # model whose state is per-process GPU/weights (SURVEY.md §2.4 A1).
     def _extract_stage(dset):
+        if llm_client_factory is not None:
+            # A4: the client is REAL per-actor state -> always an actor pool
+            from ..stages.llm_stage import ExtractDocumentsLLM
+
+            return dset.map_batches(
+                ExtractDocumentsLLM,
+                fn_constructor_kwargs={
+                    "cleaning_method": cleaning_method,
+                    "client_factory": llm_client_factory,
+                },
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=concurrency or (1, 8),
+            )
         if concurrency is None:
             return dset.map_batches(
                 extract_batch,

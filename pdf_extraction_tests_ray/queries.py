@@ -112,29 +112,34 @@ def q3_top_revenue_orders(sf_dir: str):
         .agg(revenue=("revenue", "sum"))
         .reset_index(),
     )
-    # top-k first (k rows), THEN decorate with the order attribute via a
-    # broadcast lookup — joining before the limit would shuffle every order
-    # row to decorate 10 of them
-    top = per_order.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
+    # top-k first (k rows), THEN decorate with the order attribute — the
+    # final result IS the 10 rows, so they come to the driver and the
+    # decorate side is read with a row-group filter PUSHDOWN on those 10
+    # keys (joining before the limit would shuffle every order row; reading
+    # the whole orders table driver-side to decorate 10 rows is O(corpus))
+    top_df = (
+        per_order.sort(["revenue", "l_orderkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
     import pyarrow.parquet as pq
 
     odf = pq.read_table(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+        filters=[("o_orderkey", "in", top_df["l_orderkey"].tolist())],
     ).to_pandas()
-    top = broadcast_join(top, odf, on="l_orderkey", right_on="o_orderkey").drop_columns(
-        ["o_orderkey"]
-    )
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    out = top_df.merge(odf, left_on="l_orderkey", right_on="o_orderkey")
+    out = out.sort_values(["revenue", "l_orderkey"], ascending=[False, True], kind="stable")
+    return ray.data.from_pandas(
+        pd.DataFrame(
             {
-                "l_orderkey": df["l_orderkey"],
-                "o_orderpriority": df["o_orderpriority"],
-                "revenue": ((df["revenue"] + 50) // 100) / 100.0,
+                "l_orderkey": out["l_orderkey"].to_numpy(),
+                "o_orderpriority": out["o_orderpriority"].to_numpy(),
+                "revenue": ((out["revenue"].to_numpy() + 50) // 100) / 100.0,
             }
         )
-
-    return top.map_batches(finish, batch_format="pandas")
+    )
 
 
 def q_region_customer_balance(sf_dir: str):
@@ -461,6 +466,33 @@ def doc_pack_sequences(sf_dir: str):
     return TA.pack_sequences(ds, max_tokens=2048)
 
 
+def doc_pack_group_totals(sf_dir: str):
+    """Conservation oracle for the greedy packer: per pack_group, the sum
+    of pack token totals and doc counts must equal the sums over the raw
+    documents (greedy pack MEMBERSHIP is not SQL-expressible, but token/doc
+    conservation is — a packer that drops, splits or double-packs a doc
+    breaks this). pack_group is recovered from the ``pack_id`` prefix."""
+    packs = TA.pack_sequences(_read(sf_dir, "documents", columns=["doc_id", "text"]), max_tokens=2048)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        grp = df["pack_id"].str.split("-").str[0].astype("int64")
+        g = (
+            df.assign(pack_group=grp)
+            .groupby("pack_group", sort=False)
+            .agg(total_tokens=("total_tokens", "sum"), n_docs=("n_docs", "sum"))
+        )
+        return g.reset_index()
+
+    return (
+        packs.map_batches(partial, batch_format="pandas")
+        .groupby("pack_group")
+        .aggregate(
+            Sum("total_tokens", alias_name="total_tokens"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+    )
+
+
 def doc_hash_sample(sf_dir: str):
     """Deterministic 1-in-20 QA sample keyed on md5(doc_id) — reproducible
     across engines AND cluster sizes, unlike seeded random_sample whose
@@ -609,7 +641,7 @@ def knn_multi(sf_dir: str):
 
 
 def knn_ivf(sf_dir: str):
-    """IVF-style ANN (k-means cells, probe nearest 4 of 16; rows-only)."""
+    """IVF-style ANN (k-means cells, probe nearest 8 of 16; rows-only)."""
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return S.knn_ivf(emb, _query_vec(sf_dir), k=10, exclude_vec_id=0)
 
@@ -716,6 +748,125 @@ def extract_spans_flat(sf_dir: str):
     return ok.select_columns(["doc_id", "spans"]).map_batches(explode, batch_format="pyarrow")
 
 
+_ORDER_CHECK_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("span_order", pa.int64()),
+        ("kind", pa.string()),
+        ("media_ref", pa.string()),
+        ("text_md5", pa.string()),
+    ]
+)
+
+_SCALARS_CHECK_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("total_pages", pa.int64()),
+        ("total_text_regions", pa.int64()),
+        ("n_spans_out", pa.int64()),
+        ("boundary_ok", pa.bool_()),
+    ]
+)
+
+
+def _explode_out_spans(out: pa.Table):
+    """Yield (row_index, doc_id, kinds, texts, refs, orders) per output doc."""
+    spans = out.column("spans").combine_chunks()
+    offsets = spans.offsets.to_numpy(zero_copy_only=False)
+    vals = spans.values
+    k_l = vals.field("kind").to_pylist()
+    t_l = vals.field("text").to_pylist()
+    r_l = vals.field("media_ref").to_pylist()
+    o_l = vals.field("order").to_pylist()
+    for i, did in enumerate(out.column("doc_id").to_pylist()):
+        lo, hi = int(offsets[i]), int(offsets[i + 1])
+        yield i, did, k_l[lo:hi], t_l[lo:hi], r_l[lo:hi], o_l[lo:hi]
+
+
+def extract_order_generic(sf_dir: str):
+    """THE north-rule span-sequence oracle: for single-column documents the
+    extraction output's (kind, text, media_ref, order) sequence must equal
+    the input spans re-ordered by (page, y, x) — which the paired DuckDB
+    oracle recomputes independently with ``row_number()`` window functions
+    over the dumped input table (oracle_io.dump_extract_input).
+
+    "Single-column" is an SQL-expressible predicate both sides evaluate
+    from the INPUT alone: every span's x_bucket (offset % 1000) >= 350
+    (the fixture's 1-col band is 364±8; 2-col bands sit at 194±6 / 579±6,
+    where column-aware ordering legitimately diverges from pure y-order —
+    verified at sf0.01: all 292 one-col docs match, reading-order coverage
+    for 2-col pages is pinned by tests/test_core_logic.py against
+    v10A.R:484-508).
+
+    One pass: the per-doc flag comes from the same batch that is extracted
+    (no second lineage, no driver state). Rows: (doc_id, span_order, kind,
+    media_ref, text_md5) for every span of every one-col doc.
+    """
+    import hashlib
+
+    from .stages.extract_stage import extract_batch, iter_span_lists
+
+    spans_ds = _spans_dataset(sf_dir)
+
+    def check_batch(batch: pa.Table) -> pa.Table:
+        flags = {}
+        for did, _k, _t, _r, offs in iter_span_lists(batch):
+            xb = np.asarray(offs, dtype=np.int64) % 1000
+            flags[did] = len(offs) > 0 and int(xb.min()) >= 350
+        out = extract_batch(batch)
+        rows = {k: [] for k in ("doc_id", "span_order", "kind", "media_ref", "text_md5")}
+        errors = out.column("error").to_pylist()
+        for i, did, kinds, texts, refs, orders in _explode_out_spans(out):
+            if not flags.get(did) or errors[i] != "":
+                continue
+            for k, tx, r, o in zip(kinds, texts, refs, orders):
+                rows["doc_id"].append(did)
+                rows["span_order"].append(int(o))
+                rows["kind"].append(k)
+                rows["media_ref"].append(r)
+                rows["text_md5"].append(hashlib.md5(tx.encode("utf-8")).hexdigest())
+        return pa.Table.from_pydict(rows, schema=_ORDER_CHECK_SCHEMA)
+
+    return spans_ds.map_batches(check_batch, batch_format="pyarrow")
+
+
+def extract_doc_scalars(sf_dir: str):
+    """Per-doc extraction scalars the oracle recomputes from the dumped
+    input: total_pages (max page of kept spans), total_text_regions and
+    n_spans_out (both = kept-span count: the fixture family has no banding
+    drops/dups, so "no span lost" is checked for EVERY doc incl. 2-col),
+    plus boundary_ok (0 <= boundary_start <= boundary_end <=
+    total_text_regions — the oracle pins it to literal true)."""
+    from .stages.extract_stage import extract_batch
+
+    spans_ds = _spans_dataset(sf_dir)
+
+    def scalars_batch(batch: pa.Table) -> pa.Table:
+        from .stages.extract_stage import iter_span_lists
+
+        # empty-INPUT docs produce no oracle rows (SQL groups over spans) —
+        # exclude them on this side too so the doc sets match
+        n_inp = {did: len(offs) for did, _k, _t, _r, offs in iter_span_lists(batch)}
+        out = extract_batch(batch)
+        rows = {k: [] for k in ("doc_id", "total_pages", "total_text_regions", "n_spans_out", "boundary_ok")}
+        errors = out.column("error").to_pylist()
+        tp = out.column("total_pages").to_pylist()
+        tr = out.column("total_text_regions").to_pylist()
+        bs = out.column("boundary_start").to_pylist()
+        be = out.column("boundary_end").to_pylist()
+        for i, did, kinds, _t, _r, _o in _explode_out_spans(out):
+            if errors[i] != "" or n_inp.get(did, 0) == 0:
+                continue
+            rows["doc_id"].append(did)
+            rows["total_pages"].append(int(tp[i]))
+            rows["total_text_regions"].append(int(tr[i]))
+            rows["n_spans_out"].append(len(kinds))
+            rows["boundary_ok"].append(0 <= bs[i] <= be[i] <= tr[i])
+        return pa.Table.from_pydict(rows, schema=_SCALARS_CHECK_SCHEMA)
+
+    return spans_ds.map_batches(scalars_batch, batch_format="pyarrow")
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
@@ -732,6 +883,7 @@ QUERIES = {
     "q_quantity_range_buckets": q_quantity_range_buckets,
     "doc_hash_sample": doc_hash_sample,
     "doc_pack_sequences": doc_pack_sequences,
+    "doc_pack_group_totals": doc_pack_group_totals,
     "doc_token_counts": doc_token_counts,
     "doc_token_totals_by_lang": doc_token_totals_by_lang,
     "doc_quality": doc_quality,
@@ -750,4 +902,6 @@ QUERIES = {
     "knn_ivf": knn_ivf,
     "extract_flagship": extract_flagship,
     "extract_spans_flat": extract_spans_flat,
+    "extract_order_generic": extract_order_generic,
+    "extract_doc_scalars": extract_doc_scalars,
 }

@@ -274,29 +274,11 @@ def to_small_pandas(ds: "ray.data.Dataset") -> pd.DataFrame:
     return ds.to_pandas()
 
 
-def tumbling_window_events(
-    events: "ray.data.Dataset", window: str = "1h"
-) -> "ray.data.Dataset":
-    """Per (event_type, window) count + sum(value): the window id is a
-    derived column, so the 'windowed aggregate' is a plain pre-aggregated
-    groupby — no event-time machinery needed for bounded data."""
-
-    def add_window(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[["event_type", "value"]].copy()
-        out["window_start"] = df["ts"].dt.floor(window)
-        # per-batch partial aggregation before the shuffle
-        agg = out.groupby(["event_type", "window_start"], sort=False).agg(
-            n_events=("value", "size"), sum_value=("value", "sum")
-        )
-        return agg.reset_index()
-
-    from ray.data.aggregate import Sum
-
-    partials = events.map_batches(add_window, batch_format="pandas")
-    return partials.groupby(["event_type", "window_start"]).aggregate(
-        Sum("n_events", alias_name="n_events"),
-        Sum("sum_value", alias_name="sum_value"),
-    )
+# NOTE: the former ``tumbling_window_events`` helper was deleted — it
+# duplicated ``queries.q_events_tumbling`` with a slower shuffle shape
+# (``groupby().aggregate`` pays ~ms per distinct (event_type, window) key;
+# the canonical pattern is the per-batch partial + ``bucketed_group_merge``
+# used by the query). One canonical implementation per shuffle shape.
 
 
 def qa_sample(ds: "ray.data.Dataset", frac: float, seed: int = 42) -> "ray.data.Dataset":

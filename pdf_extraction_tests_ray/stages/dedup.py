@@ -8,9 +8,10 @@ Scale notes (every operator documents its shuffle):
   per document).
 - minhash-lsh: signature per batch -> explode to (band_key, doc_id) rows ->
   ``groupby(band_key)`` -> within-bucket candidate pairs -> pair-level dedup
-  -> verify exact Jaccard with a broadcast doc->text lookup (``ray.put``
-  once; at 10^12 scale verification becomes a bucketed hash join instead —
-  the blocking/banding structure is unchanged).
+  -> verify exact Jaccard via a BUCKETED HASH JOIN of the candidate pairs
+  against the docs table (``_verify_pairs_join``: one bounded bucket
+  shuffle of the corpus text, shingling only pair-referenced docs —
+  no driver-side or broadcast text materialization at any scale).
 - simhash: 64-bit signature -> 4x16-bit chunk blocking (pigeonhole: any
   pair within hamming<=3 shares a chunk) -> verify hamming.
 - ngram-jaccard: block by ``source`` (bounded blocks) -> all-pairs within
@@ -59,25 +60,56 @@ def exact_dedup(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+def duplicate_keep_map(docs: "ray.data.Dataset") -> dict:
+    """``text_md5 -> keep_doc_id`` for texts with ``dup_count > 1`` ONLY.
+
+    This is the broadcast side of :func:`apply_exact_dedup`. Its size is
+    O(#duplicated texts), NOT O(#distinct texts): empty for a
+    duplicate-free corpus and small whenever the duplicate rate is low
+    (the common web-corpus case — broadcasting the *keep* list instead
+    would be O(corpus) for mostly-unique data). If even the duplicated
+    groups are too many to broadcast (pathological near-total
+    duplication), switch to a bucketed hash semi-join on ``text_md5``
+    (``relational.bucketed_group_merge`` shape) — the keep decision is
+    already per-hash, so the join needs no driver state."""
+    dup_df = (
+        exact_dedup(docs)
+        .map_batches(lambda df: df[df["dup_count"] > 1], batch_format="pandas")
+        .to_pandas()
+    )
+    if dup_df.empty or "text_md5" not in dup_df.columns:  # duplicate-free corpus
+        return {}
+    return dict(zip(dup_df["text_md5"].tolist(), dup_df["keep_doc_id"].tolist()))
+
+
 def apply_exact_dedup(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     """Corpus hygiene end-to-end: keep exactly one document (min doc_id)
-    per distinct normalized text. The keep-list from :func:`exact_dedup`
-    is a SMALL result (one row per distinct text) -> broadcast semi-join:
-    ``ray.put`` the keep set once, filter every batch against it. No
-    second shuffle over the corpus."""
-    keep_df = exact_dedup(docs).to_pandas()  # small: distinct texts only
-    keep_ref = ray.put(frozenset(keep_df["keep_doc_id"].tolist()))
+    per distinct normalized text.
 
-    class KeepFilter:
+    Broadcasts the DROP side, not the keep side: the map from
+    :func:`duplicate_keep_map` only names texts that actually have
+    duplicates. Each batch re-hashes its own texts (cheap md5 — no second
+    shuffle over the corpus) and drops rows whose hash is claimed by a
+    different keeper; rows with unduplicated texts pass through without a
+    lookup hit."""
+    dup_ref = ray.put(duplicate_keep_map(docs))
+
+    class DropDuplicates:
         def __init__(self, ref):
-            self.keep = ray.get(ref)
+            self.dup = ray.get(ref)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            return df[df["doc_id"].isin(self.keep)]
+            if not self.dup:
+                return df
+            keep = [
+                (k := self.dup.get(T.md5_fingerprint(t))) is None or k == d
+                for t, d in zip(df["text"].tolist(), df["doc_id"].tolist())
+            ]
+            return df[np.asarray(keep, dtype=bool)]
 
     return docs.map_batches(
-        KeepFilter,
-        fn_constructor_kwargs={"ref": keep_ref},
+        DropDuplicates,
+        fn_constructor_kwargs={"ref": dup_ref},
         batch_format="pandas",
         concurrency=(1, pool_max()),
     )
@@ -146,51 +178,151 @@ def minhash_lsh_pairs(
         .rename("n_bands_hit")
         .reset_index(),
     )
+    return _verify_pairs_join(docs, cand, k=k, threshold=threshold)
 
-    # broadcast the small side for verification (ray.put ONCE, read per actor)
-    lookup_ref = ray.put(dict(zip(*_collect_texts(docs))))
 
-    class Verify:
-        def __init__(self, ref, k, thr):
-            self.texts = ray.get(ref)
-            self.k, self.thr = k, thr
-            self._shingles: dict = {}  # per-actor memo: each doc shingled once
+_SIDE_SCHEMA = pa.schema(
+    [
+        ("doc_a", pa.int64()),
+        ("doc_b", pa.int64()),
+        ("slot", pa.int8()),
+        ("sh", pa.binary()),
+    ]
+)
+_PAIR_SCHEMA = pa.schema(
+    [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]
+)
 
-        def _sh(self, doc_id):
-            s = self._shingles.get(doc_id)
-            if s is None:
-                s = T.char_shingles_u64(self.texts[doc_id], self.k)
-                self._shingles[doc_id] = s
-            return s
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            out = {"doc_a": [], "doc_b": [], "jaccard": []}
-            for a, b in zip(df["doc_a"].tolist(), df["doc_b"].tolist()):
-                j = T.jaccard_u64(self._sh(a), self._sh(b))
-                if j >= self.thr:
-                    out["doc_a"].append(a)
-                    out["doc_b"].append(b)
-                    out["jaccard"].append(round(j, 6))
-            return pd.DataFrame(out)
+def _verify_pairs_join(
+    docs: "ray.data.Dataset",
+    cand: "ray.data.Dataset",
+    k: int,
+    threshold: float,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Exact-Jaccard verification of candidate pairs as a BUCKETED HASH
+    JOIN — no driver-side text materialization at any corpus size.
 
-    return cand.map_batches(
-        Verify,
-        fn_constructor_kwargs={"ref": lookup_ref, "k": k, "thr": threshold},
-        batch_format="pandas",
-        concurrency=(1, pool_max()),
+    Stage 1 co-partitions the docs table with the pair-sides (two tagged
+    rows per candidate pair) by ``hash(doc_id) % num_buckets``; each bucket
+    group shingles ONLY the docs a pair references (lazy memo — one
+    shingling per referenced doc per bucket) and emits
+    ``(doc_a, doc_b, slot, shingles-as-bytes)``. Stage 2 co-partitions by
+    pair key and computes the exact Jaccard from the two shingle arrays.
+
+    Shuffle cost: the corpus text moves through ONE bounded bucket shuffle
+    (the standard hash-join price — unavoidable without a broadcast);
+    everything after stage 1 is O(candidate pairs). Unreferenced docs are
+    never shingled. The banding/bucketing upstream is unchanged.
+    """
+    from ..relational import _bucket_of
+
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return pd.DataFrame(
+            {
+                "key": df["doc_id"].astype("int64"),
+                "text": df["text"].astype(object),
+                "doc_a": np.full(n, -1, dtype=np.int64),
+                "doc_b": np.full(n, -1, dtype=np.int64),
+                "slot": np.full(n, -1, dtype=np.int8),
+            }
+        )
+
+    def tag_sides(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        a = pd.DataFrame(
+            {
+                "key": df["doc_a"].astype("int64"),
+                "text": np.full(n, "", dtype=object),
+                "doc_a": df["doc_a"].astype("int64"),
+                "doc_b": df["doc_b"].astype("int64"),
+                "slot": np.zeros(n, dtype=np.int8),
+            }
+        )
+        b = a.copy()
+        b["key"] = df["doc_b"].astype("int64").values
+        b["slot"] = np.ones(n, dtype=np.int8)
+        return pd.concat([a, b], ignore_index=True)
+
+    cols = ["key", "text", "doc_a", "doc_b", "slot"]
+    tagged = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(tag_docs, batch_format="pandas")
+        .select_columns(cols)
+        .union(
+            cand.select_columns(["doc_a", "doc_b"])
+            .map_batches(tag_sides, batch_format="pandas")
+            .select_columns(cols)
+        )
     )
 
+    def add_doc_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bucket"] = _bucket_of(df, ["key"], num_buckets)
+        return df
 
-def _collect_texts(docs):
-    """Driver-side collect of (doc_id, text) — valid ONLY for the broadcast
-    small side; at corpus scale replace with a bucketed join."""
-    ids, texts = [], []
-    for b in docs.select_columns(["doc_id", "text"]).iter_batches(
-        batch_size=8192, batch_format="pyarrow"
-    ):
-        ids.extend(b.column("doc_id").to_pylist())
-        texts.extend(b.column("text").to_pylist())
-    return ids, texts
+    def attach_shingles(g: pd.DataFrame) -> pa.Table:
+        side = g[g["slot"] >= 0]
+        if side.empty:
+            return _SIDE_SCHEMA.empty_table()
+        texts = dict(
+            zip(g.loc[g["slot"] < 0, "key"].tolist(), g.loc[g["slot"] < 0, "text"].tolist())
+        )
+        memo: dict = {}
+
+        def sh(d):
+            b = memo.get(d)
+            if b is None:
+                b = T.char_shingles_u64(texts[d], k).tobytes()
+                memo[d] = b
+            return b
+
+        return pa.Table.from_pydict(
+            {
+                "doc_a": side["doc_a"].to_numpy(),
+                "doc_b": side["doc_b"].to_numpy(),
+                "slot": side["slot"].to_numpy(),
+                "sh": [sh(d) for d in side["key"].tolist()],
+            },
+            schema=_SIDE_SCHEMA,
+        )
+
+    sides = (
+        tagged.map_batches(add_doc_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(attach_shingles, batch_format="pandas")
+    )
+
+    def add_pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bucket"] = _bucket_of(df, ["doc_a", "doc_b"], num_buckets)
+        return df
+
+    def verify(g: pd.DataFrame) -> pa.Table:
+        out_a, out_b, out_j = [], [], []
+        for (a, b), sub in g.groupby(["doc_a", "doc_b"], sort=False):
+            if len(sub) < 2:
+                continue  # a referenced doc is absent from the corpus
+            by_slot = dict(zip(sub["slot"].tolist(), sub["sh"].tolist()))
+            j = T.jaccard_u64(
+                np.frombuffer(by_slot[0], dtype=np.uint64),
+                np.frombuffer(by_slot[1], dtype=np.uint64),
+            )
+            if j >= threshold:
+                out_a.append(int(a))
+                out_b.append(int(b))
+                out_j.append(round(j, 6))
+        return pa.Table.from_pydict(
+            {"doc_a": out_a, "doc_b": out_b, "jaccard": out_j}, schema=_PAIR_SCHEMA
+        )
+
+    return (
+        sides.map_batches(add_pair_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(verify, batch_format="pandas")
+    )
 
 
 # --------------------------------------------------------------------------

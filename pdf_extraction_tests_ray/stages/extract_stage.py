@@ -135,11 +135,13 @@ def _to_output_table(acc) -> pa.Table:
     )
 
 
-def extract_batch(batch: pa.Table, cleaning_method="hybrid") -> pa.Table:
+def extract_batch(batch: pa.Table, cleaning_method="hybrid", structure_provider=None) -> pa.Table:
     acc = _result_arrays(batch.num_rows)
     for doc_id, kinds, texts, refs, offs in iter_span_lists(batch):
         try:
-            res = doclib.process_document(kinds, texts, refs, offs, cleaning_method)
+            res = doclib.process_document(
+                kinds, texts, refs, offs, cleaning_method, structure_provider
+            )
             _append_result(acc, doc_id, res)
         except Exception:  # quarantine, never silent loss
             _append_result(acc, doc_id, {}, error=traceback.format_exc(limit=3))

@@ -1,0 +1,112 @@
+"""A4 — the LLM region-analysis ACTOR stage (v10A.R:865-912, 1208-1262).
+
+The reference's processor sends the numbered page-1 regions of each
+document to a local LLM ("which rows are title / authors / abstract?"),
+parses the JSON reply through the M26 ladder (v10A.R:914-1040), and slices
+the abstract by the returned region ids, falling back to deterministic
+defaults when the call or parse fails (v10A.R:1030-1035). It re-creates
+the client per document (v10A.R:20-31) — the canonical A1/A4 warm-state
+anti-pattern this engine exists to fix.
+
+Ray-native shape: :class:`ExtractDocumentsLLM` is a callable CLASS for
+``map_batches(..., concurrency=N)`` — the CLIENT is built ONCE per actor
+in ``__init__`` (the A4 analog of a model handle / HTTP session), and
+``__call__`` runs one prompt per document through
+``doclogic.document.process_document``'s ``structure_provider`` hook.
+
+No model server exists in this container, so ``client_factory`` defaults
+to None → every document takes the deterministic fallback path, which is
+byte-identical to the plain flagship stage (pinned by
+tests/test_stages.py). Tests inject :class:`FakeLLMClient` — a
+deterministic double that labels regions from the prompt itself — to
+exercise the full prompt → parse → E6-slice path. A real client drops in
+as ``client_factory=lambda: MyOllamaClient(url)`` with a ``complete(str)
+-> str`` method; nothing else changes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..doclogic.classify import parse_llm_response
+from .extract_stage import extract_batch
+
+
+def page1_region_texts(rdf) -> list[str]:
+    """Page-1 texts in (y, x) order — the region list the prompt numbers
+    (v10A.R:869-880 builds the same enumeration)."""
+    p1 = rdf["page"] == 1
+    idx = np.nonzero(p1)[0]
+    order = np.lexsort((rdf["x"][idx], rdf["y"][idx]))
+    return [rdf["texts"][i] for i in idx[order]]
+
+
+def build_region_prompt(texts: list[str]) -> str:
+    """The region-analysis prompt: numbered 1-based rows + a JSON-shape
+    instruction (v10A.R:881-912's structure request, content-faithful not
+    byte-faithful — the reference prompt is model-tuned prose)."""
+    lines = [f"{i + 1}: {t[:200]}" for i, t in enumerate(texts)]
+    return (
+        "Label the numbered page-1 regions of this document.\n"
+        + "\n".join(lines)
+        + '\nReply with JSON: {"title_regions": [..], "author_regions": [..],'
+        ' "abstract_regions": [..], "introduction_regions": [..]}'
+    )
+
+
+class FakeLLMClient:
+    """Deterministic test double: derives labels from the prompt text
+    alone (no RNG, no network) so pipeline tests exercise the full
+    prompt -> M26 parse -> E6 slice path with a stable expected output.
+
+    Labeling rule: the first row whose text starts with 'Abstract' (case
+    insensitive) is the abstract region; title=[2] authors=[3] mirror the
+    fixture layout (header, title, authors, ...). Rows are 1-based ids
+    into the numbered prompt, exactly what M26 expects."""
+
+    def __init__(self):
+        self.calls = 0
+
+    def complete(self, prompt: str) -> str:
+        self.calls += 1
+        abstract_rows = []
+        for line in prompt.splitlines():
+            head, sep, body = line.partition(": ")
+            if sep and head.strip().isdigit() and body.lower().startswith("abstract"):
+                abstract_rows.append(int(head))
+        if not abstract_rows:
+            abstract_rows = [3, 4, 5]
+        return (
+            '{"title_regions": [2], "author_regions": [3], '
+            f'"abstract_regions": {abstract_rows}, "introduction_regions": null}}'
+        )
+
+
+class ExtractDocumentsLLM:
+    """Flagship extraction WITH the per-document A4 region-analysis call.
+
+    ``ds.map_batches(ExtractDocumentsLLM, fn_constructor_kwargs={
+    "client_factory": FakeLLMClient}, batch_format="pyarrow",
+    concurrency=(1, N))`` — actor pool because the client is real state
+    (HTTP session / loaded weights), unlike the stateless regex default
+    (CLAUDE.md actor-pool note)."""
+
+    def __init__(self, cleaning_method: str = "hybrid", client_factory=None):
+        # warm per-actor state: compiled regex tables + the LLM client
+        from ..doclogic import cleaners, extract, formats  # noqa: F401
+
+        self.cleaning_method = cleaning_method
+        self.client = client_factory() if client_factory is not None else None
+
+    def _structure(self, rdf):
+        if self.client is None:
+            return None  # deterministic fallback path (v10A.R:1030-1035)
+        try:
+            reply = self.client.complete(build_region_prompt(page1_region_texts(rdf)))
+        except Exception:
+            return None  # client failure -> deterministic fallback, never a crash
+        return parse_llm_response(reply)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return extract_batch(batch, self.cleaning_method, structure_provider=self._structure)

@@ -81,32 +81,43 @@ def fingerprint_batch(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def pack_sequences(
-    docs: "ray.data.Dataset", max_tokens: int = 2048, group_size: int = 256
+    docs: "ray.data.Dataset",
+    max_tokens: int = 2048,
+    group_size: int = 256,
+    num_buckets: int = 64,
 ):
     """Greedy sequence packing for LLM training batches: pack documents
     into sequences of at most ``max_tokens`` whitespace tokens.
 
     Packing is LOCAL by construction — docs are grouped by a fixed
-    ``doc_id // group_size`` range key (ONE bounded shuffle), each group
-    packed in doc_id order — so the result is deterministic across block
-    layouts and cluster sizes, unlike per-block packing. A doc longer than
-    ``max_tokens`` gets its own (oversized) pack rather than being dropped
-    or split — truncation policy belongs to the tokenizer stage.
+    ``doc_id // group_size`` range key, each group packed in doc_id order —
+    so the result is deterministic across block layouts and cluster sizes,
+    unlike per-block packing. A doc longer than ``max_tokens`` gets its own
+    (oversized) pack rather than being dropped or split — truncation policy
+    belongs to the tokenizer stage.
+
+    The shuffle is keyed on a COARSE ``pack_group % num_buckets`` bucket
+    (one ``map_groups`` call per bucket, each packing its pack_groups with
+    a local pandas groupby) — grouping on pack_group directly would pay
+    Ray's per-distinct-key grouped-aggregate overhead at n_docs/group_size
+    cardinality (CLAUDE.md performance note).
 
     Output: (pack_id, n_docs, total_tokens, doc_ids) one row per pack.
     """
     import ray.data  # noqa: F401  (type only)
 
     def key_and_count(df: pd.DataFrame) -> pd.DataFrame:
+        group = df["doc_id"].astype("int64") // group_size
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
                 "n_tokens": [T.whitespace_token_count(t) for t in df["text"].tolist()],
-                "pack_group": df["doc_id"].astype("int64") // group_size,
+                "pack_group": group,
+                "_bucket": group % num_buckets,
             }
         )
 
-    def pack(g: pd.DataFrame) -> pd.DataFrame:
+    def pack_one(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("doc_id", kind="stable")
         group = int(g["pack_group"].iloc[0])
         packs, cur_ids, cur_tok = [], [], 0
@@ -127,8 +138,14 @@ def pack_sequences(
             }
         )
 
+    def pack_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat(
+            [pack_one(sub) for _, sub in g.groupby("pack_group", sort=True)],
+            ignore_index=True,
+        )
+
     return (
         docs.map_batches(key_and_count, batch_format="pandas")
-        .groupby("pack_group")
-        .map_groups(pack, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(pack_bucket, batch_format="pandas")
     )

@@ -1,0 +1,168 @@
+"""Round-2 additions: the A4 LLM actor stage (fake client end-to-end),
+the duplicates-only broadcast side of apply_exact_dedup, the bucketed-join
+MinHash verification, and the (import-gated) Lance read path."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# A4 — LLM region-analysis stage
+
+
+def _spans_batch(corpus, lo, n):
+    return corpus.slice(lo, n)
+
+
+def test_llm_stage_no_client_is_identical_to_default(golden_corpus):
+    """client_factory=None must be byte-identical to the plain stage — the
+    deterministic fallback collapse (v10A.R:1030-1035) is the default."""
+    from pdf_extraction_tests_ray.stages.extract_stage import extract_batch
+    from pdf_extraction_tests_ray.stages.llm_stage import ExtractDocumentsLLM
+
+    batch = _spans_batch(golden_corpus, 0, 40)
+    plain = extract_batch(batch)
+    llm = ExtractDocumentsLLM()(batch)
+    assert plain.equals(llm)
+
+
+def test_llm_stage_fake_client_slices_labeled_abstract():
+    """Full prompt -> M26 parse -> E6 slice path with the deterministic
+    fake client: the abstract must be the 'Abstract:'-labeled page-1 row
+    (prefix stripped by E6), not E4's universal pick."""
+    from pdf_extraction_tests_ray.fixtures import generate_doc
+    from pdf_extraction_tests_ray.schema import INPUT_SCHEMA
+    from pdf_extraction_tests_ray.stages.llm_stage import (
+        ExtractDocumentsLLM,
+        FakeLLMClient,
+    )
+
+    doc_id, spans = generate_doc("generic1", 3)
+    batch = pa.Table.from_pydict({"doc_id": [doc_id], "spans": [spans]}, schema=INPUT_SCHEMA)
+    stage = ExtractDocumentsLLM(cleaning_method="none", client_factory=FakeLLMClient)
+    out = stage(batch)
+    assert out.column("error")[0].as_py() == ""
+    abstract = out.column("abstract")[0].as_py()
+    raw = next(s["text"] for s in spans if s["text"].startswith("Abstract:"))
+    assert abstract == raw[len("Abstract:") :].strip()
+
+
+def test_llm_client_is_warm_actor_state(golden_corpus):
+    """The client is built ONCE in __init__ and reused across batches —
+    the A4 fix for the reference's per-document client re-creation
+    (v10A.R:20-31)."""
+    from pdf_extraction_tests_ray.stages.llm_stage import (
+        ExtractDocumentsLLM,
+        FakeLLMClient,
+    )
+
+    stage = ExtractDocumentsLLM(client_factory=FakeLLMClient)
+    client = stage.client
+    stage(_spans_batch(golden_corpus, 0, 10))
+    stage(_spans_batch(golden_corpus, 10, 10))
+    assert stage.client is client  # same client object across batches
+    assert client.calls == 20  # one completion per document
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_llm_stage_through_pipeline(golden_corpus):
+    """extract_dataset(llm_client_factory=...) runs the actor pool end to
+    end and quarantines nothing on the golden corpus."""
+    import ray.data
+
+    from pdf_extraction_tests_ray.pipelines.extraction import (
+        extract_dataset,
+        split_quarantine,
+    )
+    from pdf_extraction_tests_ray.stages.llm_stage import FakeLLMClient
+
+    ds = ray.data.from_arrow(golden_corpus.slice(0, 30))
+    ok, bad = split_quarantine(
+        extract_dataset(ds, llm_client_factory=FakeLLMClient)
+    )
+    okdf = ok.to_pandas()
+    assert len(okdf) == 30
+    assert bad.count() == 0
+    assert (okdf["abstract"] != "").all()
+
+
+# ---------------------------------------------------------------------------
+# dedup scale paths
+
+
+def _docs_with_dups(ray):
+    import pyarrow.parquet as pq
+
+    df = (
+        pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+        )
+        .to_pandas()
+        .head(100)
+    )
+    dup = df.head(15).copy()
+    dup["doc_id"] = dup["doc_id"] + 100000
+    both = pd.concat([df, dup], ignore_index=True)
+    return ray.data.from_pandas(both).repartition(5), df, dup
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_duplicate_keep_map_is_duplicates_only():
+    """The broadcast side of apply_exact_dedup is the DUPLICATED-groups
+    map: one entry per text with dup_count > 1, nothing for unique texts
+    (O(dup groups), not O(distinct texts))."""
+    import ray
+
+    from pdf_extraction_tests_ray.functions import text as T
+    from pdf_extraction_tests_ray.stages.dedup import apply_exact_dedup, duplicate_keep_map
+
+    docs, df, dup = _docs_with_dups(ray)
+    m = duplicate_keep_map(docs)
+    assert len(m) == 15  # exactly the duplicated texts, not all 100 distinct
+    assert set(m.keys()) == {T.md5_fingerprint(t) for t in dup["text"]}
+    assert all(v < 100000 for v in m.values())  # keeper is the min doc_id
+
+    kept = apply_exact_dedup(docs).to_pandas()
+    assert sorted(kept["doc_id"]) == sorted(df["doc_id"])
+
+    # duplicate-free corpus -> EMPTY broadcast side
+    clean = ray.data.from_pandas(df)
+    assert duplicate_keep_map(clean) == {}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_verification_bucketed_join():
+    """minhash_lsh_pairs verifies candidates via the bucketed hash join
+    (no driver text materialization): exact duplicates must surface with
+    jaccard == 1.0."""
+    import ray
+
+    from pdf_extraction_tests_ray.stages.dedup import minhash_lsh_pairs
+
+    docs, df, dup = _docs_with_dups(ray)
+    pairs = minhash_lsh_pairs(docs, threshold=0.6).to_pandas()
+    got = set(zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)))
+    expected = {(int(d) - 100000, int(d)) for d in dup["doc_id"]}
+    assert expected <= got
+    exact = pairs[pairs["doc_b"] >= 100000]
+    sub = exact[exact["doc_a"] == exact["doc_b"] - 100000]
+    assert (sub["jaccard"] == 1.0).all()
+
+
+# ---------------------------------------------------------------------------
+# Lance source (import-gated: exercises the real read path when available)
+
+
+def test_lance_read_path(tmp_path, ray_session):
+    lance = pytest.importorskip("lance")
+
+    from pdf_extraction_tests_ray.sources import read_corpus
+
+    t = pa.table({"doc_id": ["a", "b", "c"], "n": [1, 2, 3]})
+    lance.write_dataset(t, str(tmp_path / "corpus.lance"))
+    ds = read_corpus(str(tmp_path / "corpus.lance"), format="lance")
+    got = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(got["doc_id"]) == ["a", "b", "c"]
+    assert list(got["n"]) == [1, 2, 3]

@@ -73,10 +73,13 @@ def _to_pandas(res):
         "doc_token_counts",
         "doc_token_totals_by_lang",
         "doc_quality",
+        "doc_langid",
         "doc_fingerprint",
+        "doc_pack_group_totals",
         "dedup_exact",
         "dedup_exact_apply",
         "dedup_jaccard_pairs",
+        "dedup_ngram3_jaccard_pairs",
         "dedup_embedding_pairs",
         "knn_bruteforce",
         "knn_multi",
@@ -87,13 +90,20 @@ def _to_pandas(res):
         "q_topk_per_brand",
         "q_quantity_range_buckets",
         "doc_hash_sample",
+        "extract_order_generic",
+        "extract_doc_scalars",
     ],
 )
 def test_query_matches_oracle(name, duck):
     import __ray_entry__ as entrymod
 
     q = entrymod.queries()[name]
-    sql = entrymod.oracle_sql()[name]
+    sql = entrymod.oracle_sql()[name]  # also dumps the sf0.01 extract input
+    if name.startswith("extract_"):
+        # the driver's dump is for its sf0.01 run; re-dump for the test sf
+        from pdf_extraction_tests_ray.oracle_io import dump_extract_input
+
+        dump_extract_input(SF_DIR)
     got = _canon(_to_pandas(q(SF_DIR)))
     exp = _canon(duck.execute(sql).df())
     assert len(got) == len(exp), f"{name}: row count {len(got)} != {len(exp)}"
@@ -103,7 +113,7 @@ def test_query_matches_oracle(name, duck):
 @pytest.mark.usefixtures("ray_session")
 @pytest.mark.parametrize(
     "name",
-    ["doc_langid", "dedup_minhash", "dedup_simhash", "dedup_ngram3_jaccard_pairs", "knn_lsh"],
+    ["dedup_minhash", "dedup_simhash", "knn_lsh", "knn_ivf", "doc_pack_sequences"],
 )
 def test_rows_only_queries_run(name):
     import __ray_entry__ as entrymod

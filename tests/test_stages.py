@@ -179,8 +179,13 @@ def test_read_corpus_registry(tmp_path, ray_session):
     assert ds.count() == 2
     with _pytest.raises(ValueError, match="unknown corpus format"):
         read_corpus(str(tmp_path), format="avro")
-    with _pytest.raises(NotImplementedError, match="lance"):
-        read_corpus(str(tmp_path), format="lance")
+    try:
+        import lance  # noqa: F401
+    except ImportError:
+        # lib absent: the registered stub must fail LOUDLY, not silently
+        with _pytest.raises(NotImplementedError, match="lance"):
+            read_corpus(str(tmp_path), format="lance")
+    # (real lance read path: test_llm_and_scale_paths.test_lance_read_path)
 
 
 def test_metrics_rollup(tmp_path, golden_corpus, ray_session):
