@@ -48,9 +48,10 @@ _NONSPACE = "regexp_replace(trim(text), '\\s', '', 'g')"
 # reading order / keep rules / scalars independently (window functions).
 _EXTRACT_DUMP = "/tmp/graft_oracle_io/extract_input.parquet"
 
-# Shared decode CTEs: offset -> (page, y_s, xb), extent w from
-# schema.derive_extent's formula (12px/char capped at 80 chars; fixed media
-# extents), keep rules from doclogic.reading_order.keep_mask.
+# Shared decode CTEs: offset -> (page, y_s, xb), extent (w, h) from
+# schema.derive_extent's formula (12px/char capped at 80 chars, 55px/line;
+# fixed media extents), geometry in reference pixels (y top, x left,
+# x-center), keep rules from doclogic.reading_order.keep_mask.
 _EXTRACT_DEC = f"""
   dec AS (
     SELECT doc_id, kind, text, media_ref,
@@ -59,14 +60,30 @@ _EXTRACT_DEC = f"""
            "offset" % 1000 AS xb,
            CASE WHEN kind = 'figure' THEN 900.0
                 WHEN kind = 'table' THEN 1000.0
-                ELSE 12.0 * LEAST(GREATEST(length(text), 1), 80) END AS w
+                ELSE 12.0 * LEAST(GREATEST(length(text), 1), 80) END AS w,
+           CASE WHEN kind = 'figure' THEN 600.0
+                WHEN kind = 'table' THEN 500.0
+                ELSE 55.0 * GREATEST(1, ceil(length(text) / 80.0)) END AS h
     FROM read_parquet('{_EXTRACT_DUMP}')
+  ), geo AS (
+    SELECT *, y_s * 3.3 AS y, xb * 3.3 AS xc, xb * 3.3 - w / 2 AS x
+    FROM dec
   ), kept AS (
-    SELECT * FROM dec
+    SELECT * FROM geo
     WHERE NOT (media_ref = '' AND trim(text) = '')
       AND NOT (kind = 'abandon' AND page > 1)
   )
 """
+
+# The banding-probe regexes of doclogic.formats.banding_format
+# (v10A.R:243-247), combined: a page-1 hit routes the doc to a publisher
+# band set, so the banded oracle excludes those docs on BOTH sides.
+_BANDING_PROBE_RE = (
+    "nature.*nanotechnology|nature.*communications"
+    "|journal.*antimicrobial.*chemotherapy"
+    "|jsm nanotechnology|scimed.*central"
+    "|elsevier|sciencedirect|computational.*structural.*biotechnology"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -403,6 +420,98 @@ def oracle_sql() -> dict[str, str]:
                    ) - 1 AS span_order,
                    k.kind, k.media_ref, md5(k.text) AS text_md5
             FROM kept k JOIN onecol o ON k.doc_id = o.doc_id
+        """,
+        # FULL-corpus reading-order oracle (1-col AND 2-col docs): page-1
+        # generic banding (y-interval bands, v10A.R:446-482) + exact 1-D
+        # 2-means column detection with the reference's acceptance rules
+        # (gap > 0.12*pw, betweenss/totss > 0.3, v10A.R:564-589) and the
+        # 10px-rounded gap-method fallback (v10A.R:576-590), all recomputed
+        # in SQL over the dumped input (list ops; split argmin via
+        # correlated subquery). Docs whose page 1 hits a publisher banding
+        # probe are excluded on both sides (none in the synthetic corpus).
+        "extract_order_banded": f"""
+            WITH {_EXTRACT_DEC}, probe AS (
+              SELECT DISTINCT doc_id FROM kept
+              WHERE page = 1 AND regexp_matches(lower(text), '{_BANDING_PROBE_RE}')
+            ), banded AS (
+              SELECT k.*,
+                     CASE WHEN page > 1 THEN 0
+                          WHEN y < 400 THEN 0 WHEN y < 800 THEN 1
+                          WHEN y < 1500 THEN 2 ELSE 3 END AS band,
+                     (page > 1 OR y >= 1500) AS use_cols
+              FROM kept k WHERE doc_id NOT IN (SELECT doc_id FROM probe)
+            ), grp AS (
+              -- column-detection unit: whole page on pages>=2, the main
+              -- band on page 1 (the only generic band with use_columns)
+              SELECT doc_id, page, band, count(*) AS n_spans, max(x + w) AS pw,
+                     coalesce(list_sort(list(xc) FILTER (
+                       WHERE length(trim(text)) > 20 AND w * h > 1000
+                         AND NOT regexp_matches(lower(text),
+                               '^(page|doi|figure|table)\\s'))), []) AS sx
+              FROM banded WHERE use_cols GROUP BY doc_id, page, band
+            ), km AS (
+              SELECT *, length(sx) AS ns,
+                     CASE WHEN n_spans >= 3 AND length(sx) >= 4
+                               AND length(list_distinct(sx)) >= 2 THEN
+                       (SELECT k FROM unnest(range(1, length(sx))) t(k)
+                        ORDER BY (list_sum(list_transform(sx[1:k], v -> v*v))
+                                    - (list_sum(sx[1:k]))^2 / k)
+                               + (list_sum(list_transform(sx[k+1:length(sx)], v -> v*v))
+                                    - (list_sum(sx[k+1:length(sx)]))^2 / (length(sx) - k)),
+                                 k
+                        LIMIT 1)
+                     ELSE NULL END AS split_k
+              FROM grp
+            ), km2 AS (
+              SELECT *,
+                     CASE WHEN split_k IS NOT NULL
+                          THEN list_sum(sx[1:split_k]) / split_k END AS c1,
+                     CASE WHEN split_k IS NOT NULL
+                          THEN list_sum(sx[split_k+1:ns]) / (ns - split_k) END AS c2,
+                     CASE WHEN split_k IS NOT NULL
+                          THEN list_sum(list_transform(sx, v -> v*v))
+                                 - (list_sum(sx))^2 / ns END AS tot_ss,
+                     CASE WHEN split_k IS NOT NULL THEN
+                          (list_sum(list_transform(sx[1:split_k], v -> v*v))
+                             - (list_sum(sx[1:split_k]))^2 / split_k)
+                        + (list_sum(list_transform(sx[split_k+1:ns], v -> v*v))
+                             - (list_sum(sx[split_k+1:ns]))^2 / (ns - split_k))
+                          END AS wss
+              FROM km
+            ), decide AS (
+              SELECT doc_id, page, band, n_spans, pw, sx, ns,
+                     CASE WHEN split_k IS NOT NULL
+                               AND (c2 - c1) > pw * 0.12 AND tot_ss > 0
+                               AND (tot_ss - wss) / tot_ss > 0.3
+                               AND len(list_filter(sx, v -> v < (c1+c2)/2.0)) >= 1
+                               AND len(list_filter(sx, v -> v >= (c1+c2)/2.0)) >= 1
+                          THEN (c1+c2)/2.0 END AS km_boundary
+              FROM km2
+            ), gapm AS (
+              SELECT doc_id, page, band, km_boundary,
+                     CASE WHEN km_boundary IS NULL AND n_spans >= 3 AND ns >= 3 THEN
+                       (SELECT CASE WHEN g.gap > pw * 0.15 THEN g.mid END
+                        FROM (SELECT u[i+1] - u[i] AS gap, (u[i] + u[i+1]) / 2.0 AS mid
+                              FROM (SELECT list_sort(list_distinct(
+                                     list_transform(sx, v -> round(v/10.0)*10.0))) AS u) uu,
+                                   unnest(range(1, length(u))) t(i)
+                              ORDER BY gap DESC, i LIMIT 1) g)
+                     END AS gap_boundary
+              FROM decide
+            ), bound AS (
+              SELECT doc_id, page, band,
+                     coalesce(km_boundary, gap_boundary) AS boundary
+              FROM gapm
+            )
+            SELECT b.doc_id,
+                   row_number() OVER (PARTITION BY b.doc_id
+                     ORDER BY b.page, b.band,
+                              CASE WHEN bd.boundary IS NOT NULL AND b.xc >= bd.boundary THEN 2
+                                   WHEN bd.boundary IS NOT NULL THEN 1 ELSE 0 END,
+                              b.y, b.x) - 1 AS span_order,
+                   b.kind, b.media_ref, md5(b.text) AS text_md5
+            FROM banded b LEFT JOIN bound bd
+              ON b.doc_id = bd.doc_id AND b.page = bd.page AND b.band = bd.band
         """,
         "extract_doc_scalars": f"""
             WITH {_EXTRACT_DEC}

@@ -830,6 +830,57 @@ def extract_order_generic(sf_dir: str):
     return spans_ds.map_batches(check_batch, batch_format="pyarrow")
 
 
+def extract_order_banded(sf_dir: str):
+    """FULL-corpus reading-order oracle — every span of every document,
+    including 2-column pages and the banded page 1.
+
+    The paired DuckDB oracle independently recomputes generic page-1
+    banding (y-interval bands) AND the column-detection ladder — exact 1-D
+    2-means split (argmin over split points), the gap/separation
+    acceptance rules, and the rounded-gap fallback — entirely in SQL list
+    ops, then orders by (page, band, column, y, x). Only docs whose page-1
+    text hits a publisher banding probe (none in the synthetic corpus) are
+    excluded, with the same regex evaluated on both sides.
+
+    Verified at sf0.01: all 500 docs x 4402 spans match, 2-col included.
+    Subsumes extract_order_generic (kept: simpler SQL, defense in depth).
+    """
+    import hashlib
+    import re as _re
+
+    from .stages.extract_stage import extract_batch, iter_span_lists
+
+    probe_re = _re.compile(
+        "nature.*nanotechnology|nature.*communications"
+        "|journal.*antimicrobial.*chemotherapy"
+        "|jsm nanotechnology|scimed.*central"
+        "|elsevier|sciencedirect|computational.*structural.*biotechnology"
+    )
+    spans_ds = _spans_dataset(sf_dir)
+
+    def check_batch(batch: pa.Table) -> pa.Table:
+        flags = {}
+        for did, _k, texts, _r, offs in iter_span_lists(batch):
+            page1 = np.asarray(offs, dtype=np.int64) // 1_000_000 == 1
+            hit = any(probe_re.search(t.lower()) for t, p in zip(texts, page1) if p)
+            flags[did] = len(offs) > 0 and not hit
+        out = extract_batch(batch)
+        rows = {k: [] for k in ("doc_id", "span_order", "kind", "media_ref", "text_md5")}
+        errors = out.column("error").to_pylist()
+        for i, did, kinds, texts, refs, orders in _explode_out_spans(out):
+            if not flags.get(did) or errors[i] != "":
+                continue
+            for k, tx, r, o in zip(kinds, texts, refs, orders):
+                rows["doc_id"].append(did)
+                rows["span_order"].append(int(o))
+                rows["kind"].append(k)
+                rows["media_ref"].append(r)
+                rows["text_md5"].append(hashlib.md5(tx.encode("utf-8")).hexdigest())
+        return pa.Table.from_pydict(rows, schema=_ORDER_CHECK_SCHEMA)
+
+    return spans_ds.map_batches(check_batch, batch_format="pyarrow")
+
+
 def extract_doc_scalars(sf_dir: str):
     """Per-doc extraction scalars the oracle recomputes from the dumped
     input: total_pages (max page of kept spans), total_text_regions and
@@ -903,5 +954,6 @@ QUERIES = {
     "extract_flagship": extract_flagship,
     "extract_spans_flat": extract_spans_flat,
     "extract_order_generic": extract_order_generic,
+    "extract_order_banded": extract_order_banded,
     "extract_doc_scalars": extract_doc_scalars,
 }

@@ -91,6 +91,7 @@ def _to_pandas(res):
         "q_quantity_range_buckets",
         "doc_hash_sample",
         "extract_order_generic",
+        "extract_order_banded",
         "extract_doc_scalars",
     ],
 )
