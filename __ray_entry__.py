@@ -280,6 +280,55 @@ def oracle_sql() -> dict[str, str]:
               FROM documents GROUP BY md5({_NORM})
             ) k ON d.doc_id = k.keep_doc_id
         """,
+        # word-13-gram overlap vs the doc_id%20==7 benchmark slice; grams
+        # via inclusive list slices (w[i:i+12] is 13 words in DuckDB)
+        "doc_decontaminate": f"""
+            WITH g AS (
+              SELECT doc_id, lang, n_chars,
+                     list_distinct(list_transform(
+                       range(1, greatest(length(w) - 11, 1)),
+                       i -> array_to_string(w[i:i+12], ' '))) AS ng
+              FROM (SELECT doc_id, lang, n_chars,
+                           string_split({_NORM}, ' ') AS w
+                    FROM documents)
+            ), bench AS (
+              SELECT DISTINCT unnest(ng) AS t FROM g WHERE doc_id % 20 = 7
+            ), train AS (
+              SELECT * FROM g WHERE doc_id % 20 <> 7
+            ), contaminated AS (
+              SELECT DISTINCT x.doc_id
+              FROM (SELECT doc_id, unnest(ng) AS t FROM train) x
+              JOIN bench USING (t)
+            )
+            SELECT doc_id, lang, n_chars FROM train
+            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        "doc_stratified_sample": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR))
+                     ) AS rn
+              FROM documents
+            ) WHERE rn <= 20
+        """,
+        "doc_top_terms": f"""
+            SELECT source, word, n FROM (
+              SELECT source, word, n,
+                     row_number() OVER (
+                       PARTITION BY source ORDER BY n DESC, word
+                     ) AS rn
+              FROM (
+                SELECT source, word, count(*) AS n FROM (
+                  SELECT source,
+                         unnest(string_split({_NORM}, ' ')) AS word
+                  FROM documents
+                ) WHERE word <> ''
+                GROUP BY source, word
+              )
+            ) WHERE rn <= 5
+        """,
         "doc_pack_group_totals": """
             SELECT doc_id // 256 AS pack_group,
                    CAST(sum(length(regexp_split_to_array(trim(text), '\\s+')))

@@ -493,6 +493,42 @@ def doc_pack_group_totals(sf_dir: str):
     )
 
 
+def doc_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs with ``doc_id % 20 == 7`` play the
+    held-out benchmark; every other doc sharing a word-13-gram with it is
+    dropped (GPT-3-style overlap rule). Benchmark grams broadcast once;
+    the train side streams through a membership filter."""
+    from .stages import curation as C
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars", "text"])
+    bench = docs.map_batches(
+        lambda df: df[df["doc_id"] % 20 == 7], batch_format="pandas"
+    )
+    train = docs.map_batches(
+        lambda df: df[df["doc_id"] % 20 != 7], batch_format="pandas"
+    )
+    grams = C.collect_benchmark_ngrams(bench, n=13)
+    return C.decontaminate(train, grams, n=13).select_columns(
+        ["doc_id", "lang", "n_chars"]
+    )
+
+
+def doc_stratified_sample(sf_dir: str):
+    """Deterministic 20-per-lang stratified sample (md5(doc_id) rank)."""
+    from .stages import curation as C
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return C.stratified_sample(docs, stratum="lang", k=20)
+
+
+def doc_top_terms(sf_dir: str):
+    """Top-5 most frequent normalized words per source."""
+    from .stages import curation as C
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    return C.top_terms(docs, group="source", k=5)
+
+
 def doc_hash_sample(sf_dir: str):
     """Deterministic 1-in-20 QA sample keyed on md5(doc_id) — reproducible
     across engines AND cluster sizes, unlike seeded random_sample whose
@@ -933,6 +969,9 @@ QUERIES = {
     "q_topk_per_brand": q_topk_per_brand,
     "q_quantity_range_buckets": q_quantity_range_buckets,
     "doc_hash_sample": doc_hash_sample,
+    "doc_decontaminate": doc_decontaminate,
+    "doc_stratified_sample": doc_stratified_sample,
+    "doc_top_terms": doc_top_terms,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_pack_group_totals": doc_pack_group_totals,
     "doc_token_counts": doc_token_counts,

@@ -152,6 +152,54 @@ def test_minhash_verification_bucketed_join():
 
 
 # ---------------------------------------------------------------------------
+# curation operators
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decontaminate_drops_overlapping_docs():
+    import ray
+
+    from pdf_extraction_tests_ray.stages.curation import (
+        collect_benchmark_ngrams,
+        decontaminate,
+    )
+
+    words = [f"tok{i}" for i in range(30)]
+    bench_text = " ".join(words)
+    clean_text = " ".join(f"other{i}" for i in range(30))
+    # doc 2 shares a 13-word run with the benchmark; doc 3 shares only 12
+    contaminated = " ".join(["x"] + words[:13] + ["y"])
+    near_miss = " ".join(["x"] + words[:12] + ["zzz", "y"])
+    bench = ray.data.from_items([{"doc_id": 0, "text": bench_text}])
+    train = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": clean_text},
+            {"doc_id": 2, "text": contaminated},
+            {"doc_id": 3, "text": near_miss},
+        ]
+    )
+    grams = collect_benchmark_ngrams(bench, n=13)
+    assert len(grams) == 30 - 12
+    out = decontaminate(train, grams, n=13).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stratified_sample_deterministic_across_layouts():
+    import ray
+
+    from pdf_extraction_tests_ray.stages.curation import stratified_sample
+
+    rows = [{"doc_id": i, "lang": ["en", "de", "fr"][i % 3]} for i in range(90)]
+    a = stratified_sample(ray.data.from_items(rows).repartition(2), "lang", 5).to_pandas()
+    b = stratified_sample(ray.data.from_items(rows).repartition(9), "lang", 5).to_pandas()
+    ka = sorted(map(tuple, a[["lang", "doc_id"]].itertuples(index=False)))
+    kb = sorted(map(tuple, b[["lang", "doc_id"]].itertuples(index=False)))
+    assert ka == kb  # block layout cannot change the sample
+    assert a.groupby("lang").size().eq(5).all()
+
+
+# ---------------------------------------------------------------------------
 # Lance source (import-gated: exercises the real read path when available)
 
 

@@ -90,6 +90,9 @@ def _to_pandas(res):
         "q_topk_per_brand",
         "q_quantity_range_buckets",
         "doc_hash_sample",
+        "doc_decontaminate",
+        "doc_stratified_sample",
+        "doc_top_terms",
         "extract_order_generic",
         "extract_order_banded",
         "extract_doc_scalars",
