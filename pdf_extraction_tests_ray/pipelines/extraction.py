@@ -135,6 +135,61 @@ def extract_dataset(
     return out_light.union(out_heavy)
 
 
+def extract_dataset_fragmented(
+    ds: "ray.data.Dataset",
+    cleaning_method: str = "hybrid",
+    pages_per_fragment: int = 25,
+    num_buckets: int = 256,
+) -> "ray.data.Dataset":
+    """Single-lineage skew-defusal mode: EVERY document flows through
+    fragment -> one coarse bucket shuffle -> assemble.
+
+    The alternative to ``extract_dataset(split_threshold=...)`` for
+    corpora with genuinely unbounded documents (TODO.md heavy-doc note):
+    the light/heavy branch DAG starves the extract operator at low CPU
+    counts (measured 3x at 8 cpus — CLAUDE.md multi-branch note), while
+    this shape is one lineage with exactly ONE all-to-all. The price is
+    shuffling every span once (vs only the heavy tail): measured 4.9k
+    docs/s vs 10.9k single-pass on 40k bounded docs at 32 cpus — so the
+    bounded-doc default remains the single-pass ``extract_dataset``, and
+    this mode is for corpora whose document-size tail would otherwise pin
+    tasks for minutes.
+
+    Ordering is per-page, so fragments order independently and reassemble
+    by (doc_id, frag_id) with results identical to the single-pass path
+    (pinned by tests/test_llm_and_scale_paths.py). The shuffle key is a
+    coarse ``hash(doc_id) % num_buckets`` bucket — one group task per
+    bucket, not per document (per-distinct-key overhead, CLAUDE.md).
+    """
+    import hashlib
+
+    from ..stages.extract_stage import assemble_fragments_bucket
+
+    fragments = ds.map_batches(
+        lambda t: fragment_heavy_batch(t, pages_per_fragment),
+        batch_format="pyarrow",
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        # md5-based bucket: deterministic ACROSS worker processes (a salted
+        # hash() would scatter one doc's fragments over buckets); stays
+        # Arrow — the list columns never round-trip through pandas
+        b = [
+            int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) % num_buckets
+            for s in t.column("doc_id").to_pylist()
+        ]
+        return t.append_column("_bucket", pa.array(b, pa.int64()))
+
+    def assemble(g: pa.Table) -> pa.Table:
+        return assemble_fragments_bucket(g.drop_columns(["_bucket"]), cleaning_method)
+
+    return (
+        fragments.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(assemble, batch_format="pyarrow")
+    )
+
+
 def split_quarantine(out: "ray.data.Dataset"):
     """(ok, quarantined) — error rows carry the traceback, never dropped."""
 

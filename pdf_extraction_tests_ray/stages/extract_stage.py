@@ -195,6 +195,12 @@ def fragment_heavy_batch(batch: pa.Table, pages_per_fragment: int = 25) -> pa.Ta
 
     for did, kinds, texts, refs, offs in iter_span_lists(batch):
         offs = np.asarray(offs, dtype=np.int64)
+        if offs.size == 0:
+            # span-less doc: emit one empty fragment so the doc still
+            # produces an output row after reassembly (parity with the
+            # single-pass path, which never drops a document)
+            emit(did, 0, [], [], [], [])
+            continue
         pages = offs // 1_000_000
         fid_of_page = (pages - 1) // pages_per_fragment
         for fid in np.unique(fid_of_page):
@@ -223,6 +229,24 @@ def fragment_heavy_batch(batch: pa.Table, pages_per_fragment: int = 25) -> pa.Ta
         ],
         schema=FRAGMENT_SCHEMA,
     )
+
+
+def assemble_fragments_bucket(group: pa.Table, cleaning_method="hybrid") -> pa.Table:
+    """``groupby(bucket).map_groups`` body for the fragment-everything
+    mode: a bucket holds MANY docs' fragments (coarse hash bucket — one
+    group task per bucket, not per doc: Ray's grouped ops cost ~ms per
+    distinct key, pathological at one-group-per-document cardinality).
+    Splits by doc_id locally and assembles each doc."""
+    doc_ids = np.asarray(group.column("doc_id").to_pylist(), dtype=object)
+    order = np.argsort(doc_ids, kind="stable")
+    tables = []
+    uniq, starts = np.unique(doc_ids[order], return_index=True)
+    bounds = list(starts) + [len(order)]
+    for u, lo, hi in zip(uniq, bounds[:-1], bounds[1:]):
+        tables.append(
+            assemble_fragments(group.take(order[lo:hi]), cleaning_method)
+        )
+    return pa.concat_tables(tables) if tables else _to_output_table(_result_arrays(0))
 
 
 def assemble_fragments(group: pa.Table, cleaning_method="hybrid") -> pa.Table:

@@ -152,6 +152,42 @@ def test_minhash_verification_bucketed_join():
 
 
 # ---------------------------------------------------------------------------
+# fragment-everything extraction mode
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fragmented_mode_matches_single_pass(golden_corpus):
+    """extract_dataset_fragmented (single-lineage, one coarse bucket
+    shuffle) must produce EXACTLY the single-pass output on the full
+    golden corpus — pathological, heavy, media and empty docs included."""
+    import ray.data
+
+    from pdf_extraction_tests_ray.pipelines.extraction import (
+        extract_dataset,
+        extract_dataset_fragmented,
+        split_quarantine,
+    )
+
+    ds = ray.data.from_arrow(golden_corpus)
+
+    def canon(out):
+        ok, bad = split_quarantine(out)
+        df = ok.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        spans = [
+            tuple((s["kind"], s["text"], s["media_ref"], s["order"]) for s in row)
+            for row in df["spans"]
+        ]
+        return df.drop(columns=["spans"]), spans, bad.count()
+
+    base_df, base_spans, base_bad = canon(extract_dataset(ds))
+    frag_df, frag_spans, frag_bad = canon(extract_dataset_fragmented(ds, num_buckets=16))
+    assert base_bad == frag_bad == 0
+    assert len(base_df) == len(frag_df)
+    pd.testing.assert_frame_equal(base_df, frag_df)
+    assert base_spans == frag_spans
+
+
+# ---------------------------------------------------------------------------
 # curation operators
 
 
