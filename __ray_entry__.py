@@ -280,6 +280,13 @@ def oracle_sql() -> dict[str, str]:
               FROM documents GROUP BY md5({_NORM})
             ) k ON d.doc_id = k.keep_doc_id
         """,
+        "doc_length_quantiles": """
+            SELECT lang,
+                   quantile_disc(n_chars, 0.5) AS p50,
+                   quantile_disc(n_chars, 0.9) AS p90,
+                   quantile_disc(n_chars, 0.99) AS p99
+            FROM documents GROUP BY lang
+        """,
         # word-13-gram overlap vs the doc_id%20==7 benchmark slice; grams
         # via inclusive list slices (w[i:i+12] is 13 words in DuckDB)
         "doc_decontaminate": f"""

@@ -50,6 +50,10 @@ QUERY_SUITE = [
     "knn_bruteforce",
     "knn_multi",
     "knn_lsh",
+    "knn_ivf",
+    "doc_decontaminate",
+    "doc_top_terms",
+    "doc_stratified_sample",
 ]
 
 

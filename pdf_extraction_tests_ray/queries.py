@@ -529,6 +529,15 @@ def doc_top_terms(sf_dir: str):
     return C.top_terms(docs, group="source", k=5)
 
 
+def doc_length_quantiles(sf_dir: str):
+    """Exact per-lang p50/p90/p99 of document length (n_chars) via the
+    mergeable-histogram grouped-quantile operator."""
+    from .relational import grouped_quantiles
+
+    docs = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    return grouped_quantiles(docs, group="lang", col="n_chars", qs=(0.5, 0.9, 0.99))
+
+
 def doc_hash_sample(sf_dir: str):
     """Deterministic 1-in-20 QA sample keyed on md5(doc_id) — reproducible
     across engines AND cluster sizes, unlike seeded random_sample whose
@@ -969,6 +978,7 @@ QUERIES = {
     "q_topk_per_brand": q_topk_per_brand,
     "q_quantity_range_buckets": q_quantity_range_buckets,
     "doc_hash_sample": doc_hash_sample,
+    "doc_length_quantiles": doc_length_quantiles,
     "doc_decontaminate": doc_decontaminate,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_top_terms": doc_top_terms,
