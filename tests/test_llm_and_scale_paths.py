@@ -236,6 +236,57 @@ def test_stratified_sample_deterministic_across_layouts():
 
 
 # ---------------------------------------------------------------------------
+# IVF build-once index
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_prebuilt_matches_oneshot():
+    """ivf_assign + knn_ivf_prebuilt must return EXACTLY the one-shot
+    knn_ivf result (same centroids -> same cells -> same probe set)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from pdf_extraction_tests_ray.stages import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    emb = ray.data.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = np.asarray(
+        pq.read_table(f"{sf}/embeddings.parquet", filters=[("vec_id", "=", 0)])
+        .column("embedding")[0]
+        .as_py(),
+        dtype=np.float64,
+    )
+    oneshot = S.knn_ivf(emb, q, k=10, exclude_vec_id=0).to_pandas()
+    cents = S.train_ivf_centroids(emb, 16)
+    assigned = S.ivf_assign(emb, cents)
+    pre = S.knn_ivf_prebuilt(assigned, cents, q, k=10, exclude_vec_id=0).to_pandas()
+    assert list(oneshot["vec_id"]) == list(pre["vec_id"])
+    assert list(oneshot["cos_sim"]) == list(pre["cos_sim"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_training_sample_is_budget_capped():
+    """The training-sample modulus scales with corpus size so the driver
+    never holds more than ~budget vectors."""
+    import ray
+
+    from pdf_extraction_tests_ray.stages.similarity import train_ivf_centroids
+
+    sf = "/root/testdata/sf0.001"
+    emb = ray.data.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # budget smaller than the corpus -> mod > 1 -> sample strictly smaller;
+    # centroids still unit-length (spherical) and deterministic
+    c1 = train_ivf_centroids(emb, 8, train_sample_budget=100)
+    c2 = train_ivf_centroids(emb, 8, train_sample_budget=100)
+    import numpy as np
+
+    assert c1.shape[0] == 8
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+    assert np.array_equal(c1, c2)  # deterministic
+
+
+# ---------------------------------------------------------------------------
 # Lance source (import-gated: exercises the real read path when available)
 
 
