@@ -236,6 +236,42 @@ def test_stratified_sample_deterministic_across_layouts():
 
 
 # ---------------------------------------------------------------------------
+# OCR actor stage (A2/A3)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ocr_pipeline_fake_backend():
+    import ray
+
+    from pdf_extraction_tests_ray.stages.ocr import ocr_pipeline, synth_ocr_table
+
+    t = synth_ocr_table([f"doc-{i}" for i in range(12)], [f"page://{i}" for i in range(12)])
+    out = ocr_pipeline(ray.data.from_arrow(t), fake=True).to_pandas()
+    assert len(out) == 36  # 3 boxes per page
+    assert (out["text"].str.len() > 0).all()
+    assert sorted(out["box_index"].unique()) == [0, 1, 2]
+    # deterministic: same payload+box -> same transcription
+    out2 = ocr_pipeline(ray.data.from_arrow(t), fake=True).to_pandas()
+    k = ["doc_id", "media_ref", "box_index", "text"]
+    assert sorted(map(tuple, out[k].itertuples(index=False))) == sorted(
+        map(tuple, out2[k].itertuples(index=False))
+    )
+
+
+def test_ocr_real_engine_is_construction_gated():
+    from pdf_extraction_tests_ray.stages.ocr import OcrRegions
+
+    try:
+        import pytesseract  # noqa: F401
+
+        pytest.skip("pytesseract present: real path constructible")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="pytesseract"):
+        OcrRegions(fake=False)  # fails at CONSTRUCTION, never mid-batch
+
+
+# ---------------------------------------------------------------------------
 # IVF build-once index
 
 
