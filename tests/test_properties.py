@@ -81,3 +81,41 @@ def test_minhash_identity(words):
     sig2 = T.minhash_signature(T.char_shingles_u64(s))
     assert sig1.shape == (128,)
     assert np.array_equal(sig1, sig2)
+
+
+# ---------------------------------------------------------------------------
+# round-2 kernels: quantile index rule, n-gram windows
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=200),
+    st.sampled_from([0.01, 0.25, 0.5, 0.9, 0.99, 1.0]),
+)
+@settings(max_examples=60)
+def test_quantile_disc_rule_matches_duckdb(vals, q):
+    """relational.grouped_quantiles uses index = max(1, ceil(q*n)) into the
+    sorted values; DuckDB quantile_disc must agree on arbitrary int data
+    (the rule was derived empirically — this pins it)."""
+    import duckdb
+
+    s = sorted(vals)
+    n = len(s)
+    ours = s[max(1, int(np.ceil(q * n))) - 1]
+    theirs = duckdb.execute(
+        "SELECT quantile_disc(x, ?) FROM (SELECT unnest(?) AS x)", [q, vals]
+    ).fetchone()[0]
+    assert ours == theirs
+
+
+@given(texts)
+@settings(max_examples=60)
+def test_word_ngram_window_count(s):
+    """word_ngrams(n=13) must produce exactly the distinct 13-word windows
+    of the normalized text (the decontamination kernel)."""
+    words = [w for w in T.normalize_text(s).split(" ") if w != ""]
+    grams = T.word_ngrams(s, 13)
+    if len(words) < 13:
+        assert grams == set()
+    else:
+        expected = {" ".join(words[i : i + 13]) for i in range(len(words) - 12)}
+        assert grams == expected
