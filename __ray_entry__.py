@@ -336,6 +336,44 @@ def oracle_sql() -> dict[str, str]:
               )
             ) WHERE rn <= 5
         """,
+        # the full curation chain as ONE CTE pipeline; stage order is part
+        # of the check (dedup keepers chosen among quality survivors only;
+        # decontamination last)
+        "curation_pipeline": f"""
+            WITH train AS (
+              SELECT * FROM documents WHERE doc_id % 20 <> 7
+            ), q AS (
+              SELECT * FROM train
+              WHERE length({_WORDS}) >= 10
+                AND CAST(length({_PUNCT}) AS DOUBLE) / length(trim(text)) < 0.3
+                AND CAST(length({_NONSPACE}) AS DOUBLE) / length({_WORDS})
+                    BETWEEN 2.0 AND 12.0
+            ), keepers AS (
+              SELECT min(doc_id) AS doc_id
+              FROM q GROUP BY md5({_NORM})
+            ), d AS (
+              SELECT q.* FROM q JOIN keepers USING (doc_id)
+            ), dg AS (
+              SELECT doc_id, lang, n_chars,
+                     list_distinct(list_transform(
+                       range(1, greatest(length(w) - 11, 1)),
+                       i -> array_to_string(w[i:i+12], ' '))) AS ng
+              FROM (SELECT doc_id, lang, n_chars,
+                           string_split({_NORM}, ' ') AS w FROM d)
+            ), bench AS (
+              SELECT DISTINCT unnest(list_transform(
+                       range(1, greatest(length(w) - 11, 1)),
+                       i -> array_to_string(w[i:i+12], ' '))) AS t
+              FROM (SELECT string_split({_NORM}, ' ') AS w
+                    FROM documents WHERE doc_id % 20 = 7)
+            ), contaminated AS (
+              SELECT DISTINCT x.doc_id
+              FROM (SELECT doc_id, unnest(ng) AS t FROM dg) x
+              JOIN bench USING (t)
+            )
+            SELECT doc_id, lang, n_chars FROM dg
+            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
         "doc_pack_group_totals": """
             SELECT doc_id // 256 AS pack_group,
                    CAST(sum(length(regexp_split_to_array(trim(text), '\\s+')))

@@ -54,6 +54,7 @@ QUERY_SUITE = [
     "doc_decontaminate",
     "doc_top_terms",
     "doc_stratified_sample",
+    "curation_pipeline",
 ]
 
 

@@ -538,6 +538,20 @@ def doc_length_quantiles(sf_dir: str):
     return grouped_quantiles(docs, group="lang", col="n_chars", qs=(0.5, 0.9, 0.99))
 
 
+def curation_pipeline(sf_dir: str):
+    """The full curation composite: hold out the doc_id%20==7 benchmark,
+    then quality filter -> exact dedup (keep min doc_id among survivors)
+    -> 13-gram decontamination. The oracle recomputes the same chain in
+    one CTE pipeline — order-sensitivity (dedup over quality survivors
+    only, decontaminate last) is part of what it checks."""
+    from .pipelines.curation import curate_corpus
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars", "text"])
+    bench = docs.map_batches(lambda df: df[df["doc_id"] % 20 == 7], batch_format="pandas")
+    train = docs.map_batches(lambda df: df[df["doc_id"] % 20 != 7], batch_format="pandas")
+    return curate_corpus(train, bench).select_columns(["doc_id", "lang", "n_chars"])
+
+
 def doc_hash_sample(sf_dir: str):
     """Deterministic 1-in-20 QA sample keyed on md5(doc_id) — reproducible
     across engines AND cluster sizes, unlike seeded random_sample whose
@@ -984,6 +998,7 @@ QUERIES = {
     "doc_top_terms": doc_top_terms,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_pack_group_totals": doc_pack_group_totals,
+    "curation_pipeline": curation_pipeline,
     "doc_token_counts": doc_token_counts,
     "doc_token_totals_by_lang": doc_token_totals_by_lang,
     "doc_quality": doc_quality,

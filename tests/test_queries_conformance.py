@@ -90,6 +90,7 @@ def _to_pandas(res):
         "q_topk_per_brand",
         "q_quantity_range_buckets",
         "doc_hash_sample",
+        "curation_pipeline",
         "doc_length_quantiles",
         "doc_decontaminate",
         "doc_stratified_sample",
