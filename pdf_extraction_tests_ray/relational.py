@@ -84,6 +84,9 @@ def bucketed_group_merge(
     ~1.8 ms/key locally) — pathological for high-cardinality keys. A
     256-way bucket shuffle moves the same rows but runs O(num_buckets)
     group tasks, each merging its keys with one vectorized pandas groupby.
+
+    Skew: a hot key lands entirely in one bucket task; for associative
+    merges switch to :func:`salted_group_merge`.
     """
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -99,6 +102,49 @@ def bucketed_group_merge(
         .groupby("_bucket")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def salted_group_merge(
+    ds: "ray.data.Dataset",
+    keys,
+    merge_fn,
+    num_buckets: int = 64,
+    num_salts: int = 8,
+) -> "ray.data.Dataset":
+    """Skew-safe :func:`bucketed_group_merge` for ASSOCIATIVE merges.
+
+    A pathological hot key sends all its partial rows to one bucket task
+    in ``bucketed_group_merge``; here stage 1 splits every key across
+    ``num_salts`` sub-groups (salt = a per-row round-robin — correctness
+    needs no cross-process salt determinism because ``merge_fn`` must be
+    associative+commutative, e.g. sums/counts/min/max partials), merges
+    within (key, salt), then stage 2 re-merges the at-most-``num_salts``
+    survivors per key. The hot key's work spreads over ``num_salts``
+    tasks; every other key pays one extra tiny merge.
+
+    NOT for order- or completeness-sensitive group bodies (sessionize,
+    as-of, all-pairs blocks): splitting those groups changes semantics —
+    their skew lever is a bigger ``num_buckets`` or an upstream key-range
+    split, as documented per operator.
+    """
+
+    def add_salted_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_salt"] = np.arange(len(df), dtype=np.int64) % num_salts
+        df["_bucket"] = (
+            _bucket_of(df, list(keys), num_buckets) * num_salts + df["_salt"].to_numpy()
+        )
+        return df
+
+    def merge_salted(g: pd.DataFrame) -> pd.DataFrame:
+        return merge_fn(g.drop(columns=["_salt", "_bucket"]))
+
+    stage1 = (
+        ds.map_batches(add_salted_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(merge_salted, batch_format="pandas")
+    )
+    return bucketed_group_merge(stage1, keys, merge_fn, num_buckets=num_buckets)
 
 
 def asof_join_backward(

@@ -236,6 +236,31 @@ def test_stratified_sample_deterministic_across_layouts():
 
 
 # ---------------------------------------------------------------------------
+# skew-safe salted merge
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_salted_group_merge_matches_unsalted_on_skewed_keys():
+    import ray
+
+    from pdf_extraction_tests_ray.relational import bucketed_group_merge, salted_group_merge
+
+    # 90% of rows share one hot key
+    rows = [{"k": "hot" if i % 10 else f"cold{i}", "v": i} for i in range(5000)]
+    ds = ray.data.from_items(rows).repartition(8)
+
+    def merge(df):
+        return df.groupby("k", sort=False).agg(v=("v", "sum")).reset_index()
+
+    a = bucketed_group_merge(ds, ["k"], merge).to_pandas()
+    b = salted_group_merge(ds, ["k"], merge, num_salts=8).to_pandas()
+    exp = pd.DataFrame(rows).groupby("k", as_index=False).agg(v=("v", "sum"))
+    for df in (a, b):
+        got = sorted(map(tuple, df[["k", "v"]].itertuples(index=False)))
+        assert got == sorted(map(tuple, exp[["k", "v"]].itertuples(index=False)))
+
+
+# ---------------------------------------------------------------------------
 # OCR actor stage (A2/A3)
 
 
