@@ -41,6 +41,12 @@ def main(argv=None) -> int:
         help="spans per doc above which the heavy-doc fragment/assemble path "
         "engages (default: off — see pipelines/extraction.py docstring)",
     )
+    p.add_argument(
+        "--fragmented",
+        action="store_true",
+        help="single-lineage fragment-everything mode for corpora with "
+        "unbounded document sizes (see extract_dataset_fragmented)",
+    )
     p.add_argument("--num-cpus", type=int, default=None, help="local mode only")
     args = p.parse_args(argv)
 
@@ -65,6 +71,7 @@ def main(argv=None) -> int:
         resume=args.resume,
         cleaning_method=args.cleaning_method,
         split_threshold=args.split_threshold,
+        fragmented=args.fragmented,
     )
     print(json.dumps(summary))
     ray.shutdown()

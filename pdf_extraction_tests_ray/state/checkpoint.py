@@ -65,7 +65,20 @@ def run_partitioned(
     resume: bool = True,
     **extract_kwargs,
 ):
-    """Run extraction group-by-group with manifests; returns run summary."""
+    """Run extraction group-by-group with manifests; returns run summary.
+
+    ``fragmented=True`` routes each group through
+    ``extract_dataset_fragmented`` (single-lineage skew path for
+    unbounded-document corpora) instead of the single-pass default.
+    """
+    fragmented = extract_kwargs.pop("fragmented", False)
+    if fragmented:
+        from ..pipelines.extraction import extract_dataset_fragmented
+
+        extract_kwargs.pop("split_threshold", None)  # fragment path has no split
+        pipeline_fn = lambda d: extract_dataset_fragmented(d, **extract_kwargs)  # noqa: E731
+    else:
+        pipeline_fn = lambda d: extract_dataset(d, **extract_kwargs)  # noqa: E731
     os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
     done = completed_groups(out_dir) if resume else set()
     summary = {"groups": num_groups, "skipped": sorted(done), "ran": []}
@@ -81,7 +94,7 @@ def run_partitioned(
             return t2.filter(pc.equal(t2["part_group"], g)).drop_columns(["part_group"])
 
         ds_g = ds.map_batches(pick, batch_format="pyarrow")
-        full = extract_dataset(ds_g, **extract_kwargs)
+        full = pipeline_fn(ds_g)
 
         part_tmp = os.path.join(out_dir, f"_tmp_part={g}")
         part_final = os.path.join(out_dir, f"part={g}")
