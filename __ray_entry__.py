@@ -46,13 +46,21 @@ _NONSPACE = "regexp_replace(trim(text), '\\s', '', 'g')"
 # call oracle_sql() to obtain them, so the dump exists by execution time.
 # The dump is the INPUT, never expected output: the SQL below recomputes
 # reading order / keep rules / scalars independently (window functions).
-_EXTRACT_DUMP = "/tmp/graft_oracle_io/extract_input.parquet"
+# GRAFT_EXTRACT_DUMP overrides the path (tests isolate from the driver's).
+def _extract_dump_path() -> str:
+    import os
+
+    return os.environ.get(
+        "GRAFT_EXTRACT_DUMP", "/tmp/graft_oracle_io/extract_input.parquet"
+    )
+
 
 # Shared decode CTEs: offset -> (page, y_s, xb), extent (w, h) from
 # schema.derive_extent's formula (12px/char capped at 80 chars, 55px/line;
 # fixed media extents), geometry in reference pixels (y top, x left,
 # x-center), keep rules from doclogic.reading_order.keep_mask.
-_EXTRACT_DEC = f"""
+def _extract_dec(dump_path: str) -> str:
+    return f"""
   dec AS (
     SELECT doc_id, kind, text, media_ref,
            "offset" // 1000000 AS page,
@@ -64,7 +72,7 @@ _EXTRACT_DEC = f"""
            CASE WHEN kind = 'figure' THEN 600.0
                 WHEN kind = 'table' THEN 500.0
                 ELSE 55.0 * GREATEST(1, ceil(length(text) / 80.0)) END AS h
-    FROM read_parquet('{_EXTRACT_DUMP}')
+    FROM read_parquet('{dump_path}')
   ), geo AS (
     SELECT *, y_s * 3.3 AS y, xb * 3.3 AS xc, xb * 3.3 - w / 2 AS x
     FROM dec
@@ -87,10 +95,17 @@ _BANDING_PROBE_RE = (
 
 
 def oracle_sql() -> dict[str, str]:
+    dump_path = _extract_dump_path()
+    _EXTRACT_DEC = _extract_dec(dump_path)
     try:
         from pdf_extraction_tests_ray.oracle_io import dump_extract_input
 
-        dump_extract_input("/root/testdata/sf0.01", _EXTRACT_DUMP)
+        import os
+
+        # the default path is the DRIVER's (sf0.01); an explicit override
+        # means the caller (tests) dumps its own sf there
+        if "GRAFT_EXTRACT_DUMP" not in os.environ:
+            dump_extract_input("/root/testdata/sf0.01", dump_path)
     except Exception:
         pass  # testdata absent: extraction oracles will error, others run
     return {

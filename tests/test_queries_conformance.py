@@ -104,12 +104,22 @@ def test_query_matches_oracle(name, duck):
     import __ray_entry__ as entrymod
 
     q = entrymod.queries()[name]
-    sql = entrymod.oracle_sql()[name]  # also dumps the sf0.01 extract input
     if name.startswith("extract_"):
-        # the driver's dump is for its sf0.01 run; re-dump for the test sf
+        # isolated dump path (never racing the driver's sf0.01 dump),
+        # holding THIS sf's input
+        import os
+
         from pdf_extraction_tests_ray.oracle_io import dump_extract_input
 
-        dump_extract_input(SF_DIR)
+        path = "/tmp/graft_oracle_io/extract_input_test.parquet"
+        os.environ["GRAFT_EXTRACT_DUMP"] = path
+        try:
+            dump_extract_input(SF_DIR, path)
+            sql = entrymod.oracle_sql()[name]
+        finally:
+            del os.environ["GRAFT_EXTRACT_DUMP"]
+    else:
+        sql = entrymod.oracle_sql()[name]
     got = _canon(_to_pandas(q(SF_DIR)))
     exp = _canon(duck.execute(sql).df())
     assert len(got) == len(exp), f"{name}: row count {len(got)} != {len(exp)}"
