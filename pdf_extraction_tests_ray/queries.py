@@ -242,10 +242,16 @@ def q_events_tumbling(sf_dir: str):
 
 def q_customer_segment_orders(sf_dir: str):
     """Large-large hash join orders<->customer, per-segment stats."""
+    from .relational import join_partitions
+
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     joined = orders.join(
-        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+        cust,
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
     )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

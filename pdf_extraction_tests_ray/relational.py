@@ -50,16 +50,25 @@ def broadcast_join(
     return large.map_batches(Join, batch_format="pandas", concurrency=(1, pool_max()))
 
 
+def join_partitions(minimum: int = 8) -> int:
+    """Hash-join partition count sized to the cluster (one partition per
+    ~2 CPUs) — a constant caps the shuffle's parallelism on a big cluster."""
+    return max(minimum, pool_max() // 2)
+
+
 def hash_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
     on: str,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     join_type: str = "inner",
 ) -> "ray.data.Dataset":
     """Partitioned hash join for two large sides (all-to-all shuffle)."""
     return left.join(
-        right, join_type=join_type, num_partitions=num_partitions, on=(on,)
+        right,
+        join_type=join_type,
+        num_partitions=num_partitions or join_partitions(),
+        on=(on,),
     )
 
 
