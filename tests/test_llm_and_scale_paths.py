@@ -240,6 +240,29 @@ def test_stratified_sample_deterministic_across_layouts():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_new_aggregates_invariant_to_block_layout():
+    """grouped_quantiles and top_terms must produce identical results
+    regardless of how the input is partitioned (partials differ, the
+    merged result must not)."""
+    import ray
+
+    from pdf_extraction_tests_ray.relational import grouped_quantiles
+    from pdf_extraction_tests_ray.stages.curation import top_terms
+
+    sf = "/root/testdata/sf0.001"
+    for parts in (2, 13):
+        docs = ray.data.read_parquet(f"{sf}/documents.parquet").repartition(parts)
+        q = grouped_quantiles(docs, "lang", "n_chars").to_pandas()
+        t = top_terms(docs, group="source", k=3).to_pandas()
+        qk = sorted(map(tuple, q[sorted(q.columns)].itertuples(index=False)))
+        tk = sorted(map(tuple, t[sorted(t.columns)].itertuples(index=False)))
+        if parts == 2:
+            q0, t0 = qk, tk
+        else:
+            assert qk == q0 and tk == t0
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_salted_group_merge_matches_unsalted_on_skewed_keys():
     import ray
 
