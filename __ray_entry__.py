@@ -83,31 +83,34 @@ def _extract_dec(dump_path: str) -> str:
   )
 """
 
-# The banding-probe regexes of doclogic.formats.banding_format
-# (v10A.R:243-247), combined: a page-1 hit routes the doc to a publisher
-# band set, so the banded oracle excludes those docs on BOTH sides.
-_BANDING_PROBE_RE = (
-    "nature.*nanotechnology|nature.*communications"
-    "|journal.*antimicrobial.*chemotherapy"
-    "|jsm nanotechnology|scimed.*central"
-    "|elsevier|sciencedirect|computational.*structural.*biotechnology"
-)
+# The banding-probe regex of doclogic.formats.banding_format
+# (v10A.R:243-247): a page-1 hit routes the doc to a publisher band set,
+# so the banded oracle excludes those docs on BOTH sides. Built from the
+# SAME compiled patterns the pipeline branches on (single source of
+# truth — see formats.banding_probe_pattern).
+def _banding_probe_re() -> str:
+    from pdf_extraction_tests_ray.doclogic.formats import banding_probe_pattern
+
+    return banding_probe_pattern()
 
 
 def oracle_sql() -> dict[str, str]:
     dump_path = _extract_dump_path()
     _EXTRACT_DEC = _extract_dec(dump_path)
-    try:
-        from pdf_extraction_tests_ray.oracle_io import dump_extract_input
+    _BANDING_PROBE_RE = _banding_probe_re()
+    import os
 
-        import os
+    # the default path is the DRIVER's (sf0.01); an explicit override means
+    # the caller (tests) dumps its own sf there. NARROW except: only absent
+    # testdata is tolerable — any other dump failure must surface, or the
+    # extraction oracles would silently read a stale dump.
+    if "GRAFT_EXTRACT_DUMP" not in os.environ:
+        try:
+            from pdf_extraction_tests_ray.oracle_io import dump_extract_input
 
-        # the default path is the DRIVER's (sf0.01); an explicit override
-        # means the caller (tests) dumps its own sf there
-        if "GRAFT_EXTRACT_DUMP" not in os.environ:
             dump_extract_input("/root/testdata/sf0.01", dump_path)
-    except Exception:
-        pass  # testdata absent: extraction oracles will error, others run
+        except FileNotFoundError:
+            pass  # testdata absent: extraction oracles will error, others run
     return {
         # money aggregates use exact integer-cents sums (matching the Ray
         # side) so the result is independent of float summation order

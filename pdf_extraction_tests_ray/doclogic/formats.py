@@ -36,6 +36,15 @@ _JSM_RE = re.compile(r"jsm nanotechnology|scimed.*central")
 _ELSEVIER_RE = re.compile(r"elsevier|sciencedirect|computational.*structural.*biotechnology")
 
 
+def banding_probe_pattern() -> str:
+    """The combined publisher-probe regex (RE2-compatible — plain
+    alternations, no lookaround), built from the SAME compiled patterns
+    :func:`banding_format` branches on. Single source of truth for the
+    SQL extraction oracles and their Ray-side doc filters: a probe added
+    here propagates to both sides of the CORRECTNESS check."""
+    return "|".join(p.pattern for p in (_NATURE_RE, _JAC_RE, _JSM_RE, _ELSEVIER_RE))
+
+
 def banding_format(texts) -> str:
     """Which page-1 banding applies; checked in reference branch order
     (elsevier first — v10A.R:250, then nature 298, jac 348, jsm 396,

@@ -42,11 +42,26 @@ def dump_extract_input(sf_dir: str, path: str = DUMP_PATH) -> str:
 
     One row per span, doc_ids matching ``queries._spans_dataset`` at
     replicate=1 (``doc-{i:08d}-r0``). Deterministic: same sf_dir -> same
-    file bytes (fixtures are seeded by doc_id only).
+    file bytes (fixtures are seeded by doc_id only) — so a freshness
+    sidecar (source path+mtime+size) lets repeated calls skip the
+    re-synthesis (oracle_sql() is called once per oracle lookup).
     """
+    import json
+
     from .fixtures import spans_from_flat_text
 
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    stamp = {"src": src, "mtime": st.st_mtime, "size": st.st_size}
+    sidecar = path + ".src.json"
+    try:
+        with open(sidecar) as f:
+            if json.load(f) == stamp and os.path.exists(path):
+                return path  # fresh: same source bytes -> same dump
+    except (OSError, ValueError):
+        pass
+
+    t = pq.read_table(src, columns=["doc_id", "text"])
     rows = {k: [] for k in ("doc_id", "kind", "text", "media_ref", "offset")}
     for i, txt in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
         did = f"doc-{i:08d}-r0"
@@ -58,4 +73,6 @@ def dump_extract_input(sf_dir: str, path: str = DUMP_PATH) -> str:
             rows["offset"].append(s["offset"])
     os.makedirs(os.path.dirname(path), exist_ok=True)
     pq.write_table(pa.table(rows, schema=_FLAT_SCHEMA), path)
+    with open(sidecar, "w") as f:
+        json.dump(stamp, f)
     return path

@@ -110,6 +110,16 @@ def extract_dataset(
     if split_threshold is None:
         return _extract_stage(ds)
 
+    if llm_client_factory is not None:
+        # the heavy branch reassembles via fragment/assemble, which has no
+        # LLM hook — letting it through would silently give heavy docs E4
+        # abstracts while light docs get the E6 LLM path
+        raise ValueError(
+            "split_threshold cannot be combined with llm_client_factory: "
+            "heavy docs would bypass the LLM region analysis; run without "
+            "the split (bounded docs) or without the client"
+        )
+
     counted = ds.map_batches(add_span_count, batch_format="pyarrow")
 
     def _filter_light(t: pa.Table) -> pa.Table:

@@ -848,6 +848,26 @@ def _explode_out_spans(out: pa.Table):
         yield i, did, k_l[lo:hi], t_l[lo:hi], r_l[lo:hi], o_l[lo:hi]
 
 
+def _order_check_table(out: pa.Table, flags: dict) -> pa.Table:
+    """Shared output-row builder for the extract_order_* oracles: explode
+    the OUTPUT spans of flagged, non-errored docs to (doc_id, span_order,
+    kind, media_ref, text_md5) rows."""
+    import hashlib
+
+    rows = {k: [] for k in ("doc_id", "span_order", "kind", "media_ref", "text_md5")}
+    errors = out.column("error").to_pylist()
+    for i, did, kinds, texts, refs, orders in _explode_out_spans(out):
+        if not flags.get(did) or errors[i] != "":
+            continue
+        for k, tx, r, o in zip(kinds, texts, refs, orders):
+            rows["doc_id"].append(did)
+            rows["span_order"].append(int(o))
+            rows["kind"].append(k)
+            rows["media_ref"].append(r)
+            rows["text_md5"].append(hashlib.md5(tx.encode("utf-8")).hexdigest())
+    return pa.Table.from_pydict(rows, schema=_ORDER_CHECK_SCHEMA)
+
+
 def extract_order_generic(sf_dir: str):
     """THE north-rule span-sequence oracle: for single-column documents the
     extraction output's (kind, text, media_ref, order) sequence must equal
@@ -859,16 +879,13 @@ def extract_order_generic(sf_dir: str):
     from the INPUT alone: every span's x_bucket (offset % 1000) >= 350
     (the fixture's 1-col band is 364±8; 2-col bands sit at 194±6 / 579±6,
     where column-aware ordering legitimately diverges from pure y-order —
-    verified at sf0.01: all 292 one-col docs match, reading-order coverage
-    for 2-col pages is pinned by tests/test_core_logic.py against
-    v10A.R:484-508).
+    verified at sf0.01: all 292 one-col docs match; 2-col coverage is the
+    stronger extract_order_banded oracle).
 
     One pass: the per-doc flag comes from the same batch that is extracted
     (no second lineage, no driver state). Rows: (doc_id, span_order, kind,
     media_ref, text_md5) for every span of every one-col doc.
     """
-    import hashlib
-
     from .stages.extract_stage import extract_batch, iter_span_lists
 
     spans_ds = _spans_dataset(sf_dir)
@@ -878,19 +895,7 @@ def extract_order_generic(sf_dir: str):
         for did, _k, _t, _r, offs in iter_span_lists(batch):
             xb = np.asarray(offs, dtype=np.int64) % 1000
             flags[did] = len(offs) > 0 and int(xb.min()) >= 350
-        out = extract_batch(batch)
-        rows = {k: [] for k in ("doc_id", "span_order", "kind", "media_ref", "text_md5")}
-        errors = out.column("error").to_pylist()
-        for i, did, kinds, texts, refs, orders in _explode_out_spans(out):
-            if not flags.get(did) or errors[i] != "":
-                continue
-            for k, tx, r, o in zip(kinds, texts, refs, orders):
-                rows["doc_id"].append(did)
-                rows["span_order"].append(int(o))
-                rows["kind"].append(k)
-                rows["media_ref"].append(r)
-                rows["text_md5"].append(hashlib.md5(tx.encode("utf-8")).hexdigest())
-        return pa.Table.from_pydict(rows, schema=_ORDER_CHECK_SCHEMA)
+        return _order_check_table(extract_batch(batch), flags)
 
     return spans_ds.map_batches(check_batch, batch_format="pyarrow")
 
@@ -910,17 +915,14 @@ def extract_order_banded(sf_dir: str):
     Verified at sf0.01: all 500 docs x 4402 spans match, 2-col included.
     Subsumes extract_order_generic (kept: simpler SQL, defense in depth).
     """
-    import hashlib
     import re as _re
 
+    from .doclogic.formats import banding_probe_pattern
     from .stages.extract_stage import extract_batch, iter_span_lists
 
-    probe_re = _re.compile(
-        "nature.*nanotechnology|nature.*communications"
-        "|journal.*antimicrobial.*chemotherapy"
-        "|jsm nanotechnology|scimed.*central"
-        "|elsevier|sciencedirect|computational.*structural.*biotechnology"
-    )
+    # the SAME compiled source as banding_format and the SQL oracle —
+    # never a hand-copied pattern (drift would desync the two sides)
+    probe_re = _re.compile(banding_probe_pattern())
     spans_ds = _spans_dataset(sf_dir)
 
     def check_batch(batch: pa.Table) -> pa.Table:
@@ -929,19 +931,7 @@ def extract_order_banded(sf_dir: str):
             page1 = np.asarray(offs, dtype=np.int64) // 1_000_000 == 1
             hit = any(probe_re.search(t.lower()) for t, p in zip(texts, page1) if p)
             flags[did] = len(offs) > 0 and not hit
-        out = extract_batch(batch)
-        rows = {k: [] for k in ("doc_id", "span_order", "kind", "media_ref", "text_md5")}
-        errors = out.column("error").to_pylist()
-        for i, did, kinds, texts, refs, orders in _explode_out_spans(out):
-            if not flags.get(did) or errors[i] != "":
-                continue
-            for k, tx, r, o in zip(kinds, texts, refs, orders):
-                rows["doc_id"].append(did)
-                rows["span_order"].append(int(o))
-                rows["kind"].append(k)
-                rows["media_ref"].append(r)
-                rows["text_md5"].append(hashlib.md5(tx.encode("utf-8")).hexdigest())
-        return pa.Table.from_pydict(rows, schema=_ORDER_CHECK_SCHEMA)
+        return _order_check_table(extract_batch(batch), flags)
 
     return spans_ds.map_batches(check_batch, batch_format="pyarrow")
 

@@ -186,17 +186,14 @@ def minhash_lsh_pairs(
     return _verify_pairs_join(docs, cand, k=k, threshold=threshold)
 
 
-_SIDE_SCHEMA = pa.schema(
-    [
-        ("doc_a", pa.int64()),
-        ("doc_b", pa.int64()),
-        ("slot", pa.int8()),
-        ("sh", pa.binary()),
-    ]
-)
-_PAIR_SCHEMA = pa.schema(
-    [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]
-)
+def _side_schema(id_type: pa.DataType) -> pa.Schema:
+    return pa.schema(
+        [("doc_a", id_type), ("doc_b", id_type), ("slot", pa.int8()), ("sh", pa.binary())]
+    )
+
+
+def _pair_schema(id_type: pa.DataType) -> pa.Schema:
+    return pa.schema([("doc_a", id_type), ("doc_b", id_type), ("jaccard", pa.float64())])
 
 
 def _verify_pairs_join(
@@ -223,14 +220,18 @@ def _verify_pairs_join(
     """
     from ..relational import _bucket_of
 
+    # doc ids keep their NATIVE dtype end-to-end (int64 testdata, string
+    # extraction output): the bucket hash, union schema and output schemas
+    # are all derived from it, never cast. Docs rows are marked by
+    # slot == -1 (doc_a/doc_b carry the row's own id as a typed filler).
     def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
         return pd.DataFrame(
             {
-                "key": df["doc_id"].astype("int64"),
+                "key": df["doc_id"].values,
                 "text": df["text"].astype(object),
-                "doc_a": np.full(n, -1, dtype=np.int64),
-                "doc_b": np.full(n, -1, dtype=np.int64),
+                "doc_a": df["doc_id"].values,
+                "doc_b": df["doc_id"].values,
                 "slot": np.full(n, -1, dtype=np.int8),
             }
         )
@@ -239,15 +240,15 @@ def _verify_pairs_join(
         n = len(df)
         a = pd.DataFrame(
             {
-                "key": df["doc_a"].astype("int64"),
+                "key": df["doc_a"].values,
                 "text": np.full(n, "", dtype=object),
-                "doc_a": df["doc_a"].astype("int64"),
-                "doc_b": df["doc_b"].astype("int64"),
+                "doc_a": df["doc_a"].values,
+                "doc_b": df["doc_b"].values,
                 "slot": np.zeros(n, dtype=np.int8),
             }
         )
         b = a.copy()
-        b["key"] = df["doc_b"].astype("int64").values
+        b["key"] = df["doc_b"].values
         b["slot"] = np.ones(n, dtype=np.int8)
         return pd.concat([a, b], ignore_index=True)
 
@@ -269,11 +270,12 @@ def _verify_pairs_join(
         return df
 
     def attach_shingles(g: pd.DataFrame) -> pa.Table:
+        id_type = pa.array(g["key"].head(1)).type  # groups are never empty
         # candidate pairs may arrive multiply (one row per LSH band hit) —
         # shingle and ship each (pair, slot) once
         side = g[g["slot"] >= 0].drop_duplicates(["doc_a", "doc_b", "slot"])
         if side.empty:
-            return _SIDE_SCHEMA.empty_table()
+            return _side_schema(id_type).empty_table()
         texts = dict(
             zip(g.loc[g["slot"] < 0, "key"].tolist(), g.loc[g["slot"] < 0, "text"].tolist())
         )
@@ -288,12 +290,12 @@ def _verify_pairs_join(
 
         return pa.Table.from_pydict(
             {
-                "doc_a": side["doc_a"].to_numpy(),
-                "doc_b": side["doc_b"].to_numpy(),
+                "doc_a": side["doc_a"].tolist(),
+                "doc_b": side["doc_b"].tolist(),
                 "slot": side["slot"].to_numpy(),
                 "sh": [sh(d) for d in side["key"].tolist()],
             },
-            schema=_SIDE_SCHEMA,
+            schema=_side_schema(id_type),
         )
 
     sides = (
@@ -308,6 +310,7 @@ def _verify_pairs_join(
         return df
 
     def verify(g: pd.DataFrame) -> pa.Table:
+        id_type = pa.array(g["doc_a"].head(1)).type
         out_a, out_b, out_j = [], [], []
         for (a, b), sub in g.groupby(["doc_a", "doc_b"], sort=False):
             if len(sub) < 2:
@@ -318,11 +321,12 @@ def _verify_pairs_join(
                 np.frombuffer(by_slot[1], dtype=np.uint64),
             )
             if j >= threshold:
-                out_a.append(int(a))
-                out_b.append(int(b))
+                out_a.append(a)
+                out_b.append(b)
                 out_j.append(round(j, 6))
         return pa.Table.from_pydict(
-            {"doc_a": out_a, "doc_b": out_b, "jaccard": out_j}, schema=_PAIR_SCHEMA
+            {"doc_a": out_a, "doc_b": out_b, "jaccard": out_j},
+            schema=_pair_schema(id_type),
         )
 
     return (

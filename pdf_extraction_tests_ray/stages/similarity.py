@@ -263,6 +263,8 @@ def train_ivf_centroids(
     reach the driver — the sample stays the small side at 10^12 vectors,
     unlike a fixed modulus whose sample grows O(corpus)."""
     n_total = emb.count()
+    if n_total == 0:
+        raise ValueError("cannot train IVF centroids on an empty dataset")
     mod = max(1, -(-int(n_total) // train_sample_budget))  # ceil div
     sample = []
     for b in emb.map_batches(
@@ -270,6 +272,11 @@ def train_ivf_centroids(
     ).iter_batches(batch_size=4096, batch_format="pandas"):
         if len(b):
             sample.append(_norm_rows(_as_matrix(b["embedding"])))
+    if not sample:
+        # non-dense / offset vec_ids can miss the modulus entirely —
+        # fall back to the first `budget` rows (still bounded)
+        head = emb.limit(train_sample_budget).to_pandas()
+        sample = [_norm_rows(_as_matrix(head["embedding"]))]
     sample = np.concatenate(sample)
     return _train_centroids(sample, min(n_centroids, len(sample)))
 

@@ -75,7 +75,16 @@ def run_partitioned(
     if fragmented:
         from ..pipelines.extraction import extract_dataset_fragmented
 
-        extract_kwargs.pop("split_threshold", None)  # fragment path has no split
+        # the fragment path supersedes the split (everything fragments)
+        if extract_kwargs.pop("split_threshold", None) is not None:
+            raise ValueError("fragmented=True already fragments every doc; drop split_threshold")
+        supported = {"cleaning_method", "pages_per_fragment", "num_buckets"}
+        unsupported = set(extract_kwargs) - supported
+        if unsupported:  # fail loudly instead of silently dropping knobs
+            raise ValueError(
+                f"fragmented mode does not take {sorted(unsupported)}; "
+                f"supported: {sorted(supported)}"
+            )
         pipeline_fn = lambda d: extract_dataset_fragmented(d, **extract_kwargs)  # noqa: E731
     else:
         pipeline_fn = lambda d: extract_dataset(d, **extract_kwargs)  # noqa: E731

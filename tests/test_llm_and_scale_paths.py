@@ -133,6 +133,26 @@ def test_duplicate_keep_map_is_duplicates_only():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_minhash_join_handles_string_doc_ids():
+    """The verify join must work over extraction-output-style STRING ids
+    (doc ids keep their native dtype through the join)."""
+    import ray
+
+    from pdf_extraction_tests_ray.stages.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today " * 6
+    rows = [
+        {"doc_id": "doc-00000001-r0", "text": base},
+        {"doc_id": "doc-00000002-r0", "text": base},  # exact dup
+        {"doc_id": "doc-00000003-r0", "text": "completely different text about nothing at all " * 8},
+    ]
+    pairs = minhash_lsh_pairs(ray.data.from_items(rows).repartition(2), threshold=0.6).to_pandas()
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert ("doc-00000001-r0", "doc-00000002-r0") in got
+    assert pairs["doc_a"].dtype == object  # ids stayed strings
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_minhash_verification_bucketed_join():
     """minhash_lsh_pairs verifies candidates via the bucketed hash join
     (no driver text materialization): exact duplicates must surface with
