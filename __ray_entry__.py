@@ -253,6 +253,11 @@ def oracle_sql() -> dict[str, str]:
               ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
             GROUP BY b.label
         """,
+        "q_events_distinct_users": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events GROUP BY event_type
+        """,
         "doc_hash_sample": """
             SELECT doc_id, lang, n_chars
             FROM documents
@@ -639,7 +644,9 @@ def oracle_sql() -> dict[str, str]:
         # blake2b-based signatures), knn_lsh / knn_ivf (seeded-RNG
         # approximate probing), doc_pack_sequences (greedy stateful scan —
         # its token/doc conservation IS oracled via doc_pack_group_totals),
-        # extract_flagship / extract_spans_flat (full structural output —
-        # the order + scalar invariants ARE oracled via
-        # extract_order_generic / extract_doc_scalars).
+        # q_events_approx_distinct_users (blake2b HLL sketch — its <5%
+        # error bound vs the ORACLED exact q_events_distinct_users is
+        # pinned in tests), extract_flagship / extract_spans_flat (full
+        # structural output — the order + scalar invariants ARE oracled
+        # via extract_order_generic/banded / extract_doc_scalars).
     }

@@ -423,6 +423,25 @@ def q_topk_per_brand(sf_dir: str):
     )
 
 
+def q_events_distinct_users(sf_dir: str):
+    """Exact distinct users per event_type (combiner-dedupe + bucketed
+    distinct merge — the COUNT(DISTINCT) shuffle shape)."""
+    from .relational import grouped_distinct_count
+
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return grouped_distinct_count(ev, group="event_type", col="user_id")
+
+
+def q_events_approx_distinct_users(sf_dir: str):
+    """HyperLogLog distinct users per event_type (rows-only: blake2b
+    hashing is not SQL-expressible; the <5% error bound vs the exact
+    operator is pinned in tests)."""
+    from .relational import grouped_approx_distinct
+
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return grouped_approx_distinct(ev, group="event_type", col="user_id")
+
+
 def q_quantity_range_buckets(sf_dir: str):
     """Range join of lineitem quantity against broadcast bucket boundaries
     (np.digitize per batch — the small side never ships per row)."""
@@ -987,6 +1006,8 @@ QUERIES = {
     "q_events_sliding": q_events_sliding,
     "q_topk_per_brand": q_topk_per_brand,
     "q_quantity_range_buckets": q_quantity_range_buckets,
+    "q_events_distinct_users": q_events_distinct_users,
+    "q_events_approx_distinct_users": q_events_approx_distinct_users,
     "doc_hash_sample": doc_hash_sample,
     "doc_length_quantiles": doc_length_quantiles,
     "doc_decontaminate": doc_decontaminate,

@@ -381,6 +381,78 @@ def grouped_quantiles(
     )
 
 
+def grouped_distinct_count(
+    ds: "ray.data.Dataset", group: str, col: str, num_buckets: int = 64
+) -> "ray.data.Dataset":
+    """EXACT per-group distinct count, shuffle-minimal: per-batch
+    (group, value) dedupe (the combiner — repeated values never leave the
+    batch), bucketed dedupe-merge on the high-cardinality (group, value)
+    key, then per-bucket partial counts into a tiny final group merge.
+    Output: (group, n_distinct)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[group, col]].drop_duplicates()
+
+    distinct = bucketed_group_merge(
+        ds.map_batches(partial, batch_format="pandas"),
+        [group, col],
+        lambda df: df.drop_duplicates(),
+        num_buckets=num_buckets,
+    )
+
+    def cnt(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(group, sort=False).size().rename("n_distinct").reset_index()
+
+    from ray.data.aggregate import Sum
+
+    return (
+        distinct.map_batches(cnt, batch_format="pandas")
+        .groupby(group)
+        .aggregate(Sum("n_distinct", alias_name="n_distinct"))
+    )
+
+
+def grouped_approx_distinct(
+    ds: "ray.data.Dataset", group: str, col: str, p: int = 12
+) -> "ray.data.Dataset":
+    """APPROXIMATE per-group distinct count via mergeable HyperLogLog
+    sketches (functions.sketches): each batch folds its rows into one
+    2^p-register sketch per group (the batch's row count never leaves the
+    task — only #groups x 2^p bytes), registers merge by elementwise max
+    (associative -> any combine order gives the identical sketch), and the
+    estimate is read once per group. ~1.6% standard error at p=12; the
+    scale path when the exact operator's distinct-pairs shuffle is itself
+    too large. Output: (group, approx_distinct: int64)."""
+    from .functions import sketches as SK
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        groups, regs = [], []
+        for g, sub in df.groupby(group, sort=False):
+            reg = SK.hll_empty(p)
+            SK.hll_add(reg, sub[col].tolist())
+            groups.append(g)
+            regs.append(reg.tobytes())
+        return pd.DataFrame({group: groups, "_reg": regs})
+
+    def merge(gdf: pd.DataFrame) -> pd.DataFrame:
+        out_g, out_n = [], []
+        for g, sub in gdf.groupby(group, sort=False):
+            reg = SK.hll_empty(p)
+            for b in sub["_reg"].tolist():
+                reg = SK.hll_merge(reg, np.frombuffer(b, dtype=np.uint8))
+            out_g.append(g)
+            out_n.append(int(round(SK.hll_estimate(reg))))
+        return pd.DataFrame({group: out_g, "approx_distinct": out_n})
+
+    # group keys are low-cardinality by construction (one sketch per group
+    # per batch) -> a direct groupby is the right shuffle here
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(group)
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def to_small_pandas(ds: "ray.data.Dataset") -> pd.DataFrame:
     """Materialize a SMALL dataset (dimension table / final aggregate)."""
     return ds.to_pandas()

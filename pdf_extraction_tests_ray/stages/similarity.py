@@ -266,18 +266,23 @@ def train_ivf_centroids(
     if n_total == 0:
         raise ValueError("cannot train IVF centroids on an empty dataset")
     mod = max(1, -(-int(n_total) // train_sample_budget))  # ceil div
-    sample = []
+    ids, rows = [], []
     for b in emb.map_batches(
         lambda df: df[df["vec_id"] % mod == 0], batch_format="pandas"
     ).iter_batches(batch_size=4096, batch_format="pandas"):
         if len(b):
-            sample.append(_norm_rows(_as_matrix(b["embedding"])))
-    if not sample:
+            ids.append(b["vec_id"].to_numpy())
+            rows.append(_norm_rows(_as_matrix(b["embedding"])))
+    if not rows:
         # non-dense / offset vec_ids can miss the modulus entirely —
         # fall back to the first `budget` rows (still bounded)
         head = emb.limit(train_sample_budget).to_pandas()
-        sample = [_norm_rows(_as_matrix(head["embedding"]))]
-    sample = np.concatenate(sample)
+        ids = [head["vec_id"].to_numpy()]
+        rows = [_norm_rows(_as_matrix(head["embedding"]))]
+    sample = np.concatenate(rows)
+    # batch ARRIVAL order follows task completion and varies run to run;
+    # the farthest-point init is row-order sensitive -> canonicalize by id
+    sample = sample[np.argsort(np.concatenate(ids), kind="stable")]
     return _train_centroids(sample, min(n_centroids, len(sample)))
 
 

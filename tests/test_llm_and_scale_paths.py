@@ -259,6 +259,46 @@ def test_stratified_sample_deterministic_across_layouts():
 # skew-safe salted merge
 
 
+def test_hll_sketch_properties():
+    """Exact on small sets (linear counting), <5% error at 10k, and the
+    merge of split sketches equals the sketch of the union."""
+    import numpy as np
+
+    from pdf_extraction_tests_ray.functions import sketches as SK
+
+    small = [f"u{i}" for i in range(100)]
+    reg = SK.hll_add(SK.hll_empty(), small)
+    assert abs(SK.hll_estimate(reg) - 100) / 100 < 0.03
+
+    big = [f"user-{i}" for i in range(10_000)]
+    reg = SK.hll_add(SK.hll_empty(), big)
+    assert abs(SK.hll_estimate(reg) - 10_000) / 10_000 < 0.05
+
+    a = SK.hll_add(SK.hll_empty(), big[:6000])
+    b = SK.hll_add(SK.hll_empty(), big[4000:])  # overlapping halves
+    merged = SK.hll_merge(a, b)
+    assert np.array_equal(merged, reg)  # merge == sketch of the union
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_approx_distinct_within_error_of_exact():
+    import ray
+
+    from pdf_extraction_tests_ray.relational import (
+        grouped_approx_distinct,
+        grouped_distinct_count,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = ray.data.read_parquet(f"{sf}/events.parquet", columns=["event_type", "user_id"])
+    exact = grouped_distinct_count(ev, "event_type", "user_id").to_pandas()
+    approx = grouped_approx_distinct(ev, "event_type", "user_id").to_pandas()
+    m = exact.merge(approx, on="event_type")
+    assert len(m) == len(exact)
+    rel_err = (m["approx_distinct"] - m["n_distinct"]).abs() / m["n_distinct"]
+    assert (rel_err < 0.05).all(), rel_err.tolist()
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_new_aggregates_invariant_to_block_layout():
     """grouped_quantiles and top_terms must produce identical results

@@ -89,6 +89,7 @@ def _to_pandas(res):
         "q_events_sliding",
         "q_topk_per_brand",
         "q_quantity_range_buckets",
+        "q_events_distinct_users",
         "doc_hash_sample",
         "curation_pipeline",
         "doc_length_quantiles",
@@ -129,7 +130,14 @@ def test_query_matches_oracle(name, duck):
 @pytest.mark.usefixtures("ray_session")
 @pytest.mark.parametrize(
     "name",
-    ["dedup_minhash", "dedup_simhash", "knn_lsh", "knn_ivf", "doc_pack_sequences"],
+    [
+        "dedup_minhash",
+        "dedup_simhash",
+        "knn_lsh",
+        "knn_ivf",
+        "doc_pack_sequences",
+        "q_events_approx_distinct_users",
+    ],
 )
 def test_rows_only_queries_run(name):
     import __ray_entry__ as entrymod
