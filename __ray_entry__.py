@@ -111,6 +111,58 @@ def oracle_sql() -> dict[str, str]:
             dump_extract_input("/root/testdata/sf0.01", dump_path)
         except FileNotFoundError:
             pass  # testdata absent: extraction oracles will error, others run
+
+    # data-mixing quotas: derived from the SAME constants + apportionment
+    # code as the Ray operator, inlined as a VALUES list
+    from pdf_extraction_tests_ray.queries import MIX_TOTAL, MIX_WEIGHTS
+    from pdf_extraction_tests_ray.stages.curation import apportion_quotas
+
+    _MIX_QUOTAS = ", ".join(
+        f"('{s}', {q})" for s, q in sorted(apportion_quotas(MIX_WEIGHTS, MIX_TOTAL).items())
+    )
+
+    # shared by doc_top_terms (exact) and doc_top_terms_approx (Misra-
+    # Gries at capacity >= vocabulary, where the sketch is exact)
+    _TOP_TERMS_SQL = f"""
+            SELECT source, word, n FROM (
+              SELECT source, word, n,
+                     row_number() OVER (
+                       PARTITION BY source ORDER BY n DESC, word
+                     ) AS rn
+              FROM (
+                SELECT source, word, count(*) AS n FROM (
+                  SELECT source,
+                         unnest(string_split({_NORM}, ' ')) AS word
+                  FROM documents
+                ) WHERE word <> ''
+                GROUP BY source, word
+              )
+            ) WHERE rn <= 5
+        """
+    # shared by doc_decontaminate (set membership) and
+    # doc_decontaminate_bloom (Bloom broadcast, no fp at 64 bits/gram on
+    # the test corpora)
+    _DECONTAM_SQL = f"""
+            WITH g AS (
+              SELECT doc_id, lang, n_chars,
+                     list_distinct(list_transform(
+                       range(1, greatest(length(w) - 11, 1)),
+                       i -> array_to_string(w[i:i+12], ' '))) AS ng
+              FROM (SELECT doc_id, lang, n_chars,
+                           string_split({_NORM}, ' ') AS w
+                    FROM documents)
+            ), bench AS (
+              SELECT DISTINCT unnest(ng) AS t FROM g WHERE doc_id % 20 = 7
+            ), train AS (
+              SELECT * FROM g WHERE doc_id % 20 <> 7
+            ), contaminated AS (
+              SELECT DISTINCT x.doc_id
+              FROM (SELECT doc_id, unnest(ng) AS t FROM train) x
+              JOIN bench USING (t)
+            )
+            SELECT doc_id, lang, n_chars FROM train
+            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """
     return {
         # money aggregates use exact integer-cents sums (matching the Ray
         # side) so the result is independent of float summation order
@@ -312,27 +364,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         # word-13-gram overlap vs the doc_id%20==7 benchmark slice; grams
         # via inclusive list slices (w[i:i+12] is 13 words in DuckDB)
-        "doc_decontaminate": f"""
-            WITH g AS (
-              SELECT doc_id, lang, n_chars,
-                     list_distinct(list_transform(
-                       range(1, greatest(length(w) - 11, 1)),
-                       i -> array_to_string(w[i:i+12], ' '))) AS ng
-              FROM (SELECT doc_id, lang, n_chars,
-                           string_split({_NORM}, ' ') AS w
-                    FROM documents)
-            ), bench AS (
-              SELECT DISTINCT unnest(ng) AS t FROM g WHERE doc_id % 20 = 7
-            ), train AS (
-              SELECT * FROM g WHERE doc_id % 20 <> 7
-            ), contaminated AS (
-              SELECT DISTINCT x.doc_id
-              FROM (SELECT doc_id, unnest(ng) AS t FROM train) x
-              JOIN bench USING (t)
-            )
-            SELECT doc_id, lang, n_chars FROM train
-            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
-        """,
+        "doc_decontaminate": _DECONTAM_SQL,
+        # the Bloom path at 64 bits/gram has no false positive on the
+        # test corpora (verified at sf0.001/0.01/0.1) -> exact-equal to
+        # the set-membership operator; the over-drop-only containment
+        # property under deliberately small filters is pinned in tests
+        "doc_decontaminate_bloom": _DECONTAM_SQL,
         "doc_stratified_sample": """
             SELECT doc_id, lang FROM (
               SELECT doc_id, lang,
@@ -343,22 +380,23 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ) WHERE rn <= 20
         """,
-        "doc_top_terms": f"""
-            SELECT source, word, n FROM (
-              SELECT source, word, n,
+        "doc_weighted_mix": f"""
+            SELECT d.doc_id, d.lang, d.source FROM (
+              SELECT doc_id, lang, source,
                      row_number() OVER (
-                       PARTITION BY source ORDER BY n DESC, word
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR))
                      ) AS rn
-              FROM (
-                SELECT source, word, count(*) AS n FROM (
-                  SELECT source,
-                         unnest(string_split({_NORM}, ' ')) AS word
-                  FROM documents
-                ) WHERE word <> ''
-                GROUP BY source, word
-              )
-            ) WHERE rn <= 5
+              FROM documents
+            ) d JOIN (VALUES {_MIX_QUOTAS}) q(source, quota)
+              ON d.source = q.source AND d.rn <= q.quota
         """,
+        "doc_top_terms": _TOP_TERMS_SQL,
+        # the Misra-Gries path runs at capacity >= vocabulary, where the
+        # sketch is provably exact -> it must reproduce the exact
+        # operator's answer bit-for-bit (trimmed regime is pinned in
+        # tests/test_llm_and_scale_paths.py instead)
+        "doc_top_terms_approx": _TOP_TERMS_SQL,
         # the full curation chain as ONE CTE pipeline; stage order is part
         # of the check (dedup keepers chosen among quality survivors only;
         # decontamination last)
@@ -442,6 +480,15 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s_fr >= s_es THEN 'fr'
                         ELSE 'es' END AS predicted_lang
             FROM s
+        """,
+        "dedup_incremental": f"""
+            SELECT doc_id, lang, n_chars FROM (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (
+                       PARTITION BY md5({_NORM}) ORDER BY doc_id
+                     ) AS rn
+              FROM documents
+            ) WHERE rn = 1
         """,
         "dedup_jaccard_pairs": f"""
             WITH d AS (

@@ -1,10 +1,13 @@
-"""Mergeable cardinality sketches: HyperLogLog (dense, numpy registers).
+"""Mergeable / broadcastable sketches: HyperLogLog (cardinality),
+Misra-Gries (heavy hitters), Bloom filter (membership).
 
 The mergeable-sketch pattern at 100 TB: each batch folds its rows into a
-fixed-size register array, registers merge by elementwise max (associative
-+ commutative -> any shuffle/combine tree gives the identical sketch), and
-the estimate is read once at the end. Standard HLL with the bias-corrected
-estimator (Flajolet et al. 2007's small/large-range corrections).
+fixed-size summary, summaries merge associatively (any shuffle/combine
+tree gives a result within the sketch's bound), and the answer is read
+once at the end. HLL uses the bias-corrected estimator (Flajolet et al.
+2007's small/large-range corrections); Misra-Gries follows Agarwal et
+al.'s "Mergeable Summaries"; the Bloom filter is the bounded-size
+broadcast side for membership filters (one-sided error).
 
 Hashing: blake2b-8 of the UTF-8 repr — deterministic across processes and
 runs (never Python's salted hash()).
@@ -56,9 +59,80 @@ def hll_add(reg: np.ndarray, values) -> np.ndarray:
     return reg
 
 
+def mg_trim(counts: dict, capacity: int) -> dict:
+    """Misra-Gries reduction to <= capacity counters: subtract the
+    (capacity+1)-th largest count from every counter and drop the
+    non-positive ones. Each trim undercounts every surviving key by its
+    subtrahend; summed over any merge tree the total undercount is at
+    most n/(capacity+1) (Agarwal et al., "Mergeable Summaries"). With
+    capacity >= #distinct keys no trim ever fires and counts are EXACT.
+    """
+    if len(counts) <= capacity:
+        return dict(counts)
+    vals = sorted(counts.values(), reverse=True)
+    sub = vals[capacity]
+    return {w: c - sub for w, c in counts.items() if c > sub}
+
+
+def mg_add(summary: dict, counts: dict, capacity: int) -> dict:
+    """Fold a (key -> count) batch into a Misra-Gries summary, keeping it
+    at <= capacity counters. Also the MERGE of two summaries (a summary
+    is itself a key->count map) — associative up to the shared bound."""
+    for w, c in counts.items():
+        summary[w] = summary.get(w, 0) + c
+    return mg_trim(summary, capacity)
+
+
 def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Register-wise max — associative and commutative by construction."""
     return np.maximum(a, b)
+
+
+def _hash_u64_pair(values) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit hashes per value (one blake2b-16 digest,
+    split) for double-hashing Bloom probes."""
+    h1 = np.empty(len(values), dtype=np.uint64)
+    h2 = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        d = hashlib.blake2b(repr(v).encode("utf-8"), digest_size=16).digest()
+        h1[i] = int.from_bytes(d[:8], "little")
+        h2[i] = int.from_bytes(d[8:], "little")
+    return h1, h2
+
+
+def bloom_build(items, bits_per_item: int = 64) -> tuple[np.ndarray, int, int]:
+    """Bloom filter over ``items``: returns (bit array as uint8, m bits,
+    k probes). k = round(ln 2 * bits_per_item) minimizes the false-
+    positive rate (~0.6185^bits_per_item: ~1e-13 at the default 64 bits/item — 8 bytes
+    per item, still ~12x smaller than broadcasting gram strings). False
+    positives only — a member is NEVER missed, so a decontamination
+    filter built on it can only over-drop, never leak benchmark text."""
+    n = max(1, len(items))
+    m = n * bits_per_item
+    k = max(1, int(round(0.6931 * bits_per_item)))
+    bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+    if len(items):
+        h1, h2 = _hash_u64_pair(items)
+        for i in range(k):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
+            np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64),
+                             np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+    return bits, m, k
+
+
+def bloom_contains(bits: np.ndarray, m: int, k: int, items) -> np.ndarray:
+    """Vectorized membership test: True where ALL k probe bits are set."""
+    if len(items) == 0:
+        return np.zeros(0, dtype=bool)
+    h1, h2 = _hash_u64_pair(items)
+    hit = np.ones(len(items), dtype=bool)
+    for i in range(k):
+        idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
+        byte = bits[(idx >> np.uint64(3)).astype(np.int64)]
+        hit &= (byte >> (idx & np.uint64(7)).astype(np.uint8)) & 1 > 0
+        if not hit.any():
+            break
+    return hit
 
 
 def hll_estimate(reg: np.ndarray) -> float:

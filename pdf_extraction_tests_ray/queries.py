@@ -538,6 +538,24 @@ def doc_decontaminate(sf_dir: str):
     )
 
 
+def doc_decontaminate_bloom(sf_dir: str):
+    """Decontamination through the Bloom-filter broadcast path (8
+    bytes/gram instead of gram strings). One-sided error: never leaks a
+    contaminated doc; at the 64-bits/gram default no false positive
+    occurs on the test corpora, so the driver oracle is the SAME SQL as
+    the exact operator (containment under deliberately small filters is
+    pinned in tests)."""
+    from .stages import curation as C
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars", "text"])
+    bench = docs.map_batches(lambda df: df[df["doc_id"] % 20 == 7], batch_format="pandas")
+    train = docs.map_batches(lambda df: df[df["doc_id"] % 20 != 7], batch_format="pandas")
+    bloom = C.benchmark_ngram_bloom(bench, n=13)
+    return C.decontaminate_bloom(train, bloom, n=13).select_columns(
+        ["doc_id", "lang", "n_chars"]
+    )
+
+
 def doc_stratified_sample(sf_dir: str):
     """Deterministic 20-per-lang stratified sample (md5(doc_id) rank)."""
     from .stages import curation as C
@@ -546,12 +564,40 @@ def doc_stratified_sample(sf_dir: str):
     return C.stratified_sample(docs, stratum="lang", k=20)
 
 
+# data-mixing targets for doc_weighted_mix: sources weighted 1..4 by index
+# residue, 120-doc budget. Module constants so the SQL oracle can derive
+# the IDENTICAL quotas via curation.apportion_quotas.
+MIX_WEIGHTS = {f"src{i}": float(i % 4 + 1) for i in range(20)}
+MIX_TOTAL = 120
+
+
+def doc_weighted_mix(sf_dir: str):
+    """Data mixing: deterministic source-weighted subsample hitting the
+    MIX_WEIGHTS domain distribution at a MIX_TOTAL doc budget (quota per
+    source by largest-remainder, docs ranked by md5(doc_id))."""
+    from .stages import curation as C
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+    return C.weighted_mix(docs, MIX_WEIGHTS, MIX_TOTAL)
+
+
 def doc_top_terms(sf_dir: str):
     """Top-5 most frequent normalized words per source."""
     from .stages import curation as C
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
     return C.top_terms(docs, group="source", k=5)
+
+
+def doc_top_terms_approx(sf_dir: str):
+    """Top-5 terms per source via mergeable Misra-Gries summaries. At the
+    default capacity (>= vocabulary) the sketch is provably exact, so the
+    driver oracle is the SAME SQL as doc_top_terms; the trimmed
+    (genuinely approximate) regime is pinned separately in tests."""
+    from .stages import curation as C
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    return C.top_terms_approx(docs, group="source", k=5)
 
 
 def doc_length_quantiles(sf_dir: str):
@@ -659,6 +705,27 @@ def dedup_exact_apply(sf_dir: str):
     min doc_id per normalized text), via broadcast keep-list semi-join."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars", "text"])
     return D.apply_exact_dedup(ds).select_columns(["doc_id", "lang", "n_chars"])
+
+
+def dedup_incremental(sf_dir: str):
+    """Cross-job incremental dedup: the corpus arrives as two sequential
+    crawl shards (doc_id below / at-or-above the midpoint), each deduped
+    against — and folded into — a shared sharded index actor pool
+    (state/dedup_index, the engine's one raw-actor surface). Each job's
+    survivors are committed (materialized) before the next job starts,
+    which is the incremental contract; under it the union of survivors
+    equals global keep-first exact dedup, so a plain ROW_NUMBER() oracle
+    checks the whole actor path."""
+    from .state.dedup_index import DedupIndex, incremental_dedup
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars", "text"])
+    mid = docs.count() // 2  # parquet metadata only — no scan
+    index = DedupIndex(num_shards=4)
+    shard1 = docs.map_batches(lambda df: df[df["doc_id"] < mid], batch_format="pandas")
+    shard2 = docs.map_batches(lambda df: df[df["doc_id"] >= mid], batch_format="pandas")
+    out1 = incremental_dedup(index, shard1).materialize()  # job 1 commits
+    out2 = incremental_dedup(index, shard2).materialize()  # then job 2 runs
+    return out1.union(out2)
 
 
 def dedup_jaccard_pairs(sf_dir: str):
@@ -1011,8 +1078,11 @@ QUERIES = {
     "doc_hash_sample": doc_hash_sample,
     "doc_length_quantiles": doc_length_quantiles,
     "doc_decontaminate": doc_decontaminate,
+    "doc_decontaminate_bloom": doc_decontaminate_bloom,
     "doc_stratified_sample": doc_stratified_sample,
+    "doc_weighted_mix": doc_weighted_mix,
     "doc_top_terms": doc_top_terms,
+    "doc_top_terms_approx": doc_top_terms_approx,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_pack_group_totals": doc_pack_group_totals,
     "curation_pipeline": curation_pipeline,
@@ -1023,6 +1093,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "dedup_exact": dedup_exact,
     "dedup_exact_apply": dedup_exact_apply,
+    "dedup_incremental": dedup_incremental,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_ngram3_jaccard_pairs": dedup_ngram3_jaccard_pairs,
     "dedup_minhash": dedup_minhash,

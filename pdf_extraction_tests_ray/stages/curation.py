@@ -88,6 +88,55 @@ def decontaminate(
     )
 
 
+def benchmark_ngram_bloom(bench: "ray.data.Dataset", n: int = 13, bits_per_item: int = 64):
+    """Bloom filter of the benchmark's distinct word-n-grams — the scale
+    path of :func:`collect_benchmark_ngrams`: the broadcast side shrinks
+    from a frozenset of ~100-byte gram strings to 8 bytes/gram of bits
+    (~12x), and train-side membership becomes vectorized integer probes
+    instead of Python set lookups. One-sided error: a benchmark gram is
+    NEVER missed (no contamination can leak); a false positive (~1e-13 at
+    64 bits/item) can only over-drop a clean train doc.
+
+    Returns (bits, m, k) for :func:`decontaminate_bloom`."""
+    from ..functions import sketches as SK
+
+    grams = collect_benchmark_ngrams(bench, n)
+    return SK.bloom_build(sorted(grams), bits_per_item)
+
+
+def decontaminate_bloom(
+    train: "ray.data.Dataset", bloom, n: int = 13
+) -> "ray.data.Dataset":
+    """GPT-3-style 13-gram decontamination against a broadcast Bloom
+    filter (see :func:`benchmark_ngram_bloom`). Same streaming no-shuffle
+    shape as :func:`decontaminate`; drops a superset (in the fp sense) of
+    the exact filter's drops."""
+    from ..functions import sketches as SK
+
+    bits, m, k = bloom
+    ref = ray.put(bits)
+
+    class Filter:
+        def __init__(self, ref, m, k, n):
+            self.bits = ray.get(ref)
+            self.m, self.k, self.n = m, k, n
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            keep = np.ones(len(df), dtype=bool)
+            for i, t in enumerate(df["text"].tolist()):
+                grams = sorted(T.word_ngrams(t, self.n))
+                if grams and SK.bloom_contains(self.bits, self.m, self.k, grams).any():
+                    keep[i] = False
+            return df[keep]
+
+    return train.map_batches(
+        Filter,
+        fn_constructor_kwargs={"ref": ref, "m": m, "k": k, "n": n},
+        batch_format="pandas",
+        concurrency=(1, pool_max()),
+    )
+
+
 def stratified_sample(
     docs: "ray.data.Dataset", stratum: str, k: int
 ) -> "ray.data.Dataset":
@@ -110,6 +159,117 @@ def stratified_sample(
         k=k,
     )
     return out.drop_columns(["_h"])
+
+
+def top_terms_approx(
+    docs: "ray.data.Dataset",
+    group: str = "source",
+    k: int = 5,
+    capacity: int = 1024,
+) -> "ray.data.Dataset":
+    """Top-k terms per group via MERGEABLE Misra-Gries summaries
+    (functions.sketches.mg_add/mg_trim) — the heavy-hitters scale path
+    when even the (group, word) distinct-count shuffle of
+    :func:`top_terms` is too large: each batch ships at most ``capacity``
+    counter rows per group (vocabulary size never leaves the task), and
+    the merge is a LOW-cardinality ``groupby(group)`` over bounded rows
+    (<= capacity x blocks per group).
+
+    Guarantee: per-key undercount <= n_group/(capacity+1) over any merge
+    tree; with capacity >= the group's distinct-word count no trim ever
+    fires and the output is EXACTLY :func:`top_terms` — which is how the
+    driver oracle checks this path (same SQL as the exact operator at the
+    default capacity). Ties: count desc, word asc, like the exact twin.
+    """
+    from ..functions import sketches as SK
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out_g, out_w, out_n = [], [], []
+        for g, sub in df.groupby(group, sort=False):
+            counts: dict = {}
+            for t in sub["text"].tolist():
+                for w in T.normalize_text(t).split(" "):
+                    if w:
+                        counts[w] = counts.get(w, 0) + 1
+            counts = SK.mg_trim(counts, capacity)
+            out_g.extend([g] * len(counts))
+            out_w.extend(counts.keys())
+            out_n.extend(counts.values())
+        return pd.DataFrame({group: out_g, "word": out_w, "n": out_n})
+
+    def merge(gdf: pd.DataFrame) -> pd.DataFrame:
+        summary: dict = {}
+        for w, c in zip(gdf["word"].tolist(), gdf["n"].tolist()):
+            summary[w] = summary.get(w, 0) + int(c)
+        summary = SK.mg_trim(summary, capacity)
+        top = sorted(summary.items(), key=lambda wc: (-wc[1], wc[0]))[:k]
+        g = gdf[group].iloc[0]
+        return pd.DataFrame(
+            {group: [g] * len(top), "word": [w for w, _ in top], "n": [c for _, c in top]}
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby(group)
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def apportion_quotas(weights: dict, total: int) -> dict:
+    """Largest-remainder apportionment of ``total`` slots over ``weights``
+    — deterministic (remainder ties broken by key), sums exactly to
+    ``total``. Shared by the Ray operator and the SQL oracle so quota
+    math can never diverge between them."""
+    import math
+
+    wsum = float(sum(weights.values()))
+    raw = {s: total * w / wsum for s, w in weights.items()}
+    base = {s: int(math.floor(r)) for s, r in raw.items()}
+    rem = total - sum(base.values())
+    order = sorted(weights, key=lambda s: (-(raw[s] - base[s]), s))
+    for s in order[:rem]:
+        base[s] += 1
+    return base
+
+
+def weighted_mix(
+    docs: "ray.data.Dataset", weights: dict, total: int, source_col: str = "source"
+) -> "ray.data.Dataset":
+    """Deterministic source-weighted subsample — the data-MIXING step of a
+    training pipeline: hit a target domain distribution (``weights``) at a
+    target budget (``total`` docs) by taking each source's quota of docs
+    with the smallest md5(doc_id) rank (the same engine-portable rank as
+    :func:`stratified_sample`; DuckDB computes the identical key).
+
+    Scale shape: quotas are computed driver-side from the weights alone
+    (no data pass) and closed over as a tiny dict; each batch keeps at
+    most quota rows per source (combiner), and the final per-source trim
+    is a low-cardinality ``groupby(source)`` — the shuffle moves at most
+    quota rows per (source, block). Sources absent from ``weights`` get
+    quota 0 and are dropped at the batch filter, before any shuffle."""
+    quotas = apportion_quotas(weights, total)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[source_col].isin(quotas)].copy()
+        if df.empty:
+            return df.assign(_h=pd.Series(dtype=str))
+        df["_h"] = [
+            hashlib.md5(str(d).encode("utf-8")).hexdigest() for d in df["doc_id"].tolist()
+        ]
+        df = df.sort_values("_h", kind="stable")
+        keep = df.groupby(source_col, sort=False).cumcount() < df[source_col].map(quotas)
+        return df[keep.to_numpy()]
+
+    def trim(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("_h", kind="stable")
+        q = quotas[g[source_col].iloc[0]]
+        return g.head(q).drop(columns=["_h"])
+
+    return (
+        docs.map_batches(partial, batch_format="pandas")
+        .groupby(source_col)
+        .map_groups(trim, batch_format="pandas")
+    )
 
 
 def top_terms(

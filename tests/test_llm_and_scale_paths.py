@@ -132,6 +132,229 @@ def test_duplicate_keep_map_is_duplicates_only():
     assert duplicate_keep_map(clean) == {}
 
 
+def test_bloom_filter_one_sided():
+    """No false negatives ever; false positives rare and one-sided."""
+    import numpy as np
+
+    from pdf_extraction_tests_ray.functions import sketches as SK
+
+    members = [f"gram number {i} with some words" for i in range(5000)]
+    bits, m, k = SK.bloom_build(members, bits_per_item=16)
+    assert SK.bloom_contains(bits, m, k, members).all()  # never miss a member
+    probes = [f"other gram {i} entirely" for i in range(20000)]
+    fp = int(SK.bloom_contains(bits, m, k, probes).sum())
+    assert fp <= 20  # ~0.6185^16 = 5e-4 -> expect ~10; generous ceiling
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decontaminate_bloom_containment():
+    """Bloom decontamination may only OVER-drop relative to the exact set
+    filter (one-sided error), and at the 64-bit default it matches the
+    exact output on the test corpus."""
+    import ray
+
+    from pdf_extraction_tests_ray.stages.curation import (
+        benchmark_ngram_bloom,
+        collect_benchmark_ngrams,
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    bench_phrase = " ".join(f"held out token {j}" for j in range(4))[:200]  # >=13 words
+    rows = []
+    for i in range(60):
+        words = [f"w{i}x{j}" for j in range(20)]  # unique per doc: clean
+        text = " ".join(words)
+        if i % 10 == 3 or i % 7 == 0:  # bench docs + some contaminated train
+            text = text + " " + bench_phrase
+        rows.append({"doc_id": i, "text": text})
+    docs = ray.data.from_items(rows).repartition(4)
+    bench = docs.map_batches(lambda df: df[df["doc_id"] % 10 == 3], batch_format="pandas")
+    train = docs.map_batches(lambda df: df[df["doc_id"] % 10 != 3], batch_format="pandas")
+
+    grams = collect_benchmark_ngrams(bench, n=13)
+    exact = set(decontaminate(train, grams, n=13).to_pandas()["doc_id"])
+
+    kept64 = set(
+        decontaminate_bloom(train, benchmark_ngram_bloom(bench, n=13), n=13)
+        .to_pandas()["doc_id"]
+    )
+    assert kept64 == exact
+
+    # a deliberately tiny filter (2 bits/gram -> dense fp) may only shrink
+    # the kept set, never admit a contaminated doc
+    kept2 = set(
+        decontaminate_bloom(train, benchmark_ngram_bloom(bench, n=13, bits_per_item=2), n=13)
+        .to_pandas()["doc_id"]
+    )
+    assert kept2 <= exact
+
+
+def test_misra_gries_trim_bound():
+    """Trimmed summaries stay within the n/(capacity+1) undercount bound
+    and keep every true heavy hitter above that threshold."""
+    from pdf_extraction_tests_ray.functions import sketches as SK
+
+    true = {"a": 1000, "b": 500, "c": 60, "d": 40, "e": 30, "f": 20}
+    n = sum(true.values())
+    cap = 3
+    # fold in three arbitrary splits (a merge tree)
+    s: dict = {}
+    s = SK.mg_add(s, {"a": 400, "c": 60, "e": 30}, cap)
+    s = SK.mg_add(s, {"a": 600, "b": 100, "d": 40}, cap)
+    s = SK.mg_add(s, {"b": 400, "f": 20}, cap)
+    assert len(s) <= cap
+    bound = n / (cap + 1)
+    for w, est in s.items():
+        assert est <= true[w]  # MG never overcounts
+        assert true[w] - est <= bound
+    # keys with count > bound can never be evicted
+    assert "a" in s and "b" in s
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_top_terms_approx_exact_regime_and_trimmed_regime():
+    """capacity >= vocabulary -> bit-for-bit equal to the exact operator;
+    tiny capacity -> heavy hitter survives with bounded undercount."""
+    import ray
+
+    from pdf_extraction_tests_ray.stages.curation import top_terms, top_terms_approx
+
+    rows = []
+    words = ["alpha"] * 60 + ["beta"] * 25 + ["gamma"] * 8 + ["delta"] * 5 + ["eps"] * 2
+    for i in range(40):
+        chunk = words[(i * 5) % len(words):][:5] or ["alpha"]
+        rows.append({"doc_id": i, "source": f"s{i % 2}", "text": " ".join(chunk)})
+    ds = ray.data.from_items(rows).repartition(6)
+
+    exact = top_terms(ds, group="source", k=3).to_pandas()
+    approx = top_terms_approx(ds, group="source", k=3, capacity=1024).to_pandas()
+    key = ["source", "word"]
+    pd.testing.assert_frame_equal(
+        exact.sort_values(key).reset_index(drop=True),
+        approx.sort_values(key).reset_index(drop=True),
+    )
+
+    trimmed = top_terms_approx(ds, group="source", k=1, capacity=2).to_pandas()
+    for _, r in trimmed.iterrows():
+        true_n = exact[(exact["source"] == r["source"]) & (exact["word"] == r["word"])]
+        assert not true_n.empty  # the survivor is a true top term
+        n_group = sum(len(x["text"].split()) for x in rows if x["source"] == r["source"])
+        assert 0 < r["n"] <= true_n["n"].iloc[0]
+        assert true_n["n"].iloc[0] - r["n"] <= n_group / 3  # n/(cap+1)
+
+
+def test_apportion_quotas_exact_and_deterministic():
+    from pdf_extraction_tests_ray.stages.curation import apportion_quotas
+
+    q = apportion_quotas({"a": 1.0, "b": 1.0, "c": 1.0}, 100)
+    assert sum(q.values()) == 100
+    assert sorted(q.values()) == [33, 33, 34]
+    # remainder tie -> broken by key name: all remainders equal, first keys win
+    q2 = apportion_quotas({"x": 1.0, "y": 1.0, "z": 1.0, "w": 1.0}, 2)
+    assert q2 == {"w": 1, "x": 1, "y": 0, "z": 0}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_mix_hits_budget_and_layout_invariant():
+    """The mixing subsample hits the total budget with largest-remainder
+    quotas per source, drops unweighted sources before the shuffle, and is
+    invariant to block layout."""
+    import ray
+
+    from pdf_extraction_tests_ray.stages.curation import apportion_quotas, weighted_mix
+
+    rows = [
+        {"doc_id": i, "source": f"s{i % 5}", "lang": "en"} for i in range(200)
+    ]
+    weights = {"s0": 3.0, "s1": 1.0, "s2": 1.0}  # s3/s4 unweighted -> dropped
+    outs = []
+    for parts in (2, 11):
+        ds = ray.data.from_items(rows).repartition(parts)
+        out = weighted_mix(ds, weights, total=50).to_pandas()
+        outs.append(out.sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = outs[0]
+    assert len(got) == 50
+    counts = got["source"].value_counts().to_dict()
+    assert counts == apportion_quotas(weights, 50)
+    assert set(got["source"]) == {"s0", "s1", "s2"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_dedup_index():
+    """Two sequential crawl shards through the shared index actor pool:
+    survivors must equal global keep-first exact dedup (cross-shard dups
+    resolved to the earlier shard's keeper, within-shard dups to the min
+    doc_id), the index size must equal the distinct-text count, and a
+    snapshot/restore round trip must reject an already-seen shard."""
+    import ray
+
+    from pdf_extraction_tests_ray.state.dedup_index import DedupIndex, incremental_dedup
+
+    # texts: t0..t9 unique; t0 dup'd within shard1, t5 within shard2,
+    # t2/t7 duplicated ACROSS shards
+    rows = []
+    for i in range(10):
+        rows.append({"doc_id": i, "lang": "en", "n_chars": 10 + i, "text": f"text {i} body"})
+    rows.append({"doc_id": 40, "lang": "en", "n_chars": 99, "text": "text 0 body"})
+    for i in range(10, 20):
+        rows.append({"doc_id": 1000 + i, "lang": "de", "n_chars": i, "text": f"text {i} body"})
+    rows.append({"doc_id": 1500, "lang": "de", "n_chars": 99, "text": "text 15 body"})
+    rows.append({"doc_id": 1600, "lang": "de", "n_chars": 99, "text": "text 2 body"})
+    rows.append({"doc_id": 1700, "lang": "de", "n_chars": 99, "text": "text 7 body"})
+    df = pd.DataFrame(rows)
+
+    shard1 = ray.data.from_pandas(df[df["doc_id"] < 1000]).repartition(3)
+    shard2 = ray.data.from_pandas(df[df["doc_id"] >= 1000]).repartition(4)
+
+    index = DedupIndex(num_shards=3)
+    out1 = incremental_dedup(index, shard1).materialize()
+    out2 = incremental_dedup(index, shard2).materialize()
+
+    got = sorted(pd.concat([out1.to_pandas(), out2.to_pandas()])["doc_id"].tolist())
+    # keep-first: min doc_id per distinct text (shard1 ids < shard2 ids)
+    expect = sorted(
+        df.sort_values("doc_id").drop_duplicates("text", keep="first")["doc_id"].tolist()
+    )
+    assert got == expect
+    assert index.size() == df["text"].nunique()
+
+    # snapshot -> restore into a DIFFERENTLY-sharded index: an already-
+    # seen shard must produce zero survivors
+    snap = index.snapshot()
+    index2 = DedupIndex(num_shards=5)
+    index2.restore(snap)
+    assert index2.size() == df["text"].nunique()
+    again = incremental_dedup(index2, shard1).materialize()
+    assert again.count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_dedup_invariant_to_block_layout():
+    """Within-job pre-dedup makes the admit decision independent of batch
+    arrival order: different block layouts give identical survivors."""
+    import ray
+
+    from pdf_extraction_tests_ray.state.dedup_index import DedupIndex, incremental_dedup
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(50),
+            "lang": ["en"] * 50,
+            "n_chars": [7] * 50,
+            "text": [f"t {i % 13}" for i in range(50)],  # heavy duplication
+        }
+    )
+    outs = []
+    for parts in (1, 9):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        out = incremental_dedup(DedupIndex(num_shards=2), ds).materialize()
+        outs.append(out.to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert outs[0]["doc_id"].tolist() == list(range(13))  # min-id keepers
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_minhash_join_handles_string_doc_ids():
     """The verify join must work over extraction-output-style STRING ids

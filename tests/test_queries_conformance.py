@@ -78,6 +78,7 @@ def _to_pandas(res):
         "doc_pack_group_totals",
         "dedup_exact",
         "dedup_exact_apply",
+        "dedup_incremental",
         "dedup_jaccard_pairs",
         "dedup_ngram3_jaccard_pairs",
         "dedup_embedding_pairs",
@@ -91,6 +92,9 @@ def _to_pandas(res):
         "q_quantity_range_buckets",
         "q_events_distinct_users",
         "doc_hash_sample",
+        "doc_weighted_mix",
+        "doc_top_terms_approx",
+        "doc_decontaminate_bloom",
         "curation_pipeline",
         "doc_length_quantiles",
         "doc_decontaminate",
