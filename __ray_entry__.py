@@ -305,6 +305,17 @@ def oracle_sql() -> dict[str, str]:
               ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
             GROUP BY b.label
         """,
+        "q_price_quantiles": """
+            SELECT l_returnflag,
+                   quantile_disc(cents, 0.5) / 100.0 AS p50,
+                   quantile_disc(cents, 0.9) / 100.0 AS p90,
+                   quantile_disc(cents, 0.99) / 100.0 AS p99
+            FROM (
+              SELECT l_returnflag,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+              FROM lineitem
+            ) GROUP BY l_returnflag
+        """,
         "q_events_distinct_users": """
             SELECT event_type,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
@@ -688,12 +699,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Remaining rows-only entries, each genuinely non-SQL-expressible:
         # dedup_minhash / dedup_simhash (seeded hash-permutation /
-        # blake2b-based signatures), knn_lsh / knn_ivf (seeded-RNG
-        # approximate probing), doc_pack_sequences (greedy stateful scan —
+        # blake2b-based signatures), knn_lsh / knn_ivf / knn_ivf_indexed
+        # (seeded-RNG approximate probing; the indexed variant's parity
+        # with the prebuilt one is pinned in tests), doc_pack_sequences (greedy stateful scan —
         # its token/doc conservation IS oracled via doc_pack_group_totals),
         # q_events_approx_distinct_users (blake2b HLL sketch — its <5%
         # error bound vs the ORACLED exact q_events_distinct_users is
-        # pinned in tests), extract_flagship / extract_spans_flat (full
+        # pinned in tests), q_price_quantiles_tdigest (t-digest estimates
+        # — <1% of the ORACLED exact q_price_quantiles pinned in tests),
+        # extract_flagship / extract_spans_flat (full
         # structural output — the order + scalar invariants ARE oracled
         # via extract_order_generic/banded / extract_doc_scalars).
     }

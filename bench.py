@@ -43,7 +43,9 @@ QUERY_SUITE = [
     "q_user_sessions",
     "doc_quality",
     "doc_token_totals_by_lang",
+    "q_events_distinct_users",
     "dedup_exact",
+    "dedup_incremental",
     "dedup_minhash",
     "dedup_simhash",
     "dedup_embedding_pairs",
@@ -52,7 +54,10 @@ QUERY_SUITE = [
     "knn_lsh",
     "knn_ivf",
     "doc_decontaminate",
+    "doc_decontaminate_bloom",
     "doc_top_terms",
+    "doc_top_terms_approx",
+    "doc_weighted_mix",
     "doc_stratified_sample",
     "curation_pipeline",
 ]
@@ -146,9 +151,10 @@ def run_bench() -> dict:
 
     # headline: read spans -> extract -> write (distributed sink).
     # best-of-2: single-run variance on this shared host is ~20%.
+    # (scaling mode sets GRAFT_BENCH_RUNS=1 and interleaves levels instead)
     out_dir = "/tmp/graft_bench_out"
     headline = None
-    for _ in range(2):
+    for _ in range(int(os.environ.get("GRAFT_BENCH_RUNS", "2"))):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
         ok, _ = split_quarantine(extract_dataset(read_spans(corpus_dir)))
@@ -184,6 +190,17 @@ def run_bench() -> dict:
     return result
 
 
+def _control_task(_):
+    """Raw-CPU unit of work for the host control measurement (module level
+    so multiprocessing can pickle it)."""
+    import re as _re
+
+    pat = _re.compile(r"(\w+)\s+(\d+)")
+    s = "word 123 other 456 " * 5000
+    for _ in range(150):
+        pat.findall(s)
+
+
 def run_scaling():
     def run(ncpu: int) -> dict:
         # headline only: the scaling criterion is about the flagship job;
@@ -203,12 +220,40 @@ def run_scaling():
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    def host_control(lo: int, hi: int) -> float:
+        """Raw-CPU lo->hi efficiency (plain multiprocessing regex work, no
+        Ray) measured the SAME hour — the silicon ceiling this shared host
+        offers right now. Engine efficiency should be read against it."""
+        import multiprocessing as mp
+        import re as _re
+
+        def tput(n: int) -> float:
+            t0 = time.perf_counter()
+            with mp.Pool(n) as p:
+                p.map(_control_task, range(n * 2))
+            return (n * 2) / (time.perf_counter() - t0)
+
+        tput(lo)  # warm the pool-fork path
+        return (tput(hi) / tput(lo)) / (hi / lo)
+
     pair = os.environ.get("GRAFT_SCALING_PAIR", "4,16")
     lo, hi = (int(x) for x in pair.split(","))
-    r_lo, r_hi = run(lo), run(hi)
+    # interleave levels across rounds (lo,hi,lo,hi) so slow host drift
+    # hits both levels equally instead of biasing whichever ran last;
+    # best throughput per level across rounds
+    rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "2"))
+    os.environ["GRAFT_BENCH_RUNS"] = "1"
+    r_lo = r_hi = None
+    for _ in range(rounds):
+        a, b = run(lo), run(hi)
+        if r_lo is None or a["value"] < r_lo["value"]:
+            r_lo = a
+        if r_hi is None or b["value"] < r_hi["value"]:
+            r_hi = b
     tput_lo = r_lo["n_docs"] / r_lo["value"]
     tput_hi = r_hi["n_docs"] / r_hi["value"]
     eff = (tput_hi / tput_lo) / (hi / lo)
+    control = host_control(lo, hi)
     print(
         json.dumps(
             {
@@ -218,6 +263,7 @@ def run_scaling():
                 f"docs_per_sec_{lo}": round(tput_lo, 2),
                 f"docs_per_sec_{hi}": round(tput_hi, 2),
                 "scaling_efficiency": round(eff, 3),
+                "host_control_efficiency": round(control, 3),
                 "sf": SF_DIR,
             }
         )

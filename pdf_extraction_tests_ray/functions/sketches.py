@@ -135,6 +135,80 @@ def bloom_contains(bits: np.ndarray, m: int, k: int, items) -> np.ndarray:
     return hit
 
 
+def tdigest_build(values: np.ndarray, delta: int = 200) -> np.ndarray:
+    """Build a t-digest from raw values: an (n_centroids, 2) array of
+    [mean, weight] rows, n_centroids <= ~2*delta. Dunning's merging
+    digest with the k1 scale function k(q) = (delta/2pi) asin(2q-1):
+    centroid width shrinks toward the tails, so tail quantiles are
+    tightest (the region that matters for p99-style corpus stats)."""
+    v = np.sort(np.asarray(values, dtype=np.float64))
+    if len(v) == 0:
+        return np.zeros((0, 2))
+    return _tdigest_compress(np.stack([v, np.ones(len(v))], axis=1), delta)
+
+
+def tdigest_merge(digests, delta: int = 200) -> np.ndarray:
+    """Merge digests: concatenate centroids, sort by mean (stable; ties
+    by weight for determinism given the same multiset of centroids), and
+    re-compress. NOTE: unlike the HLL registers, the result depends
+    (within the error bound) on how batches were cut — callers pin the
+    BOUND across layouts, not bit-equality."""
+    parts = [d for d in digests if len(d)]
+    if not parts:
+        return np.zeros((0, 2))
+    allc = np.concatenate(parts)
+    order = np.lexsort((allc[:, 1], allc[:, 0]))
+    return _tdigest_compress(allc[order], delta)
+
+
+def _tdigest_compress(cents: np.ndarray, delta: int) -> np.ndarray:
+    """Greedy left-to-right merge of mean-sorted centroids under the k1
+    size bound (k(q_hi) - k(q_lo) <= 1)."""
+    total = cents[:, 1].sum()
+
+    def k(q):
+        return (delta / (2.0 * np.pi)) * np.arcsin(np.clip(2.0 * q - 1.0, -1, 1))
+
+    out_m, out_w = [], []
+    cur_m, cur_w = cents[0, 0], cents[0, 1]
+    w_before = 0.0  # weight strictly before the current centroid
+    for m, w in cents[1:]:
+        q_lo = w_before / total
+        q_hi = (w_before + cur_w + w) / total
+        if k(q_hi) - k(q_lo) <= 1.0:
+            cur_m = (cur_m * cur_w + m * w) / (cur_w + w)
+            cur_w += w
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            w_before += cur_w
+            cur_m, cur_w = m, w
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.stack([np.array(out_m), np.array(out_w)], axis=1)
+
+
+def tdigest_quantile(cents: np.ndarray, q: float) -> float:
+    """Quantile estimate: linear interpolation between centroid means at
+    cumulative mid-weights (first/last centroid means cap the tails)."""
+    if len(cents) == 0:
+        return float("nan")
+    if len(cents) == 1:
+        return float(cents[0, 0])
+    w = cents[:, 1]
+    total = w.sum()
+    # cumulative weight at each centroid's midpoint
+    mid = np.cumsum(w) - w / 2.0
+    target = q * total
+    if target <= mid[0]:
+        return float(cents[0, 0])
+    if target >= mid[-1]:
+        return float(cents[-1, 0])
+    i = int(np.searchsorted(mid, target) - 1)
+    frac = (target - mid[i]) / (mid[i + 1] - mid[i])
+    return float(cents[i, 0] + frac * (cents[i + 1, 0] - cents[i, 0]))
+
+
 def hll_estimate(reg: np.ndarray) -> float:
     """Bias-corrected HLL estimate with small/large-range corrections."""
     m = float(len(reg))

@@ -484,6 +484,45 @@ def q_quantity_range_buckets(sf_dir: str):
     return agg.map_batches(finish, batch_format="pandas")
 
 
+def q_price_quantiles(sf_dir: str):
+    """Exact per-returnflag price quantiles: the continuous column is
+    quantized to integer CENTS (lossless for money), making the exact
+    mergeable-histogram operator applicable and the result
+    quantile_disc-oracle-able."""
+    from .relational import grouped_quantiles
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+
+    def to_cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "cents": df["l_extendedprice"].mul(100).round().astype("int64"),
+            }
+        )
+
+    out = grouped_quantiles(
+        ds.map_batches(to_cents, batch_format="pandas"),
+        group="l_returnflag",
+        col="cents",
+        qs=(0.5, 0.9, 0.99),
+    )
+    return out.map_batches(
+        lambda df: df.assign(**{c: df[c] / 100.0 for c in ("p50", "p90", "p99")}),
+        batch_format="pandas",
+    )
+
+
+def q_price_quantiles_tdigest(sf_dir: str):
+    """Approximate per-returnflag price quantiles over the RAW float
+    column via mergeable t-digests (rows-only: sketch estimates; the
+    error bound vs the exact cents operator is pinned in tests)."""
+    from .relational import grouped_quantiles_tdigest
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    return grouped_quantiles_tdigest(ds, "l_returnflag", "l_extendedprice")
+
+
 def doc_pack_sequences(sf_dir: str):
     """Greedy 2048-token sequence packing (rows-only: greedy packing is
     not SQL-expressible without recursive CTE gymnastics)."""
@@ -802,6 +841,26 @@ def knn_lsh(sf_dir: str):
     return S.knn_lsh(emb, _query_vec(sf_dir), k=10, exclude_vec_id=0)
 
 
+def knn_ivf_indexed(sf_dir: str):
+    """ANN over the PERSISTED cell-partitioned IVF index (build-once,
+    query-many): builds the index under /tmp on first use per sf, then
+    answers with a file-level partition-pruned read of the probed cells
+    only (rows-only: seeded k-means probing)."""
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = f"/tmp/graft_ivf_index_{tag}"
+    if not os.path.exists(idx + "/.done"):
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
+        emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        S.build_ivf_index(emb, idx, n_centroids=16)
+        with open(idx + "/.done", "w") as f:
+            f.write("ok")
+    return S.knn_ivf_index(idx, _query_vec(sf_dir), k=10, exclude_vec_id=0, nprobe=8)
+
+
 # --------------------------------------------------------------------------
 # flagship extraction over synthesized spans
 
@@ -1074,6 +1133,8 @@ QUERIES = {
     "q_topk_per_brand": q_topk_per_brand,
     "q_quantity_range_buckets": q_quantity_range_buckets,
     "q_events_distinct_users": q_events_distinct_users,
+    "q_price_quantiles": q_price_quantiles,
+    "q_price_quantiles_tdigest": q_price_quantiles_tdigest,
     "q_events_approx_distinct_users": q_events_approx_distinct_users,
     "doc_hash_sample": doc_hash_sample,
     "doc_length_quantiles": doc_length_quantiles,
@@ -1102,6 +1163,7 @@ QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_multi": knn_multi,
     "knn_lsh": knn_lsh,
+    "knn_ivf_indexed": knn_ivf_indexed,
     "knn_ivf": knn_ivf,
     "extract_flagship": extract_flagship,
     "extract_spans_flat": extract_spans_flat,

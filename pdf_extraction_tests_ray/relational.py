@@ -381,6 +381,51 @@ def grouped_quantiles(
     )
 
 
+def grouped_quantiles_tdigest(
+    ds: "ray.data.Dataset",
+    group: str,
+    col: str,
+    qs: tuple = (0.5, 0.9, 0.99),
+    delta: int = 200,
+) -> "ray.data.Dataset":
+    """APPROXIMATE per-group quantiles of a CONTINUOUS column via
+    mergeable t-digests (functions.sketches.tdigest_*) — the scale path
+    :func:`grouped_quantiles` documents: a float column with unbounded
+    distinct values would make the exact value-count histogram O(rows),
+    while a digest is <= ~2*delta centroids per (group, batch) regardless
+    of cardinality. Shuffle: one low-cardinality ``groupby(group)`` over
+    serialized digests. Estimates are within the digest bound (tightest
+    at the tails — k1 scale function); unlike the HLL path the bits
+    depend on batch boundaries, so tests pin the ERROR BOUND across
+    layouts, not bit-equality. Output: (group, p50, p90, ... float64)."""
+    from .functions import sketches as SK
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        groups, digs = [], []
+        for g, sub in df.groupby(group, sort=False):
+            d = SK.tdigest_build(sub[col].to_numpy(dtype=np.float64), delta)
+            groups.append(g)
+            digs.append(d.tobytes())
+        return pd.DataFrame({group: groups, "_dig": digs})
+
+    def merge(gdf: pd.DataFrame) -> pd.DataFrame:
+        digs = [
+            np.frombuffer(b, dtype=np.float64).reshape(-1, 2)
+            for b in gdf["_dig"].tolist()
+        ]
+        d = SK.tdigest_merge(digs, delta)
+        row = {group: [gdf[group].iloc[0]]}
+        for q in qs:
+            row[f"p{int(q * 100)}"] = [SK.tdigest_quantile(d, q)]
+        return pd.DataFrame(row)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(group)
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def grouped_distinct_count(
     ds: "ray.data.Dataset", group: str, col: str, num_buckets: int = 64
 ) -> "ray.data.Dataset":

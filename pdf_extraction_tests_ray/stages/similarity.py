@@ -366,6 +366,101 @@ def knn_ivf_prebuilt(
     )
 
 
+def build_ivf_index(
+    emb: "ray.data.Dataset",
+    index_dir: str,
+    n_centroids: int = 16,
+    train_sample_budget: int = 65536,
+) -> np.ndarray:
+    """PERSIST the IVF index: train centroids, assign every vector, write
+    the corpus CELL-PARTITIONED (``partition_cols=["cell"]`` -> one
+    directory per cell) plus the centroid matrix as a small parquet at
+    ``<index_dir>/_centroids.parquet``. Build once, serve many queries
+    via :func:`knn_ivf_index`, whose probe READ then touches only
+    nprobe/n_centroids of the files — the partition-pruned scan that
+    makes IVF pay off at corpus scale (the one-shot :func:`knn_ivf`
+    spends ~n_centroids x brute-force FLOPs per query instead)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cn = train_ivf_centroids(emb, n_centroids, train_sample_budget)
+    ivf_assign(emb, cn).write_parquet(index_dir, partition_cols=["cell"])
+    pq.write_table(
+        pa.table({"cell": list(range(len(cn))), "centroid": [r.tolist() for r in cn]}),
+        os.path.join(index_dir, "_centroids.parquet"),
+    )
+    return cn
+
+
+def knn_ivf_index(
+    index_dir: str,
+    query_vec,
+    k: int = 10,
+    exclude_vec_id=None,
+    nprobe: int = 8,
+) -> "ray.data.Dataset":
+    """ANN over a PERSISTED cell-partitioned IVF index
+    (:func:`build_ivf_index` output): read the centroid sidecar (tiny),
+    pick the ``nprobe`` nearest cells, and read ONLY those cells'
+    partition directories — the scan is pruned at the FILE level, so
+    query cost scales with nprobe/n_centroids of the corpus regardless
+    of corpus size. Inside the probed cells: exact local top-k per batch
+    + a k-row final reduce (same shape as :func:`knn_bruteforce`)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    ct = pq.read_table(os.path.join(index_dir, "_centroids.parquet"))
+    cells = ct.column("cell").to_pylist()
+    cn = _norm_rows(
+        np.asarray([np.asarray(v, dtype=np.float64) for v in ct.column("centroid").to_pylist()])
+    )
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    probe = [cells[i] for i in np.argsort(-(cn @ qn))[:nprobe]]
+    # partition-pruned read: only the probed cells' files (a path LIST is
+    # treated as files by read_parquet, so expand each cell dir)
+    import glob
+
+    paths = []
+    for c in sorted(probe):
+        paths.extend(
+            sorted(glob.glob(os.path.join(index_dir, f"cell={c}", "*.parquet")))
+        )
+    assigned = ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
+    ref = ray.put(qn)
+
+    class TopK:
+        def __init__(self, ref, k, exclude):
+            self.q = ray.get(ref)
+            self.k, self.exclude = k, exclude
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if self.exclude is not None:
+                df = df[df["vec_id"] != self.exclude]
+            if df.empty:
+                return pd.DataFrame({"vec_id": [], "cos_sim": []})
+            m = _norm_rows(_as_matrix(df["embedding"]))
+            sims = m @ self.q
+            ids = df["vec_id"].to_numpy()
+            order = np.lexsort((ids, -sims))[: self.k]
+            return pd.DataFrame({"vec_id": ids[order], "cos_sim": sims[order]})
+
+    local = assigned.map_batches(
+        TopK,
+        fn_constructor_kwargs={"ref": ref, "k": k, "exclude": exclude_vec_id},
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, pool_max()),
+    )
+    top = local.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
+    return top.map_batches(
+        lambda df: df.assign(cos_sim=np.round(df["cos_sim"], 6)), batch_format="pandas"
+    )
+
+
 def knn_ivf(
     emb: "ray.data.Dataset",
     query_vec,

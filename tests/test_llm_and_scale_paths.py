@@ -132,6 +132,107 @@ def test_duplicate_keep_map_is_duplicates_only():
     assert duplicate_keep_map(clean) == {}
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_persisted_index_partition_pruned(tmp_path):
+    """build_ivf_index writes a cell-partitioned index + centroid sidecar;
+    knn_ivf_index answers from ONLY the probed cells' files and matches
+    the in-memory prebuilt variant exactly."""
+    import os
+
+    import ray
+
+    from pdf_extraction_tests_ray.stages.similarity import (
+        build_ivf_index,
+        ivf_assign,
+        knn_ivf_index,
+        knn_ivf_prebuilt,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = ray.data.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx = str(tmp_path / "ivf_index")
+    cents = build_ivf_index(emb, idx, n_centroids=8)
+
+    n_cells = sum(1 for d in os.listdir(idx) if d.startswith("cell="))
+    assert n_cells == len(cents) or n_cells >= 2  # empty cells may collapse
+
+    import pyarrow.parquet as pq
+
+    qv = pq.read_table(f"{sf}/embeddings.parquet", filters=[("vec_id", "=", 0)])
+    q = qv.column("embedding")[0].as_py()
+
+    got = knn_ivf_index(idx, q, k=10, exclude_vec_id=0, nprobe=3).to_pandas()
+    assigned = ivf_assign(emb, cents)
+    want = knn_ivf_prebuilt(assigned, cents, q, k=10, exclude_vec_id=0, nprobe=3).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+
+    # file-level pruning: the probed read plan must reference only the
+    # nprobe nearest cells' directories, not the whole index
+    import numpy as np
+
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    qn = np.asarray(q) / np.linalg.norm(q)
+    probe = set(int(c) for c in np.argsort(-(cn @ qn))[:3])
+    import glob
+
+    files = []
+    for c in sorted(probe):
+        files.extend(sorted(glob.glob(os.path.join(idx, f"cell={c}", "*.parquet"))))
+    pruned = ray.data.read_parquet(files, columns=["vec_id"])
+    touched = {p.split("cell=")[1].split("/")[0] for p in pruned.input_files()}
+    assert touched <= {str(c) for c in probe}
+    assert len(touched) < n_cells
+
+
+def test_tdigest_accuracy_and_merge():
+    """Merged batch digests track true quantiles of a heavy-tailed
+    distribution (<1% through p99) with a bounded centroid count."""
+    import numpy as np
+
+    from pdf_extraction_tests_ray.functions import sketches as SK
+
+    rng = np.random.default_rng(7)
+    vals = rng.lognormal(3, 1, 100_000)
+    digs = [SK.tdigest_build(vals[i:i + 4096]) for i in range(0, len(vals), 4096)]
+    d = SK.tdigest_merge(digs)
+    assert len(d) <= 2 * 200  # bounded state regardless of cardinality
+    for q in (0.5, 0.9, 0.99):
+        est = SK.tdigest_quantile(d, q)
+        true = float(np.quantile(vals, q))
+        assert abs(est - true) / true < 0.01, (q, est, true)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_quantiles_tdigest_within_bound_of_exact():
+    """The t-digest operator stays within 1% of the exact cents-quantized
+    operator on the real lineitem column, under two block layouts."""
+    import ray
+
+    from pdf_extraction_tests_ray.queries import q_price_quantiles
+
+    sf = "/root/testdata/sf0.001"
+    exact = q_price_quantiles(sf).to_pandas().set_index("l_returnflag").sort_index()
+
+    from pdf_extraction_tests_ray.relational import grouped_quantiles_tdigest
+
+    for parts in (2, 16):
+        ds = ray.data.read_parquet(
+            f"{sf}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+        ).repartition(parts)
+        approx = (
+            grouped_quantiles_tdigest(ds, "l_returnflag", "l_extendedprice")
+            .to_pandas()
+            .set_index("l_returnflag")
+            .sort_index()
+        )
+        assert list(approx.index) == list(exact.index)
+        for c in ("p50", "p90", "p99"):
+            rel = (approx[c] - exact[c]).abs() / exact[c]
+            assert (rel < 0.01).all(), (parts, c, rel.tolist())
+
+
 def test_bloom_filter_one_sided():
     """No false negatives ever; false positives rare and one-sided."""
     import numpy as np

@@ -91,6 +91,7 @@ def _to_pandas(res):
         "q_topk_per_brand",
         "q_quantity_range_buckets",
         "q_events_distinct_users",
+        "q_price_quantiles",
         "doc_hash_sample",
         "doc_weighted_mix",
         "doc_top_terms_approx",
@@ -141,6 +142,8 @@ def test_query_matches_oracle(name, duck):
         "knn_ivf",
         "doc_pack_sequences",
         "q_events_approx_distinct_users",
+        "q_price_quantiles_tdigest",
+        "knn_ivf_indexed",
     ],
 )
 def test_rows_only_queries_run(name):
