@@ -305,6 +305,26 @@ def oracle_sql() -> dict[str, str]:
               ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
             GROUP BY b.label
         """,
+        "q_customers_without_orders": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+            FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT'
+            )
+            GROUP BY c_mktsegment
+        """,
+        "q_customers_with_urgent_orders": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+            FROM customer c
+            WHERE EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT'
+            )
+            GROUP BY c_mktsegment
+        """,
         "q_price_quantiles": """
             SELECT l_returnflag,
                    quantile_disc(cents, 0.5) / 100.0 AS p50,

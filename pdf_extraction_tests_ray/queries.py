@@ -484,6 +484,56 @@ def q_quantity_range_buckets(sf_dir: str):
     return agg.map_batches(finish, batch_format="pandas")
 
 
+def _segment_counts(ds):
+    """Per-mktsegment customer counts (partial + tiny groupby)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("c_mktsegment", sort=False)
+            .size()
+            .rename("n_customers")
+            .reset_index()
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n_customers", alias_name="n_customers"))
+    )
+
+
+def _urgent_custkeys(sf_dir: str):
+    return _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]).map_batches(
+        lambda df: df[df["o_orderpriority"] == "1-URGENT"][["o_custkey"]],
+        batch_format="pandas",
+    )
+
+
+def q_customers_without_orders(sf_dir: str):
+    """ANTI join (NOT EXISTS): customers with no 1-URGENT order, counted
+    per market segment — neither side broadcast (relational.anti_join's
+    one co-partitioning bucket shuffle; right side ships distinct keys).
+    Keyed on the urgent subset (every customer has >=1 order in the
+    testdata, so a plain orders anti join would be vacuously empty)."""
+    from .relational import anti_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    return _segment_counts(
+        anti_join(cust, _urgent_custkeys(sf_dir), on="c_custkey", right_on="o_custkey")
+    )
+
+
+def q_customers_with_urgent_orders(sf_dir: str):
+    """SEMI join (EXISTS): customers holding at least one 1-URGENT order,
+    counted per market segment (exact complement of the anti query)."""
+    from .relational import semi_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    return _segment_counts(
+        semi_join(cust, _urgent_custkeys(sf_dir), on="c_custkey", right_on="o_custkey")
+    )
+
+
 def q_price_quantiles(sf_dir: str):
     """Exact per-returnflag price quantiles: the continuous column is
     quantized to integer CENTS (lossless for money), making the exact
@@ -1133,6 +1183,8 @@ QUERIES = {
     "q_topk_per_brand": q_topk_per_brand,
     "q_quantity_range_buckets": q_quantity_range_buckets,
     "q_events_distinct_users": q_events_distinct_users,
+    "q_customers_without_orders": q_customers_without_orders,
+    "q_customers_with_urgent_orders": q_customers_with_urgent_orders,
     "q_price_quantiles": q_price_quantiles,
     "q_price_quantiles_tdigest": q_price_quantiles_tdigest,
     "q_events_approx_distinct_users": q_events_approx_distinct_users,

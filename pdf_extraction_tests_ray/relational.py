@@ -72,6 +72,92 @@ def hash_join(
     )
 
 
+def semi_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    right_on: str | None = None,
+    anti: bool = False,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Distributed SEMI (``anti=False``) / ANTI (``anti=True``) join: keep
+    left rows whose key does / does not appear in ``right``. Neither side
+    is broadcast, so the right side may be arbitrarily large — the scale
+    path when a membership filter's key set outgrows ``ray.put``.
+
+    Shuffle shape: the right side is reduced to DISTINCT keys per batch
+    (combiner — repeated keys never leave the task), both sides are
+    tagged and unioned, and ONE bucket shuffle co-locates each key's left
+    rows with its (single) right-key row; the per-bucket filter is a
+    vectorized ``isin``. Left payload columns ride the union with NaN
+    fill on the right side, which promotes int columns to float64 in the
+    bucket concat — the final pass casts them back to the left schema's
+    arrow types (exact: surviving left rows have no NaNs of their own).
+    """
+    right_on = right_on or on
+    lschema = left.schema()
+    lcols = list(lschema.names)
+    int_cols = [
+        c
+        for c, t in zip(lschema.names, lschema.types)
+        if c != on and str(t) in ("int8", "int16", "int32", "int64")
+    ]
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[lcols].copy()
+        out["_side"] = np.int8(1)
+        return out
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({on: df[right_on].drop_duplicates()})
+        for c in lcols:
+            if c != on:
+                out[c] = np.nan
+        out["_side"] = np.int8(0)
+        return out[lcols + ["_side"]]
+
+    cols = lcols + ["_side"]
+    tagged = (
+        left.map_batches(tag_left, batch_format="pandas")
+        .select_columns(cols)
+        .union(
+            right.map_batches(tag_right, batch_format="pandas").select_columns(cols)
+        )
+    )
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bucket"] = _bucket_of(df, [on], num_buckets)
+        return df
+
+    def filt(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["_side"].to_numpy()
+        rkeys = set(g.loc[side == 0, on].tolist())
+        l = g[side == 1]
+        hit = l[on].isin(rkeys).to_numpy()
+        out = l[~hit if anti else hit].drop(columns=["_bucket", "_side"])
+        for c in int_cols:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return (
+        tagged.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(filt, batch_format="pandas")
+    )
+
+
+def anti_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    right_on: str | None = None,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """NOT EXISTS over a large right side — see :func:`semi_join`."""
+    return semi_join(left, right, on, right_on, anti=True, num_buckets=num_buckets)
+
+
 def _bucket_of(df: pd.DataFrame, keys, num_buckets: int) -> np.ndarray:
     """Deterministic cross-process hash bucket of the key columns
     (pandas' stable hash; never Python's salted hash())."""

@@ -133,6 +133,32 @@ def test_duplicate_keep_map_is_duplicates_only():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_semi_anti_join_partition_left_and_keep_dtypes():
+    """semi + anti partition the left side exactly; int payload columns
+    come back int64 despite the NaN-filled union transport; result is
+    invariant to block layout."""
+    import ray
+
+    from pdf_extraction_tests_ray.relational import anti_join, semi_join
+
+    left_rows = [
+        {"k": i, "val": i * 10, "name": f"n{i}"} for i in range(40)
+    ]
+    right_rows = [{"rk": i} for i in range(0, 40, 3) for _ in range(2)]  # dup keys
+    for parts in (1, 7):
+        left = ray.data.from_items(left_rows).repartition(parts)
+        right = ray.data.from_items(right_rows).repartition(parts)
+        s = semi_join(left, right, on="k", right_on="rk").to_pandas()
+        a = anti_join(left, right, on="k", right_on="rk").to_pandas()
+        assert sorted(s["k"]) == [i for i in range(40) if i % 3 == 0]
+        assert sorted(a["k"]) == [i for i in range(40) if i % 3 != 0]
+        assert str(s["val"].dtype) == "int64" and str(a["val"].dtype) == "int64"
+        assert set(s.columns) == {"k", "val", "name"}
+        # partition: semi + anti == left, disjoint
+        assert len(s) + len(a) == 40 and not set(s["k"]) & set(a["k"])
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_ivf_persisted_index_partition_pruned(tmp_path):
     """build_ivf_index writes a cell-partitioned index + centroid sidecar;
     knn_ivf_index answers from ONLY the probed cells' files and matches

@@ -92,6 +92,8 @@ def _to_pandas(res):
         "q_quantity_range_buckets",
         "q_events_distinct_users",
         "q_price_quantiles",
+        "q_customers_without_orders",
+        "q_customers_with_urgent_orders",
         "doc_hash_sample",
         "doc_weighted_mix",
         "doc_top_terms_approx",
