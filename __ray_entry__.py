@@ -305,6 +305,14 @@ def oracle_sql() -> dict[str, str]:
               ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
             GROUP BY b.label
         """,
+        "q_order_running_total": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                   ) AS BIGINT) / 100.0 AS running_total
+            FROM orders
+        """,
         "q_customers_without_orders": """
             SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
             FROM customer c

@@ -44,6 +44,10 @@ QUERY_SUITE = [
     "doc_quality",
     "doc_token_totals_by_lang",
     "q_events_distinct_users",
+    "q_order_running_total",
+    "q_customers_without_orders",
+    "q_price_quantiles",
+    "q_price_quantiles_tdigest",
     "dedup_exact",
     "dedup_incremental",
     "dedup_minhash",
@@ -53,6 +57,7 @@ QUERY_SUITE = [
     "knn_multi",
     "knn_lsh",
     "knn_ivf",
+    "knn_ivf_indexed",
     "doc_decontaminate",
     "doc_decontaminate_bloom",
     "doc_top_terms",

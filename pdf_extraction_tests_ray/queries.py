@@ -534,6 +534,42 @@ def q_customers_with_urgent_orders(sf_dir: str):
     )
 
 
+def q_order_running_total(sf_dir: str):
+    """Per-customer running revenue (SUM OVER PARTITION BY customer ORDER
+    BY date, orderkey) — the ordered-window-function shape: one bucket
+    shuffle, vectorized cumsum per bucket. Cents-integer sums for float
+    parity with the SQL window oracle."""
+    from .relational import grouped_running_sum
+
+    ds = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"],
+                "o_orderkey": df["o_orderkey"],
+                "date_s": df["o_orderdate"].astype("datetime64[s]").astype("int64"),
+                "cents": df["o_totalprice"].mul(100).round().astype("int64"),
+            }
+        )
+
+    out = grouped_running_sum(
+        ds.map_batches(prep, batch_format="pandas"),
+        group="o_custkey",
+        order_cols=["date_s", "o_orderkey"],
+        val="cents",
+        out_col="running_cents",
+    )
+    return out.map_batches(
+        lambda df: df.assign(running_total=df["running_cents"] / 100.0)[
+            ["o_custkey", "o_orderkey", "running_total"]
+        ],
+        batch_format="pandas",
+    )
+
+
 def q_price_quantiles(sf_dir: str):
     """Exact per-returnflag price quantiles: the continuous column is
     quantized to integer CENTS (lossless for money), making the exact
@@ -1183,6 +1219,7 @@ QUERIES = {
     "q_topk_per_brand": q_topk_per_brand,
     "q_quantity_range_buckets": q_quantity_range_buckets,
     "q_events_distinct_users": q_events_distinct_users,
+    "q_order_running_total": q_order_running_total,
     "q_customers_without_orders": q_customers_without_orders,
     "q_customers_with_urgent_orders": q_customers_with_urgent_orders,
     "q_price_quantiles": q_price_quantiles,

@@ -352,6 +352,40 @@ def grouped_topk(
     )
 
 
+def grouped_running_sum(
+    ds: "ray.data.Dataset",
+    group: str,
+    order_cols: list,
+    val: str,
+    out_col: str = "running_sum",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Per-key ordered WINDOW FUNCTION (SUM OVER PARTITION BY .. ORDER
+    BY ..): cumulative sum of ``val`` within each ``group``, ordered by
+    ``order_cols``. ONE bucket shuffle co-locates each key's rows; the
+    per-bucket pass is a vectorized lexsort + ``groupby().cumsum()``.
+    Include a unique tiebreaker in ``order_cols`` or the running values
+    at ties are frame-definition-dependent (same caveat as SQL). All
+    input columns ride through; partitioning assumption: one key's rows
+    fit in one group (salt pathological keys upstream)."""
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bucket"] = _bucket_of(df, [group], num_buckets)
+        return df
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="stable").drop(columns=["_bucket"])
+        g[out_col] = g.groupby(group, sort=False)[val].cumsum()
+        return g
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(running, batch_format="pandas")
+    )
+
+
 def sessionize(
     events: "ray.data.Dataset",
     by: str,
