@@ -520,6 +520,19 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'es' END AS predicted_lang
             FROM s
         """,
+        "dedup_shared_ngrams": f"""
+            WITH g AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, greatest(length(w) - 11, 1)),
+                  i -> array_to_string(w[i:i+12], ' ')))) AS t
+              FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w
+                    FROM documents)
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM g a JOIN g b ON a.t = b.t AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        """,
         "dedup_incremental": f"""
             SELECT doc_id, lang, n_chars FROM (
               SELECT doc_id, lang, n_chars,

@@ -869,6 +869,15 @@ def dedup_ngram3_jaccard_pairs(sf_dir: str):
     )
 
 
+def dedup_shared_ngrams(sf_dir: str):
+    """Exact substring-overlap pairs (Lee et al. 2022's exact-substring
+    measure at 13-word-window granularity): doc pairs sharing >=1 window
+    with the DISTINCT shared-window count, via two bounded bucket
+    shuffles keyed on gram md5 then pair."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return D.shared_ngram_pairs(ds, n=13)
+
+
 def dedup_minhash(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return D.minhash_lsh_pairs(ds, threshold=0.6)
@@ -1246,6 +1255,7 @@ QUERIES = {
     "dedup_incremental": dedup_incremental,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_ngram3_jaccard_pairs": dedup_ngram3_jaccard_pairs,
+    "dedup_shared_ngrams": dedup_shared_ngrams,
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_pairs": dedup_embedding_pairs,

@@ -60,6 +60,81 @@ def exact_dedup(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+def shared_ngram_pairs(
+    docs: "ray.data.Dataset",
+    n: int = 13,
+    num_buckets: int = 64,
+    max_docs_per_gram: int = 64,
+) -> "ray.data.Dataset":
+    """EXACT substring-overlap detection (the exact-substring measure of
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022, at word-window granularity): for every document pair
+    sharing at least one word-``n``-gram, count the DISTINCT shared
+    grams. Output: (doc_a, doc_b, n_shared), doc_a < doc_b.
+
+    Scale shape: per batch, each doc emits one row per DISTINCT gram
+    keyed by the gram's md5 (fixed 32-byte key, never the text); ONE
+    bucket shuffle on the gram key co-locates a gram's docs; within a
+    gram the doc list becomes sorted pairs — capped at
+    ``max_docs_per_gram`` docs per gram (a boilerplate gram shared by k
+    docs would emit C(k,2) pairs; the cap bounds the blow-up and is the
+    standard move — log and drop ultra-common grams, they are
+    boilerplate, not duplication). Pair counts then merge in a second
+    bucketed shuffle keyed on the pair.
+    """
+
+    def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        ids, hs = [], []
+        for d, t in zip(df["doc_id"].tolist(), df["text"].tolist()):
+            for g in T.word_ngrams(t, n):
+                ids.append(d)
+                hs.append(hashlib.md5(g.encode("utf-8")).hexdigest())
+        return pd.DataFrame({"doc_id": ids, "h": hs}).drop_duplicates()
+
+    from ..relational import bucketed_group_merge
+
+    def pairs_of_gram(df: pd.DataFrame) -> pd.DataFrame:
+        # df holds (doc_id, h) rows for ONE bucket (many grams): per gram,
+        # sorted distinct docs -> pairs
+        out_a, out_b = [], []
+        for _, sub in df.groupby("h", sort=False):
+            ds_ = sorted(set(sub["doc_id"].tolist()))[:max_docs_per_gram]
+            for i in range(len(ds_)):
+                for j in range(i + 1, len(ds_)):
+                    out_a.append(ds_[i])
+                    out_b.append(ds_[j])
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+
+    # shuffle 1: gram key -> per-gram pairs (one row per (gram, pair))
+    per_gram = bucketed_group_merge(
+        docs.map_batches(gram_rows, batch_format="pandas"),
+        ["h"],
+        pairs_of_gram,
+        num_buckets=num_buckets,
+    )
+
+    # shuffle 2: sum pair contributions (each (gram, pair) row counts 1
+    # distinct shared gram by construction)
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["doc_a", "doc_b"], sort=False)
+            .size()
+            .rename("n_shared")
+            .reset_index()
+        )
+
+    return bucketed_group_merge(
+        per_gram.map_batches(count_partial, batch_format="pandas"),
+        ["doc_a", "doc_b"],
+        lambda df: df.groupby(["doc_a", "doc_b"], sort=False)
+        .agg(n_shared=("n_shared", "sum"))
+        .reset_index(),
+        num_buckets=num_buckets,
+    )
+
+
 def duplicate_keep_map(docs: "ray.data.Dataset") -> dict:
     """``text_md5 -> keep_doc_id`` for texts with ``dup_count > 1`` ONLY.
 

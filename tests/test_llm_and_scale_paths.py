@@ -133,6 +133,41 @@ def test_duplicate_keep_map_is_duplicates_only():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_shared_ngram_pairs_cap_and_layout():
+    """A boilerplate gram shared by many docs is capped at
+    max_docs_per_gram (bounded pair blow-up); results are invariant to
+    block layout; counts are exact below the cap."""
+    import ray
+
+    from pdf_extraction_tests_ray.stages.dedup import shared_ngram_pairs
+
+    boiler = " ".join(f"b{j}" for j in range(13))
+    rows = []
+    for i in range(10):  # 10 docs all share the boilerplate gram
+        rows.append({"doc_id": i, "text": boiler + f" unique tail {i}"})
+    rows.append({"doc_id": 50, "text": "totally different words " * 5})
+
+    outs = []
+    for parts in (1, 5):
+        ds = ray.data.from_items(rows).repartition(parts)
+        p = shared_ngram_pairs(ds, n=13).to_pandas()
+        outs.append(p.sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert len(outs[0]) == 45  # C(10,2); doc 50 pairs with nobody
+    assert (outs[0]["n_shared"] >= 1).all()
+
+    # cap: only the 4 smallest doc_ids form pairs when the cap is 4
+    capped = (
+        shared_ngram_pairs(ray.data.from_items(rows), n=13, max_docs_per_gram=4)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert len(capped) == 6  # C(4,2)
+    assert set(capped["doc_a"]) | set(capped["doc_b"]) == {0, 1, 2, 3}
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_semi_anti_join_partition_left_and_keep_dtypes():
     """semi + anti partition the left side exactly; int payload columns
     come back int64 despite the NaN-filled union transport; result is

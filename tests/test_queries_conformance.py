@@ -79,6 +79,7 @@ def _to_pandas(res):
         "dedup_exact",
         "dedup_exact_apply",
         "dedup_incremental",
+        "dedup_shared_ngrams",
         "dedup_jaccard_pairs",
         "dedup_ngram3_jaccard_pairs",
         "dedup_embedding_pairs",
