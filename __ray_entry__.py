@@ -520,6 +520,30 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'es' END AS predicted_lang
             FROM s
         """,
+        # HTML DOM extraction: the synthesized page skeleton makes the
+        # expected content spans a pure function of the word list —
+        # heading 'Overview <id>' + 20-word paragraph chunks, emitted
+        # only for docs of >= 12 words (the classifier's short-doc gate)
+        "extract_html_main": f"""
+            WITH base AS (
+              SELECT doc_id, {_WORDS} AS ws, len({_WORDS}) AS nw
+              FROM documents
+              WHERE len({_WORDS}) >= 12
+            ), idx AS (
+              SELECT doc_id, ws,
+                     unnest(range(0, CAST(ceil(nw / 20.0) AS BIGINT))) AS i
+              FROM base
+            )
+            SELECT doc_id, CAST(0 AS BIGINT) AS "order",
+                   'heading' AS kind,
+                   'Overview ' || CAST(doc_id AS VARCHAR) AS text
+            FROM base
+            UNION ALL
+            SELECT doc_id, CAST(i + 1 AS BIGINT) AS "order",
+                   'text' AS kind,
+                   array_to_string(ws[(i*20+1):(i*20+20)], ' ') AS text
+            FROM idx
+        """,
         "dedup_shared_ngrams": f"""
             WITH g AS (
               SELECT doc_id, unnest(list_distinct(list_transform(

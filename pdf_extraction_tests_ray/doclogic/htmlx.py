@@ -1,0 +1,186 @@
+"""HTML DOM text-density main-content extraction (boilerplate strip).
+
+The north-star pipeline covers interleaved web documents, where the text
+side arrives as HTML rather than PDF layout spans; this module is the
+DOM-heuristics leg: parse the DOM into block-level text runs, score each
+block densitometrically, and keep the content blocks. Pure Python
+(stdlib ``html.parser`` — no lxml/bs4 in this environment), no Ray: like
+the rest of ``doclogic`` it doubles as the single-document oracle for
+the Ray stage that wraps it.
+
+Heuristics follow the public densitometric-classification literature
+(Kohlschuetter, Fankhauser, Nejdl, "Boilerplate Detection using Shallow
+Text Features", WSDM 2010 — the boilerpipe rules):
+- LINK DENSITY: a block whose characters are mostly anchor text is
+  navigation, not content.
+- TEXT DENSITY (chars per wrapped line at a fixed 80-col measure):
+  boilerplate blocks are short and fragmented; content runs long.
+- CONTEXT: a short low-density block *between* content blocks (a heading
+  inside the article) is kept; the same block between boilerplate is
+  dropped. Implemented as the standard one-pass neighbor rule.
+- STRUCTURE: <script>/<style>/<nav>/<header>/<footer>/<aside> subtrees
+  are boilerplate by construction and never produce blocks.
+
+Deterministic: pure function of the HTML string; no RNG, no state.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+# block-level elements that FLUSH the current text run
+_BLOCK_TAGS = {
+    "p", "div", "section", "article", "li", "ul", "ol", "table", "tr",
+    "td", "th", "h1", "h2", "h3", "h4", "h5", "h6", "blockquote", "pre",
+    "br", "main", "body", "figure", "figcaption",
+}
+# subtrees that are boilerplate by construction (never emit blocks)
+_SKIP_TAGS = {"script", "style", "nav", "header", "footer", "aside", "noscript"}
+# heading tags (kept as headings when between content)
+_HEADING_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
+
+_WRAP_COLS = 80.0  # fixed wrap measure for text density (chars/line)
+_MAX_LINK_DENSITY = 0.33  # boilerpipe's link-density gate
+_MIN_DENSITY_WORDS = 12  # short-block gate (words) for isolated blocks
+
+
+@dataclass
+class Block:
+    text: str = ""
+    n_chars: int = 0
+    n_link_chars: int = 0
+    is_heading: bool = False
+    n_words: int = field(default=0)
+
+    @property
+    def link_density(self) -> float:
+        return self.n_link_chars / self.n_chars if self.n_chars else 0.0
+
+    @property
+    def text_density(self) -> float:
+        """Chars per wrapped line at the fixed 80-column measure."""
+        import math
+
+        lines = max(1.0, math.ceil(self.n_chars / _WRAP_COLS))
+        return self.n_chars / lines
+
+
+class _BlockParser(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[Block] = []
+        self._buf: list[str] = []
+        self._link_chars = 0
+        self._in_anchor = 0
+        self._skip_depth = 0
+        self._heading_depth = 0
+
+    def _flush(self):
+        text = " ".join("".join(self._buf).split())
+        if text:
+            b = Block(
+                text=text,
+                n_chars=len(text),
+                n_link_chars=min(self._link_chars, len(text)),
+                is_heading=self._heading_depth > 0,
+            )
+            b.n_words = len(text.split())
+            self.blocks.append(b)
+        self._buf = []
+        self._link_chars = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+        if tag in _HEADING_TAGS:
+            self._heading_depth += 1
+        if tag == "a":
+            self._in_anchor += 1
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if self._skip_depth:
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+        if tag in _HEADING_TAGS:
+            self._heading_depth = max(0, self._heading_depth - 1)
+        if tag == "a":
+            self._in_anchor = max(0, self._in_anchor - 1)
+
+    def handle_data(self, data):
+        if self._skip_depth:
+            return
+        self._buf.append(data)
+        if self._in_anchor:
+            self._link_chars += len(data.strip())
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def parse_blocks(html: str) -> list[Block]:
+    """DOM -> block-level text runs with link/heading annotations.
+    <script>/<style>/<nav>/<header>/<footer>/<aside> subtrees never emit."""
+    p = _BlockParser()
+    p.feed(html)
+    p.close()
+    return p.blocks
+
+
+def classify_blocks(blocks: list[Block]) -> list[bool]:
+    """Per-block content/boilerplate decision (True = content).
+
+    Pass 1 — local densitometric gates: link density above
+    ``_MAX_LINK_DENSITY`` is boilerplate; long blocks (>=
+    ``_MIN_DENSITY_WORDS`` words) below the gate are content.
+    Pass 2 — neighbor rule: a short block (heading or fragment) is kept
+    only when adjacent to a content block on either side."""
+    local = []
+    for b in blocks:
+        if b.link_density > _MAX_LINK_DENSITY:
+            local.append(False)
+        elif b.n_words >= _MIN_DENSITY_WORDS:
+            local.append(True)
+        else:
+            local.append(None)  # undecided: resolve by context
+    out = []
+    n = len(blocks)
+    for i, dec in enumerate(local):
+        if dec is not None:
+            out.append(dec)
+            continue
+        prev_c = any(local[j] is True for j in range(max(0, i - 1), i))
+        next_c = any(local[j] is True for j in range(i + 1, min(n, i + 2)))
+        out.append(prev_c or next_c)
+    return out
+
+
+def extract_main_html(html: str) -> list[dict]:
+    """Main-content spans of one HTML document, in DOM order:
+    ``[{kind, text, order}]`` with kind ``heading`` or ``text``."""
+    blocks = parse_blocks(html)
+    keep = classify_blocks(blocks)
+    out = []
+    order = 0
+    for b, k in zip(blocks, keep):
+        if not k:
+            continue
+        out.append(
+            {
+                "kind": "heading" if b.is_heading else "text",
+                "text": b.text,
+                "order": order,
+            }
+        )
+        order += 1
+    return out

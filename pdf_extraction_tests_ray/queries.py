@@ -869,6 +869,24 @@ def dedup_ngram3_jaccard_pairs(sf_dir: str):
     )
 
 
+def extract_html_main(sf_dir: str):
+    """HTML DOM main-content extraction (boilerplate strip): each doc is
+    wrapped in a deterministic page skeleton (nav/header/footer/aside/
+    related-links chrome around an article), then the densitometric
+    classifier (doclogic.htmlx — link density, 80-col text density,
+    neighbor rule) recovers the content spans. The skeleton is chosen so
+    the expected output is a pure function of the word list, giving the
+    whole DOM path a plain SQL oracle."""
+    from .stages import html_stage as H
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return (
+        ds.map_batches(H.add_html, batch_format="pandas")
+        .map_batches(H.extract_html_batch, batch_format="pandas")
+        .select_columns(["doc_id", "order", "kind", "text"])
+    )
+
+
 def dedup_shared_ngrams(sf_dir: str):
     """Exact substring-overlap pairs (Lee et al. 2022's exact-substring
     measure at 13-word-window granularity): doc pairs sharing >=1 window
@@ -1255,6 +1273,7 @@ QUERIES = {
     "dedup_incremental": dedup_incremental,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_ngram3_jaccard_pairs": dedup_ngram3_jaccard_pairs,
+    "extract_html_main": extract_html_main,
     "dedup_shared_ngrams": dedup_shared_ngrams,
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,

@@ -80,6 +80,7 @@ def _to_pandas(res):
         "dedup_exact_apply",
         "dedup_incremental",
         "dedup_shared_ngrams",
+        "extract_html_main",
         "dedup_jaccard_pairs",
         "dedup_ngram3_jaccard_pairs",
         "dedup_embedding_pairs",
