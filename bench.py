@@ -191,9 +191,26 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / headline, 2) if headline > 0 else None,
+        # raw-CPU control measured in the same run: this shared host has
+        # hour-scale slow windows (2-5x on parallel work; BASELINE.md) —
+        # read absolute timings against this number (healthy: ~15+ from
+        # inside the bench process; pool-fork of the big heap is part of
+        # the measurement, so only compare against other bench runs)
+        "host_control_tasks_per_sec": _host_tasks_per_sec(),
     }
     ray.shutdown()
     return result
+
+
+def _host_tasks_per_sec(n_procs: int = 16, n_tasks: int = 32) -> float:
+    """Plain-multiprocessing regex throughput (no Ray): the
+    silicon-of-the-hour control for every timing in this output."""
+    import multiprocessing as mp
+
+    t0 = time.perf_counter()
+    with mp.Pool(n_procs) as p:
+        p.map(_control_task, range(n_tasks))
+    return round(n_tasks / (time.perf_counter() - t0), 1)
 
 
 def _control_task(_):
