@@ -521,28 +521,44 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         # HTML DOM extraction: the synthesized page skeleton makes the
-        # expected content spans a pure function of the word list —
-        # heading 'Overview <id>' + 20-word paragraph chunks, emitted
-        # only for docs of >= 12 words (the classifier's short-doc gate)
+        # expected spans a pure function of the word list — heading
+        # 'Overview <id>', 20-word paragraph chunks, and an interleaved
+        # figure span between every 3rd and 4th paragraph; emitted only
+        # for docs of >= 12 words (the classifier's short-doc gate).
+        # Paragraph j (1-based) sits at order j + (j-1)//3 (images shift
+        # it); image i sits at order 4i, for i = 1 .. (n_paras-1)//3.
         "extract_html_main": f"""
             WITH base AS (
-              SELECT doc_id, {_WORDS} AS ws, len({_WORDS}) AS nw
+              SELECT doc_id, {_WORDS} AS ws, len({_WORDS}) AS nw,
+                     CAST(ceil(len({_WORDS}) / 20.0) AS BIGINT) AS n_paras
               FROM documents
               WHERE len({_WORDS}) >= 12
             ), idx AS (
               SELECT doc_id, ws,
-                     unnest(range(0, CAST(ceil(nw / 20.0) AS BIGINT))) AS i
+                     unnest(range(0, n_paras)) AS i
+              FROM base
+            ), imgs AS (
+              SELECT doc_id,
+                     unnest(range(1, (n_paras - 1) // 3 + 1)) AS i
               FROM base
             )
             SELECT doc_id, CAST(0 AS BIGINT) AS "order",
                    'heading' AS kind,
-                   'Overview ' || CAST(doc_id AS VARCHAR) AS text
+                   'Overview ' || CAST(doc_id AS VARCHAR) AS text,
+                   '' AS media_ref
             FROM base
             UNION ALL
-            SELECT doc_id, CAST(i + 1 AS BIGINT) AS "order",
+            SELECT doc_id, CAST(i + 1 + i // 3 AS BIGINT) AS "order",
                    'text' AS kind,
-                   array_to_string(ws[(i*20+1):(i*20+20)], ' ') AS text
+                   array_to_string(ws[(i*20+1):(i*20+20)], ' ') AS text,
+                   '' AS media_ref
             FROM idx
+            UNION ALL
+            SELECT doc_id, CAST(4 * i AS BIGINT) AS "order",
+                   'figure' AS kind, '' AS text,
+                   'img://' || CAST(doc_id AS VARCHAR) || '/'
+                            || CAST(i AS VARCHAR) AS media_ref
+            FROM imgs
         """,
         "dedup_shared_ngrams": f"""
             WITH g AS (

@@ -52,6 +52,7 @@ class Block:
     n_link_chars: int = 0
     is_heading: bool = False
     n_words: int = field(default=0)
+    media_ref: str = ""  # <img src>: an interleaved media span
 
     @property
     def link_density(self) -> float:
@@ -95,6 +96,16 @@ class _BlockParser(HTMLParser):
             self._skip_depth += 1
             return
         if self._skip_depth:
+            return
+        if tag == "img":
+            # media span at its DOM position: flush the text run, emit a
+            # zero-text block carrying the ref (kept/dropped by the same
+            # neighbor rule as other short blocks — a content-adjacent
+            # figure survives, chrome imagery does not)
+            self._flush()
+            src = dict(attrs).get("src") or ""
+            if src:
+                self.blocks.append(Block(media_ref=src))
             return
         if tag in _BLOCK_TAGS:
             self._flush()
@@ -159,15 +170,29 @@ def classify_blocks(blocks: list[Block]) -> list[bool]:
         if dec is not None:
             out.append(dec)
             continue
-        prev_c = any(local[j] is True for j in range(max(0, i - 1), i))
-        next_c = any(local[j] is True for j in range(i + 1, min(n, i + 2)))
+        if blocks[i].media_ref:
+            # a figure keeps its immediate context: kept inside content
+            prev_c = i > 0 and local[i - 1] is True
+            next_c = i + 1 < n and local[i + 1] is True
+        else:
+            # text context skips over media blocks (a figure carries no
+            # density signal — the nearest TEXT neighbors decide)
+            j = i - 1
+            while j >= 0 and blocks[j].media_ref:
+                j -= 1
+            prev_c = j >= 0 and local[j] is True
+            j = i + 1
+            while j < n and blocks[j].media_ref:
+                j += 1
+            next_c = j < n and local[j] is True
         out.append(prev_c or next_c)
     return out
 
 
 def extract_main_html(html: str) -> list[dict]:
     """Main-content spans of one HTML document, in DOM order:
-    ``[{kind, text, order}]`` with kind ``heading`` or ``text``."""
+    ``[{kind, text, media_ref, order}]`` — kind ``heading``/``text`` for
+    text runs, ``figure`` for kept interleaved ``<img>`` spans."""
     blocks = parse_blocks(html)
     keep = classify_blocks(blocks)
     out = []
@@ -175,10 +200,12 @@ def extract_main_html(html: str) -> list[dict]:
     for b, k in zip(blocks, keep):
         if not k:
             continue
+        kind = "figure" if b.media_ref else ("heading" if b.is_heading else "text")
         out.append(
             {
-                "kind": "heading" if b.is_heading else "text",
+                "kind": kind,
                 "text": b.text,
+                "media_ref": b.media_ref,
                 "order": order,
             }
         )

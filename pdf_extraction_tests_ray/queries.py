@@ -883,7 +883,7 @@ def extract_html_main(sf_dir: str):
     return (
         ds.map_batches(H.add_html, batch_format="pandas")
         .map_batches(H.extract_html_batch, batch_format="pandas")
-        .select_columns(["doc_id", "order", "kind", "text"])
+        .select_columns(["doc_id", "order", "kind", "text", "media_ref"])
     )
 
 

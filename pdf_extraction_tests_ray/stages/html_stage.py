@@ -6,9 +6,11 @@ shuffle, same shape as the PDF-span extraction stage. Includes the
 deterministic HTML synthesizer used by tests/bench/driver: it wraps each
 ``documents.text`` row in a realistic page skeleton (nav/header/footer/
 aside/related-links boilerplate around an <article> of 20-word
-paragraphs under an "Overview <doc_id>" heading), chosen so the EXPECTED
-extraction is a pure function of the word list — which is what lets the
-driver check the whole DOM path against a plain SQL oracle.
+paragraphs under an "Overview <doc_id>" heading, with an interleaved
+<img> between every 3rd and 4th paragraph), chosen so the EXPECTED
+extraction — text AND figure spans — is a pure function of the word
+list, which is what lets the driver check the whole DOM path against a
+plain SQL oracle.
 """
 
 from __future__ import annotations
@@ -20,6 +22,7 @@ import pandas as pd
 from ..doclogic.htmlx import extract_main_html
 
 PARA_WORDS = 20  # words per synthesized content paragraph
+IMG_EVERY = 3  # an interleaved <img> after every 3rd paragraph
 
 
 def synth_html_doc(doc_id, text: str) -> str:
@@ -32,7 +35,15 @@ def synth_html_doc(doc_id, text: str) -> str:
     ]
     nav = "".join(f'<a href="/s/{i}">site link {i}</a> ' for i in range(5))
     related = "".join(f'<a href="/r/{i}">related story {i} here</a> ' for i in range(4))
-    body = "".join(f"<p>{_html.escape(p)}</p>" for p in paras)
+    body = ""
+    for j, p in enumerate(paras, start=1):
+        body += f"<p>{_html.escape(p)}</p>"
+        if j % IMG_EVERY == 0 and j < len(paras):
+            # interleaved media span between paragraphs (never after the
+            # last: a figure with only boilerplate after a short trailing
+            # paragraph would be context-dropped, which the SQL oracle
+            # would have to special-case)
+            body += f'<img src="img://{doc_id}/{j // IMG_EVERY}">'
     return (
         "<html><head><title>x</title><script>var x=1;</script>"
         "<style>p{margin:0}</style></head><body>"
@@ -53,14 +64,16 @@ def add_html(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def extract_html_batch(df: pd.DataFrame) -> pd.DataFrame:
-    """One row per kept content span: (doc_id, order, kind, text)."""
-    ids, orders, kinds, texts = [], [], [], []
+    """One row per kept span: (doc_id, order, kind, text, media_ref) —
+    text/heading runs interleaved with figure spans in DOM order."""
+    ids, orders, kinds, texts, refs = [], [], [], [], []
     for d, h in zip(df["doc_id"].tolist(), df["html"].tolist()):
         for span in extract_main_html(h):
             ids.append(d)
             orders.append(span["order"])
             kinds.append(span["kind"])
             texts.append(span["text"])
+            refs.append(span["media_ref"])
     return pd.DataFrame(
-        {"doc_id": ids, "order": orders, "kind": kinds, "text": texts}
+        {"doc_id": ids, "order": orders, "kind": kinds, "text": texts, "media_ref": refs}
     )

@@ -72,6 +72,25 @@ def test_entity_unescape_round_trip():
     assert spans and spans[0]["text"].endswith("a & b")
 
 
+def test_interleaved_media_spans():
+    """A content-adjacent <img> becomes a figure span at its DOM order; a
+    chrome image (no content neighbors) is dropped; text context skips
+    over media blocks."""
+    html = (
+        f"<body><img src='img://chrome/banner'>"
+        f"<div><a href='/'>nav nav</a></div>"
+        f"<p>{LONG}</p><img src='img://doc/1'><p>short tail</p></body>"
+    )
+    spans = extract_main_html(html)
+    assert [s["kind"] for s in spans] == ["text", "figure", "text"]
+    assert spans[1]["media_ref"] == "img://doc/1"
+    assert spans[1]["order"] == 1
+    assert spans[2]["text"] == "short tail"  # context skips the figure
+
+    # image with no content anywhere -> nothing survives
+    assert extract_main_html("<body><img src='img://x/1'></body>") == []
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_html_stage_layout_invariant():
     """The Ray stage output is identical across block layouts and matches
