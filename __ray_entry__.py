@@ -305,6 +305,15 @@ def oracle_sql() -> dict[str, str]:
               ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
             GROUP BY b.label
         """,
+        "q_lineitem_rollup": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
         "q_order_running_total": """
             SELECT o_custkey, o_orderkey,
                    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (

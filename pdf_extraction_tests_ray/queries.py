@@ -534,6 +534,26 @@ def q_customers_with_urgent_orders(sf_dir: str):
     )
 
 
+def q_lineitem_rollup(sf_dir: str):
+    """ROLLUP(returnflag, linestatus): detail rows + per-flag subtotals +
+    grand total, computed in one pass / one shuffle (every level's
+    partials emitted per batch). Quantity summed as exact integers."""
+    from .relational import grouped_rollup
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def to_int(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(qty=df["l_quantity"].round().astype("int64"))[
+            ["l_returnflag", "l_linestatus", "qty"]
+        ]
+
+    return grouped_rollup(
+        ds.map_batches(to_int, batch_format="pandas"),
+        keys=["l_returnflag", "l_linestatus"],
+        val="qty",
+    )
+
+
 def q_order_running_total(sf_dir: str):
     """Per-customer running revenue (SUM OVER PARTITION BY customer ORDER
     BY date, orderkey) — the ordered-window-function shape: one bucket
@@ -1246,6 +1266,7 @@ QUERIES = {
     "q_topk_per_brand": q_topk_per_brand,
     "q_quantity_range_buckets": q_quantity_range_buckets,
     "q_events_distinct_users": q_events_distinct_users,
+    "q_lineitem_rollup": q_lineitem_rollup,
     "q_order_running_total": q_order_running_total,
     "q_customers_without_orders": q_customers_without_orders,
     "q_customers_with_urgent_orders": q_customers_with_urgent_orders,

@@ -352,6 +352,46 @@ def grouped_topk(
     )
 
 
+def grouped_rollup(
+    ds: "ray.data.Dataset",
+    keys: list,
+    val: str,
+    total_label: str = "ALL",
+) -> "ray.data.Dataset":
+    """ROLLUP (multi-level aggregate) in ONE pass and ONE shuffle: each
+    batch emits pre-aggregated partial rows for EVERY level of the
+    hierarchy (full keys, each prefix, grand total — coarser levels get
+    ``total_label`` in the rolled-up columns), and a single small
+    ``groupby(keys)`` merges them. No per-level re-scan, no extra
+    shuffle per level — the coarser levels are nearly free because they
+    aggregate the already-partial rows inside the same batch.
+    Output: (keys..., n_rows, sum_<val>)."""
+    from ray.data.aggregate import Sum
+
+    sum_col = f"sum_{val}"
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for lvl in range(len(keys), -1, -1):
+            g = df.copy()
+            for k in keys[lvl:]:
+                g[k] = total_label
+            agg = g.groupby(keys, sort=False).agg(
+                n_rows=(val, "size"), **{sum_col: (val, "sum")}
+            )
+            outs.append(agg.reset_index())
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(keys)
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum(sum_col, alias_name=sum_col),
+        )
+    )
+
+
 def grouped_running_sum(
     ds: "ray.data.Dataset",
     group: str,

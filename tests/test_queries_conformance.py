@@ -96,6 +96,7 @@ def _to_pandas(res):
         "q_price_quantiles",
         "q_customers_without_orders",
         "q_order_running_total",
+        "q_lineitem_rollup",
         "q_customers_with_urgent_orders",
         "doc_hash_sample",
         "doc_weighted_mix",
