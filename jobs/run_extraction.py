@@ -47,6 +47,14 @@ def main(argv=None) -> int:
         help="single-lineage fragment-everything mode for corpora with "
         "unbounded document sizes (see extract_dataset_fragmented)",
     )
+    p.add_argument(
+        "--format",
+        choices=["spans", "html"],
+        default="spans",
+        help="input kind: 'spans' = interleaved span parquet (flagship); "
+        "'html' = (doc_id, html) pages through the DOM boilerplate-strip "
+        "extractor (same grouping/manifest/quarantine machinery)",
+    )
     p.add_argument("--num-cpus", type=int, default=None, help="local mode only")
     args = p.parse_args(argv)
 
@@ -64,15 +72,18 @@ def main(argv=None) -> int:
 
     from pdf_extraction_tests_ray.state.checkpoint import run_partitioned
 
-    summary = run_partitioned(
-        args.input,
-        args.output,
-        num_groups=args.num_groups,
-        resume=args.resume,
-        cleaning_method=args.cleaning_method,
-        split_threshold=args.split_threshold,
-        fragmented=args.fragmented,
-    )
+    kwargs = dict(num_groups=args.num_groups, resume=args.resume)
+    if args.format == "html":
+        if args.fragmented or args.split_threshold is not None:
+            p.error("--fragmented/--split-threshold apply to span input only")
+        kwargs["pipeline"] = "html"
+    else:
+        kwargs.update(
+            cleaning_method=args.cleaning_method,
+            split_threshold=args.split_threshold,
+            fragmented=args.fragmented,
+        )
+    summary = run_partitioned(args.input, args.output, **kwargs)
     print(json.dumps(summary))
     ray.shutdown()
     return 0

@@ -63,6 +63,32 @@ def add_html(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def extract_html_docs(df: pd.DataFrame) -> pd.DataFrame:
+    """Doc-level variant for the partitioned job (state/checkpoint):
+    one row per document with NESTED spans and the engine's quarantine
+    contract — ``error`` column, empty string = ok; a failing document
+    carries its traceback instead of killing the partition."""
+    import traceback
+
+    rows = []
+    for d, h in zip(df["doc_id"].tolist(), df["html"].tolist()):
+        try:
+            spans = extract_main_html(h)
+            rows.append(
+                {"doc_id": d, "spans": spans, "n_spans": len(spans), "error": ""}
+            )
+        except Exception:
+            rows.append(
+                {
+                    "doc_id": d,
+                    "spans": [],
+                    "n_spans": 0,
+                    "error": traceback.format_exc()[-2000:],
+                }
+            )
+    return pd.DataFrame(rows)
+
+
 def extract_html_batch(df: pd.DataFrame) -> pd.DataFrame:
     """One row per kept span: (doc_id, order, kind, text, media_ref) —
     text/heading runs interleaved with figure spans in DOM order."""

@@ -71,8 +71,24 @@ def run_partitioned(
     ``extract_dataset_fragmented`` (single-lineage skew path for
     unbounded-document corpora) instead of the single-pass default.
     """
+    pipeline = extract_kwargs.pop("pipeline", "spans")
     fragmented = extract_kwargs.pop("fragmented", False)
-    if fragmented:
+    if pipeline == "html":
+        # crawl-ingestion leg: input parquet has (doc_id, html); the DOM
+        # extractor shares the span job's grouping/manifest/quarantine
+        # machinery unchanged (same doc_id partitioning, same error
+        # contract)
+        if fragmented or extract_kwargs:
+            raise ValueError(
+                f"pipeline='html' takes no extraction knobs; got "
+                f"{['fragmented'] if fragmented else []} + {sorted(extract_kwargs)}"
+            )
+        from ..stages.html_stage import extract_html_docs
+
+        pipeline_fn = lambda d: d.map_batches(  # noqa: E731
+            extract_html_docs, batch_format="pandas"
+        )
+    elif fragmented:
         from ..pipelines.extraction import extract_dataset_fragmented
 
         # the fragment path supersedes the split (everything fragments)

@@ -92,6 +92,59 @@ def test_interleaved_media_spans():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_html_partitioned_job_with_quarantine(tmp_path):
+    """The HTML leg runs through the same partitioned job machinery as
+    spans: grouped commits + manifests + resume, and a poisoned document
+    lands in quarantine instead of killing its partition."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extraction_tests_ray.stages.html_stage import synth_html_doc
+    from pdf_extraction_tests_ray.state.checkpoint import run_partitioned
+
+    ids = [f"page-{i:03d}" for i in range(12)]
+    rows = []
+    for i, did in enumerate(ids):
+        text = " ".join(f"d{i}w{j}" for j in range(30))
+        rows.append({"doc_id": did, "html": synth_html_doc(did, text)})
+    rows.append({"doc_id": "page-bad", "html": None})  # poisoned: parser raises
+    src = str(tmp_path / "pages")
+    os.makedirs(src)
+    pq.write_table(pa.Table.from_pylist(rows), f"{src}/part0.parquet")
+
+    out = str(tmp_path / "out")
+    summary = run_partitioned(src, out, num_groups=2, pipeline="html")
+    assert len(summary["ran"]) == 2
+
+    import ray
+
+    import glob
+
+    part_files = sorted(
+        glob.glob(f"{out}/part=0/*.parquet") + glob.glob(f"{out}/part=1/*.parquet")
+    )
+    got = ray.data.read_parquet(part_files).to_pandas()
+    assert sorted(got["doc_id"]) == ids  # the poisoned page is quarantined
+    assert (got["n_spans"] > 0).all() and "error" not in got.columns
+    q = ray.data.read_parquet(f"{out}/quarantine").to_pandas()
+    assert list(q["doc_id"]) == ["page-bad"] and "Traceback" in q["error"].iloc[0]
+
+    # resume skips everything
+    again = run_partitioned(src, out, num_groups=2, pipeline="html")
+    assert again["ran"] == [] and sorted(again["skipped"]) == [0, 1]
+
+    # knob misuse fails loudly
+    with pytest.raises(ValueError):
+        run_partitioned(src, out, num_groups=2, pipeline="html", fragmented=True)
+
+    m = json.load(open(f"{out}/manifest/part-0.json"))
+    assert m["rows_written"] > 0 and m["engine_version"]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_html_stage_layout_invariant():
     """The Ray stage output is identical across block layouts and matches
     the per-doc pure function."""
