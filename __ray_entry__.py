@@ -114,12 +114,27 @@ def oracle_sql() -> dict[str, str]:
 
     # data-mixing quotas: derived from the SAME constants + apportionment
     # code as the Ray operator, inlined as a VALUES list
-    from pdf_extraction_tests_ray.queries import MIX_TOTAL, MIX_WEIGHTS
+    from pdf_extraction_tests_ray.queries import MIX_TOTAL, MIX_WEIGHTS, SEARCH_TERMS
     from pdf_extraction_tests_ray.stages.curation import apportion_quotas
 
     _MIX_QUOTAS = ", ".join(
         f"('{s}', {q})" for s, q in sorted(apportion_quotas(MIX_WEIGHTS, MIX_TOTAL).items())
     )
+    _SEARCH_TERM_VALUES = ", ".join(f"('{t}')" for t in sorted(set(SEARCH_TERMS)))
+
+    # PII scrub: build the regexp_replace chain from the SAME ordered
+    # pattern list the Ray operator compiles (single source of truth);
+    # DuckDB single-quoted strings keep backslashes literal, so the
+    # patterns inline verbatim
+    from pdf_extraction_tests_ray.functions.text import PII_PATTERNS
+
+    _PII_EXPR = (
+        "text || ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example or 555-'"
+        " || CAST(doc_id % 900 + 100 AS VARCHAR) || '-1234 id '"
+        " || CAST(doc_id % 900 + 100 AS VARCHAR) || '-55-6789'"
+    )
+    for _pat, _tok in PII_PATTERNS:
+        _PII_EXPR = f"regexp_replace({_PII_EXPR}, '{_pat}', '{_tok}', 'g')"
 
     # shared by doc_top_terms (exact) and doc_top_terms_approx (Misra-
     # Gries at capacity >= vocabulary, where the sketch is exact)
@@ -438,6 +453,36 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ) d JOIN (VALUES {_MIX_QUOTAS}) q(source, quota)
               ON d.source = q.source AND d.rn <= q.quota
+        """,
+        # integer idf surrogate weight = N // (df+1) + 1: exact BIGINT
+        # scores, so the hash matches regardless of summation order (a
+        # float ln() differs across libms at the last ulp)
+        "doc_scrub_pii": f"""
+            SELECT doc_id, {_PII_EXPR} AS clean FROM documents
+        """,
+        "doc_search_keywords": f"""
+            WITH q(term) AS (VALUES {_SEARCH_TERM_VALUES}),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            tok AS (
+              SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS w
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+              FROM tok JOIN q ON tok.w = q.term
+              GROUP BY doc_id, w
+            ),
+            dfq AS (
+              SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM tf GROUP BY term
+            )
+            SELECT tf.doc_id,
+                   CAST(sum(tf.tf * (n.n // (dfq.df + 1) + 1)) AS BIGINT)
+                       AS score
+            FROM tf JOIN dfq USING (term) CROSS JOIN n
+            GROUP BY tf.doc_id
+            ORDER BY score DESC, tf.doc_id
+            LIMIT 10
         """,
         "doc_top_terms": _TOP_TERMS_SQL,
         # the Misra-Gries path runs at capacity >= vocabulary, where the

@@ -61,6 +61,8 @@ QUERY_SUITE = [
     "knn_ivf_indexed",
     "doc_decontaminate",
     "doc_decontaminate_bloom",
+    "doc_search_keywords",
+    "doc_scrub_pii",
     "doc_top_terms",
     "doc_top_terms_approx",
     "doc_weighted_mix",

@@ -99,6 +99,26 @@ def detect_language(s: str) -> str:
 # --------------------------------------------------------------------------
 # fingerprints
 
+# PII scrubbing: ordered pattern -> token chain. Patterns stay inside the
+# Python-re / RE2 common subset so DuckDB regexp_replace(..., 'g')
+# produces byte-identical output (no lookarounds, no unicode classes).
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),  # SSN-shaped, before phone (3-2-4)
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+)
+_PII_COMPILED = tuple((re.compile(p), tok) for p, tok in PII_PATTERNS)
+
+
+def scrub_pii(s: str) -> str:
+    """Replace email / SSN-shaped / phone-shaped substrings with typed
+    placeholder tokens, in a FIXED pattern order (order is semantics: the
+    SSN shape must win before the phone shape sees the digits)."""
+    for pat, tok in _PII_COMPILED:
+        s = pat.sub(tok, s)
+    return s
+
+
 def md5_fingerprint(s: str) -> str:
     """md5 hex of the normalized text — matches DuckDB ``md5(...)``."""
     return hashlib.md5(normalize_text(s).encode("utf-8")).hexdigest()

@@ -726,6 +726,41 @@ def doc_weighted_mix(sf_dir: str):
     return C.weighted_mix(docs, MIX_WEIGHTS, MIX_TOTAL)
 
 
+# fixed query terms for doc_search_keywords (shared with the SQL oracle)
+SEARCH_TERMS = ["join", "spark", "window"]
+
+
+def doc_scrub_pii(sf_dir: str):
+    """PII scrubbing (emails / SSN-shaped / phone-shaped -> typed
+    placeholder tokens): the synthetic corpus is PII-free, so each doc
+    gets a deterministic planted contact line first; the SQL oracle
+    plants the identical line and applies the identical regexp_replace
+    chain (patterns single-sourced from functions.text.PII_PATTERNS)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant_and_scrub(df: pd.DataFrame) -> pd.DataFrame:
+        from .functions.text import scrub_pii
+
+        clean = []
+        for d, t in zip(df["doc_id"].tolist(), df["text"].tolist()):
+            k = d % 900 + 100
+            planted = f"{t} contact u{d}@mail.example or 555-{k}-1234 id {k}-55-6789"
+            clean.append(scrub_pii(planted))
+        return pd.DataFrame({"doc_id": df["doc_id"], "clean": clean})
+
+    return docs.map_batches(plant_and_scrub, batch_format="pandas")
+
+
+def doc_search_keywords(sf_dir: str):
+    """Corpus keyword search: top-10 docs by integer tf-idf score for
+    SEARCH_TERMS (two passes: broadcast-term df count, then per-batch
+    score + local top-k; k rows per batch cross the shuffle)."""
+    from .stages import search as SRCH
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return SRCH.keyword_search(docs, SEARCH_TERMS, k=10)
+
+
 def doc_top_terms(sf_dir: str):
     """Top-5 most frequent normalized words per source."""
     from .stages import curation as C
@@ -1279,6 +1314,8 @@ QUERIES = {
     "doc_decontaminate_bloom": doc_decontaminate_bloom,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_weighted_mix": doc_weighted_mix,
+    "doc_scrub_pii": doc_scrub_pii,
+    "doc_search_keywords": doc_search_keywords,
     "doc_top_terms": doc_top_terms,
     "doc_top_terms_approx": doc_top_terms_approx,
     "doc_pack_sequences": doc_pack_sequences,

@@ -352,6 +352,22 @@ def test_decontaminate_bloom_containment():
     assert kept2 <= exact
 
 
+def test_scrub_pii_patterns_and_order():
+    """Emails, SSN-shaped, and phone-shaped substrings become typed
+    tokens; the SSN pattern wins before the phone pattern sees the
+    digits; clean text passes through untouched."""
+    from pdf_extraction_tests_ray.functions.text import scrub_pii
+
+    s = "mail a.b+c@x-y.co.uk now, call 555-123-4567 or id 123-45-6789 ok"
+    out = scrub_pii(s)
+    assert out == "mail <EMAIL> now, call <PHONE> or id <ID> ok"
+    # dotted phone variant; 3-2-4 never matches the 3-3-4 phone shape
+    assert scrub_pii("555.123.4567") == "<PHONE>"
+    assert scrub_pii("123-45-6789") == "<ID>"
+    clean = "no contact info in this perfectly ordinary sentence 12345"
+    assert scrub_pii(clean) == clean
+
+
 def test_misra_gries_trim_bound():
     """Trimmed summaries stay within the n/(capacity+1) undercount bound
     and keep every true heavy hitter above that threshold."""

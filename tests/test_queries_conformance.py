@@ -101,6 +101,8 @@ def _to_pandas(res):
         "doc_hash_sample",
         "doc_weighted_mix",
         "doc_top_terms_approx",
+        "doc_search_keywords",
+        "doc_scrub_pii",
         "doc_decontaminate_bloom",
         "curation_pipeline",
         "doc_length_quantiles",
