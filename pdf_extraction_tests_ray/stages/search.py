@@ -1,14 +1,13 @@
 """Corpus keyword search: tf-idf-style scoring over the documents table.
 
 Training-data tooling: "find the docs about X" over a billion-doc corpus
-without an external search engine. Two cheap passes:
-
-1. document frequency of the QUERY terms only (the term list is tiny and
-   broadcast; each batch emits at most |terms| partial rows — never a
-   full-vocabulary shuffle like top_terms);
-2. score = sum over query terms of tf x weight(df), each batch keeping
-   its local top-k, followed by a k-row final reduce (the
-   knn_bruteforce shuffle shape: k rows per batch, never the corpus).
+without an external search engine. ONE tokenization pass over the corpus
+(stateless tasks — the query-term list is tiny and closed over) emits the
+distributed (doc_id, term, tf) hit table, which is materialized once and
+feeds both downstream consumers: the per-term document-frequency stats
+(<= |terms| partial rows per block -> tiny driver frame) and the scoring
+pass (per-block totals + local top-k, then a k-rows-per-block final
+reduce — the knn_bruteforce shuffle shape; the corpus never moves).
 
 Weights are INTEGER idf surrogates, ``weight = N // (df + 1) + 1`` — the
 repo's float-parity convention (see CLAUDE.md): rank order tracks
@@ -26,73 +25,69 @@ import ray
 import ray.data
 
 from ..functions import text as T
-from ..relational import pool_max
 
 
-def term_doc_frequency(docs: "ray.data.Dataset", terms: list) -> dict:
-    """df per query term: per-batch partial counts (<= |terms| rows per
-    batch) merged driver-side — the collected frame is |terms| rows."""
-    tset = sorted(set(terms))
-    ref = ray.put(tset)
 
-    class Partial:
-        def __init__(self, ref):
-            self.terms = ray.get(ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            counts = dict.fromkeys(self.terms, 0)
-            for t in df["text"].tolist():
-                ws = set(T.normalize_text(t).split(" "))
-                for q in self.terms:
-                    if q in ws:
-                        counts[q] += 1
-            return pd.DataFrame({"term": list(counts), "df": list(counts.values())})
-
-    parts = docs.map_batches(
-        Partial,
-        fn_constructor_kwargs={"ref": ref},
-        batch_format="pandas",
-        concurrency=(1, pool_max()),
-    ).to_pandas()  # |terms| x n_batches rows — tiny by construction
-    return parts.groupby("term")["df"].sum().to_dict()
+def _term_frequencies(df: pd.DataFrame, terms: list) -> pd.DataFrame:
+    """Vectorized (doc_id, term, tf) for the query terms only: one
+    normalize+split per doc, pandas explode + isin — no Python loop over
+    rows in the hot path."""
+    ws = df["text"].map(T.normalize_text).str.split(" ")
+    ex = pd.DataFrame({"doc_id": df["doc_id"], "term": ws}).explode("term")
+    ex = ex[ex["term"].isin(set(terms))]
+    if ex.empty:
+        return pd.DataFrame({"doc_id": [], "term": [], "tf": []})
+    return (
+        ex.groupby(["doc_id", "term"], sort=False).size().rename("tf").reset_index()
+    )
 
 
 def keyword_search(
     docs: "ray.data.Dataset", terms: list, k: int = 10
 ) -> "ray.data.Dataset":
     """Top-k docs by integer tf-idf score (ties broken by doc_id asc).
-    Output: (doc_id, score: int64)."""
+    Output: (doc_id, score: int64).
+
+    ONE corpus pass: each batch emits its (doc_id, term, tf) HIT rows
+    (bounded by query-term hits, a sliver of the corpus), which are
+    materialized once and reused for both the df statistics (pandas over
+    the tiny hit table) and the scoring — a second full-text pass would
+    double the job for no reason, since everything after tokenization
+    only needs the hits."""
+    tset = sorted(set(terms))
     n_total = docs.count()  # parquet metadata
-    df_map = term_doc_frequency(docs, terms)
-    weights = {t: n_total // (df_map.get(t, 0) + 1) + 1 for t in set(terms)}
-    ref = ray.put(weights)
 
-    class Score:
-        def __init__(self, ref, k):
-            self.w = ray.get(ref)
-            self.k = k
+    def hits_fn(df: pd.DataFrame) -> pd.DataFrame:
+        return _term_frequencies(df, tset)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            ids, scores = [], []
-            for d, t in zip(df["doc_id"].tolist(), df["text"].tolist()):
-                s = 0
-                ws = T.normalize_text(t).split(" ")
-                for q, w in self.w.items():
-                    tf = ws.count(q)
-                    if tf:
-                        s += tf * w
-                if s:
-                    ids.append(d)
-                    scores.append(s)
-            out = pd.DataFrame({"doc_id": ids, "score": np.array(scores, dtype=np.int64)})
-            return out.sort_values(
-                ["score", "doc_id"], ascending=[False, True], kind="stable"
-            ).head(self.k)
+    # the hit table STAYS DISTRIBUTED (common query terms make it
+    # O(corpus rows) — never collect it); tokenization runs once and the
+    # materialized hits feed both consumers below. A doc's hit rows all
+    # live in one block (one row per (doc, term) per input batch), so
+    # per-block scoring sees complete documents.
+    hits = docs.map_batches(hits_fn, batch_format="pandas").materialize()
 
-    local = docs.map_batches(
-        Score,
-        fn_constructor_kwargs={"ref": ref, "k": k},
-        batch_format="pandas",
-        concurrency=(1, pool_max()),
+    # df per term: <= |terms| partial rows per block -> tiny driver frame
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("term", sort=False)["doc_id"].nunique().rename("df")
+        return g.reset_index()
+
+    parts = hits.map_batches(df_partial, batch_format="pandas").to_pandas()
+    df_map = (
+        parts.groupby("term")["df"].sum().to_dict() if len(parts) else {}
     )
+    weights = {t: n_total // (int(df_map.get(t, 0)) + 1) + 1 for t in tset}
+
+    def score_fn(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": [], "score": np.array([], dtype=np.int64)})
+        df = df.assign(score=df["tf"].to_numpy() * df["term"].map(weights).to_numpy())
+        out = (
+            df.groupby("doc_id", sort=False)["score"].sum().astype("int64").reset_index()
+        )
+        return out.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="stable"
+        ).head(k)
+
+    local = hits.map_batches(score_fn, batch_format="pandas")
     return local.sort(["score", "doc_id"], descending=[True, False]).limit(k)
