@@ -122,6 +122,13 @@ def oracle_sql() -> dict[str, str]:
     )
     _SEARCH_TERM_VALUES = ", ".join(f"('{t}')" for t in sorted(set(SEARCH_TERMS)))
 
+    from pdf_extraction_tests_ray.queries import MIX_TOKEN_BUDGET
+
+    _MIX_TOKEN_QUOTAS = ", ".join(
+        f"('{s}', {q})"
+        for s, q in sorted(apportion_quotas(MIX_WEIGHTS, MIX_TOKEN_BUDGET).items())
+    )
+
     # PII scrub: build the regexp_replace chain from the SAME ordered
     # pattern list the Ray operator compiles (single source of truth);
     # DuckDB single-quoted strings keep backslashes literal, so the
@@ -484,6 +491,24 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score DESC, tf.doc_id
             LIMIT 10
         """,
+        "doc_weighted_mix_tokens": f"""
+            WITH quotas(source, quota) AS (VALUES {_MIX_TOKEN_QUOTAS}),
+            r AS (
+              SELECT doc_id, source,
+                     CAST(len({_WORDS}) AS BIGINT) AS n_tokens,
+                     md5(CAST(doc_id AS VARCHAR)) AS h
+              FROM documents
+            ),
+            c AS (
+              SELECT r.doc_id, r.source, r.n_tokens, q.quota,
+                     sum(r.n_tokens) OVER (
+                       PARTITION BY r.source ORDER BY r.h
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS cum
+              FROM r JOIN quotas q ON r.source = q.source
+            )
+            SELECT doc_id, source, n_tokens FROM c WHERE cum <= quota
+        """,
         "doc_top_terms": _TOP_TERMS_SQL,
         # the Misra-Gries path runs at capacity >= vocabulary, where the
         # sketch is provably exact -> it must reproduce the exact
@@ -649,6 +674,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(length(list_intersect(a.w, b.w)) AS DOUBLE)
                   / (length(a.w) + length(b.w) - length(list_intersect(a.w, b.w)))
                   >= 0.8
+        """,
+        # connected components over the SAME pair set via recursive
+        # min-label transitive closure (UNION dedups rows -> terminates)
+        "dedup_jaccard_clusters": f"""
+            WITH RECURSIVE d AS (
+              SELECT doc_id, source, list_distinct(string_split({_NORM}, ' ')) AS w
+              FROM documents
+            ), p AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+              WHERE CAST(length(list_intersect(a.w, b.w)) AS DOUBLE)
+                    / (length(a.w) + length(b.w) - length(list_intersect(a.w, b.w)))
+                    >= 0.8
+            ), edges AS (
+              SELECT a, b FROM p UNION ALL SELECT b, a FROM p
+            ), reach(v, m) AS (
+              SELECT DISTINCT a, a FROM edges
+              UNION
+              SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.v
+            )
+            SELECT v AS doc_id, CAST(min(m) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY v
         """,
         # word-3-gram sets via a list comprehension over the split words;
         # empty-vs-empty sets define jaccard = 1.0 (functions.text.jaccard)

@@ -761,6 +761,20 @@ def doc_search_keywords(sf_dir: str):
     return SRCH.keyword_search(docs, SEARCH_TERMS, k=10)
 
 
+MIX_TOKEN_BUDGET = 6000  # total-token target for doc_weighted_mix_tokens
+
+
+def doc_weighted_mix_tokens(sf_dir: str):
+    """Token-budget data mixing: fill each source's TOKEN quota
+    (largest-remainder over MIX_WEIGHTS at a MIX_TOKEN_BUDGET total) in
+    md5(doc_id) rank order — the half-open prefix rule the SQL
+    cumulative-window oracle replicates."""
+    from .stages import curation as C
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    return C.weighted_mix_tokens(docs, MIX_WEIGHTS, MIX_TOKEN_BUDGET)
+
+
 def doc_top_terms(sf_dir: str):
     """Top-5 most frequent normalized words per source."""
     from .stages import curation as C
@@ -949,6 +963,17 @@ def dedup_shared_ngrams(sf_dir: str):
     shuffles keyed on gram md5 then pair."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return D.shared_ngram_pairs(ds, n=13)
+
+
+def dedup_jaccard_clusters(sf_dir: str):
+    """Near-duplicate CLUSTER assignment: connected components (min-id
+    labels) over the verified word-Jaccard>=0.8 pair list — the SQL
+    oracle recomputes the components with a recursive min-label CTE."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    pairs = D.ngram_jaccard_pairs(docs, n=1, threshold=0.8).select_columns(
+        ["doc_a", "doc_b"]
+    )
+    return D.duplicate_clusters(pairs)
 
 
 def dedup_minhash(sf_dir: str):
@@ -1314,6 +1339,7 @@ QUERIES = {
     "doc_decontaminate_bloom": doc_decontaminate_bloom,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_weighted_mix": doc_weighted_mix,
+    "doc_weighted_mix_tokens": doc_weighted_mix_tokens,
     "doc_scrub_pii": doc_scrub_pii,
     "doc_search_keywords": doc_search_keywords,
     "doc_top_terms": doc_top_terms,
@@ -1330,6 +1356,7 @@ QUERIES = {
     "dedup_exact_apply": dedup_exact_apply,
     "dedup_incremental": dedup_incremental,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
+    "dedup_jaccard_clusters": dedup_jaccard_clusters,
     "dedup_ngram3_jaccard_pairs": dedup_ngram3_jaccard_pairs,
     "extract_html_main": extract_html_main,
     "dedup_shared_ngrams": dedup_shared_ngrams,

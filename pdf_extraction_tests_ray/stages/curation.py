@@ -272,6 +272,56 @@ def weighted_mix(
     )
 
 
+def weighted_mix_tokens(
+    docs: "ray.data.Dataset",
+    weights: dict,
+    total_tokens: int,
+    source_col: str = "source",
+) -> "ray.data.Dataset":
+    """Token-budget data mixing — the realistic form of
+    :func:`weighted_mix`: training recipes allocate TOKENS per domain,
+    not document counts. Each source gets a token quota
+    (largest-remainder over ``weights``); within a source, docs are
+    taken in md5(doc_id) rank order while the RUNNING token total stays
+    below the quota (the first doc crossing the line is excluded — the
+    half-open prefix rule, exactly SQL's ``SUM() OVER (...) <= quota``
+    on the PRECEDING cumulative sum).
+
+    Scale shape: tokens are counted per batch (vectorized whitespace
+    count), each batch keeps only rows that could possibly make the cut
+    — impossible to prune without the global rank, so the combiner keeps
+    everything and the per-source trim happens in the low-cardinality
+    ``groupby(source)`` (same partitioning assumption as weighted_mix:
+    one source's candidate rows fit in a group; at extreme scale
+    pre-filter by an md5-rank band first)."""
+    quotas = apportion_quotas(weights, total_tokens)
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[source_col].isin(quotas)].copy()
+        if df.empty:
+            return df.assign(_h=pd.Series(dtype=str), n_tokens=pd.Series(dtype="int64"))
+        df["_h"] = [
+            hashlib.md5(str(d).encode("utf-8")).hexdigest() for d in df["doc_id"].tolist()
+        ]
+        # T.whitespace_token_count matches the DuckDB regexp_split_to_array
+        # length exactly (empty-text edge included)
+        df["n_tokens"] = [T.whitespace_token_count(t) for t in df["text"].tolist()]
+        return df
+
+    def trim(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("_h", kind="stable")
+        q = quotas[g[source_col].iloc[0]]
+        prior = g["n_tokens"].cumsum() - g["n_tokens"]  # tokens BEFORE each doc
+        keep = (prior + g["n_tokens"]) <= q
+        return g[keep.to_numpy()].drop(columns=["_h", "text"])
+
+    return (
+        docs.map_batches(prep, batch_format="pandas")
+        .groupby(source_col)
+        .map_groups(trim, batch_format="pandas")
+    )
+
+
 def top_terms(
     docs: "ray.data.Dataset", group: str = "source", k: int = 5
 ) -> "ray.data.Dataset":

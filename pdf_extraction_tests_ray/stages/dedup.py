@@ -135,6 +135,41 @@ def shared_ngram_pairs(
     )
 
 
+def duplicate_clusters(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Connected components over a near-duplicate PAIR list:
+    (doc_id, cluster_id) with cluster_id = min doc_id in the component —
+    the step that turns pairwise dedup output into per-document cluster
+    assignments (keep one representative per cluster, attribute the rest).
+
+    The pair list is the SMALL side by construction — it is the output
+    of a verified dedup pass, orders of magnitude below the corpus — so
+    union-find runs driver-side over it (same small-side contract as the
+    knn query vectors). If pairs ever outgrow one machine, switch to
+    iterated min-label-propagation joins; the output contract stays.
+    Deterministic: min-id labels, sorted output."""
+    pdf = pairs.to_pandas()
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in zip(pdf["doc_a"].tolist(), pdf["doc_b"].tolist()):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN id so the root is the deterministic label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    out = pd.DataFrame(
+        sorted((v, find(v)) for v in parent), columns=["doc_id", "cluster_id"]
+    )
+    return ray.data.from_pandas(out)
+
+
 def duplicate_keep_map(docs: "ray.data.Dataset") -> dict:
     """``text_md5 -> keep_doc_id`` for texts with ``dup_count > 1`` ONLY.
 

@@ -352,6 +352,52 @@ def test_decontaminate_bloom_containment():
     assert kept2 <= exact
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_duplicate_clusters_transitive_min_labels():
+    """Union-find over pairs: chains merge transitively, labels are the
+    component minimum, singletons outside the pair list never appear."""
+    import ray
+
+    from pdf_extraction_tests_ray.stages.dedup import duplicate_clusters
+
+    pairs = ray.data.from_items(
+        [
+            {"doc_a": 5, "doc_b": 9},
+            {"doc_a": 9, "doc_b": 2},   # chain: {2,5,9} -> label 2
+            {"doc_a": 30, "doc_b": 40},  # separate component -> label 30
+            {"doc_a": 2, "doc_b": 5},   # redundant edge changes nothing
+        ]
+    )
+    got = duplicate_clusters(pairs).to_pandas()
+    assert got.values.tolist() == [[2, 2], [5, 2], [9, 2], [30, 30], [40, 30]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_mix_tokens_budget_rule():
+    """Per-source running token total respects the half-open prefix rule:
+    the first doc that would cross the quota is excluded."""
+    import ray
+
+    from pdf_extraction_tests_ray.stages.curation import (
+        apportion_quotas,
+        weighted_mix_tokens,
+    )
+
+    rows = [
+        {"doc_id": i, "source": f"s{i % 2}", "text": " ".join(["w"] * 10)}
+        for i in range(40)
+    ]  # every doc = 10 tokens
+    weights = {"s0": 1.0, "s1": 1.0}
+    out = weighted_mix_tokens(
+        ray.data.from_items(rows).repartition(4), weights, total_tokens=95
+    ).to_pandas()
+    quotas = apportion_quotas(weights, 95)  # 47/48 -> 4 docs per source fit
+    per_source = out.groupby("source")["n_tokens"].sum().to_dict()
+    for s, q in quotas.items():
+        assert per_source[s] <= q and per_source[s] > q - 10  # budget filled
+    assert (out["n_tokens"] == 10).all()
+
+
 def test_scrub_pii_patterns_and_order():
     """Emails, SSN-shaped, and phone-shaped substrings become typed
     tokens; the SSN pattern wins before the phone pattern sees the

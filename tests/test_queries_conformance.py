@@ -80,6 +80,7 @@ def _to_pandas(res):
         "dedup_exact_apply",
         "dedup_incremental",
         "dedup_shared_ngrams",
+        "dedup_jaccard_clusters",
         "extract_html_main",
         "dedup_jaccard_pairs",
         "dedup_ngram3_jaccard_pairs",
@@ -100,6 +101,7 @@ def _to_pandas(res):
         "q_customers_with_urgent_orders",
         "doc_hash_sample",
         "doc_weighted_mix",
+        "doc_weighted_mix_tokens",
         "doc_top_terms_approx",
         "doc_search_keywords",
         "doc_scrub_pii",
