@@ -177,12 +177,20 @@ def run_bench() -> dict:
         if f.endswith(".parquet")
     )
 
+    # per-query best-of-N (default 2): this host's hour-scale slow windows
+    # can hit mid-suite and quadruple individual readings — the repeat
+    # bounds that skew the same way the headline's best-of-2 does
     timings = {}
     suite = [] if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") else QUERY_SUITE
+    q_runs = int(os.environ.get("GRAFT_BENCH_QUERY_RUNS", "2"))
     for name in suite:
-        t0 = time.perf_counter()
-        _consume(QUERIES[name](SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(q_runs):
+            t0 = time.perf_counter()
+            _consume(QUERIES[name](SF_DIR))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     result = {
         "metric": "flagship extraction wall time at sf, best of 2 (docs/sec in docs_per_sec)",
