@@ -119,3 +119,77 @@ def test_word_ngram_window_count(s):
     else:
         expected = {" ".join(words[i : i + 13]) for i in range(len(words) - 12)}
         assert grams == expected
+
+
+# ---------------------------------------------------------------------------
+# sketch family (functions/sketches.py)
+
+
+@given(st.lists(st.text(max_size=30), max_size=300), st.data())
+@settings(max_examples=40)
+def test_hll_merge_order_invariant(values, data):
+    """Any split of the value stream, folded in any order, yields the
+    BIT-IDENTICAL register array (the mergeable-sketch contract the
+    distributed operator relies on)."""
+    from pdf_extraction_tests_ray.functions import sketches as SK
+
+    whole = SK.hll_add(SK.hll_empty(8), values)
+    if values:
+        cut = data.draw(st.integers(min_value=0, max_value=len(values)))
+    else:
+        cut = 0
+    a = SK.hll_add(SK.hll_empty(8), values[:cut])
+    b = SK.hll_add(SK.hll_empty(8), values[cut:])
+    assert np.array_equal(SK.hll_merge(b, a), whole)
+    assert np.array_equal(SK.hll_merge(a, b), whole)
+
+
+@given(
+    st.dictionaries(st.text(min_size=1, max_size=8), st.integers(1, 500), max_size=40),
+    st.integers(min_value=1, max_value=10),
+)
+@settings(max_examples=60)
+def test_mg_trim_invariants(counts, cap):
+    """Trim never overcounts, never exceeds capacity, and undercounts
+    every surviving key by the same subtrahend."""
+    from pdf_extraction_tests_ray.functions import sketches as SK
+
+    out = SK.mg_trim(dict(counts), cap)
+    assert len(out) <= max(cap, len(counts) if len(counts) <= cap else cap)
+    subs = {counts[k] - v for k, v in out.items()}
+    assert all(v > 0 for v in out.values())
+    assert len(subs) <= 1  # uniform subtrahend
+    n = sum(counts.values())
+    for k, v in out.items():
+        assert v <= counts[k] and counts[k] - v <= n / (cap + 1)
+
+
+@given(st.lists(st.text(max_size=20), min_size=1, max_size=200, unique=True))
+@settings(max_examples=40)
+def test_bloom_never_misses_members(members):
+    from pdf_extraction_tests_ray.functions import sketches as SK
+
+    bits, m, k = SK.bloom_build(members, bits_per_item=8)
+    assert SK.bloom_contains(bits, m, k, members).all()
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=500,
+    )
+)
+@settings(max_examples=40)
+def test_tdigest_quantiles_monotone_and_in_range(vals):
+    """Quantile estimates are monotone in q and bounded by the data range;
+    total weight is conserved through build+merge."""
+    from pdf_extraction_tests_ray.functions import sketches as SK
+
+    d = SK.tdigest_merge(
+        [SK.tdigest_build(vals[: len(vals) // 2]), SK.tdigest_build(vals[len(vals) // 2:])]
+    )
+    assert abs(d[:, 1].sum() - len(vals)) < 1e-9  # weight conservation
+    qs = [SK.tdigest_quantile(d, q) for q in (0.0, 0.25, 0.5, 0.75, 1.0)]
+    assert all(a <= b + 1e-9 for a, b in zip(qs, qs[1:]))
+    assert min(vals) - 1e-9 <= qs[0] and qs[-1] <= max(vals) + 1e-9
