@@ -885,6 +885,9 @@ def oracle_sql() -> dict[str, str]:
         # (seeded-RNG approximate probing; the indexed variant's parity
         # with the prebuilt one is pinned in tests), doc_pack_sequences (greedy stateful scan —
         # its token/doc conservation IS oracled via doc_pack_group_totals),
+        # media_features / media_ocr_regions (binary payloads + fake
+        # decode/OCR backends — the plumbing is real, the codecs are the
+        # documented environmental stubs),
         # q_events_approx_distinct_users (blake2b HLL sketch — its <5%
         # error bound vs the ORACLED exact q_events_distinct_users is
         # pinned in tests), q_price_quantiles_tdigest (t-digest estimates

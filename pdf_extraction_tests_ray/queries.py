@@ -901,6 +901,47 @@ def dedup_exact_apply(sf_dir: str):
     return D.apply_exact_dedup(ds).select_columns(["doc_id", "lang", "n_chars"])
 
 
+def media_features(sf_dir: str):
+    """Multimodal decode plumbing (rows-only: binary payloads + fake
+    decode are not SQL-expressible): a deterministic media table is
+    synthesized for every 5th doc_id, then runs the decode(fake) ->
+    resize -> frame-sample actor pipeline — the real schema/batch-bytes/
+    actor plumbing with the codec stubbed (container has no image libs).
+    Returns the scalar metadata columns (stable schema for the driver)."""
+    import pyarrow.parquet as pq
+
+    from .stages import media as M
+
+    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]).column(
+        "doc_id"
+    ).to_pylist()
+    sel = [d for d in ids if d % 5 == 0]
+    t = M.synth_media_table(
+        [str(d) for d in sel],
+        [f"img://{d}" for d in sel],
+        ["image" if d % 2 == 0 else "video" for d in sel],
+    )
+    return M.decode_pipeline(ray.data.from_arrow(t), fake=True).select_columns(
+        ["doc_id", "media_ref", "media_type", "width", "height", "n_frames"]
+    )
+
+
+def media_ocr_regions(sf_dir: str):
+    """Per-ROI OCR over synthesized page payloads (rows-only: fake
+    deterministic backend — pytesseract/cv2 absent here; the per-actor
+    warm-engine plumbing is the real part). One row per (page, box)."""
+    import pyarrow.parquet as pq
+
+    from .stages.ocr import ocr_pipeline, synth_ocr_table
+
+    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]).column(
+        "doc_id"
+    ).to_pylist()
+    sel = [d for d in ids if d % 7 == 0]
+    t = synth_ocr_table([f"doc-{d}" for d in sel], [f"page://{d}" for d in sel])
+    return ocr_pipeline(ray.data.from_arrow(t), fake=True)
+
+
 def dedup_incremental(sf_dir: str):
     """Cross-job incremental dedup: the corpus arrives as two sequential
     crawl shards (doc_id below / at-or-above the midpoint), each deduped
@@ -1354,6 +1395,8 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "dedup_exact": dedup_exact,
     "dedup_exact_apply": dedup_exact_apply,
+    "media_features": media_features,
+    "media_ocr_regions": media_ocr_regions,
     "dedup_incremental": dedup_incremental,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_jaccard_clusters": dedup_jaccard_clusters,

@@ -154,6 +154,8 @@ def test_query_matches_oracle(name, duck):
         "q_events_approx_distinct_users",
         "q_price_quantiles_tdigest",
         "knn_ivf_indexed",
+        "media_features",
+        "media_ocr_regions",
     ],
 )
 def test_rows_only_queries_run(name):
