@@ -170,6 +170,104 @@ def duplicate_clusters(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
     return ray.data.from_pandas(out)
 
 
+def duplicate_clusters_distributed(
+    pairs: "ray.data.Dataset", max_iters: int = 50, num_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Connected components at PAIR-LIST-DOESN'T-FIT-ONE-MACHINE scale:
+    iterative min-label propagation, the distributed alternative to
+    :func:`duplicate_clusters` (identical output contract — (doc_id,
+    cluster_id=min id in component)).
+
+    Each iteration: join every node's current label to its neighbors
+    through the edge list (one bucketed merge keyed on the node), take
+    the min of own and neighbor labels, and stop when an iteration
+    changes nothing (checked with a metadata-cheap count of changed
+    rows). Iterations needed = graph diameter — near-duplicate clusters
+    are shallow (dup groups, not social graphs), so this converges in a
+    handful of rounds; ``max_iters`` guards pathological chains.
+    """
+    from ..relational import bucketed_group_merge
+
+    # undirected edge list, both directions: (v, u)
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "v": pd.concat([df["doc_a"], df["doc_b"]], ignore_index=True),
+                "u": pd.concat([df["doc_b"], df["doc_a"]], ignore_index=True),
+            }
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pandas").materialize()
+
+    # labels: every node starts as its own label
+    labels = bucketed_group_merge(
+        edges.map_batches(
+            lambda df: df[["v"]].drop_duplicates().assign(label=lambda x: x["v"]),
+            batch_format="pandas",
+        ),
+        ["v"],
+        lambda df: df.drop_duplicates("v"),
+        num_buckets=num_buckets,
+    ).materialize()
+
+    for _ in range(max_iters):
+        # ship each node's label to its neighbors: tag label rows and
+        # edge rows, co-locate by node, emit (u, candidate_label)
+        lab = labels.map_batches(
+            lambda df: pd.DataFrame({"node": df["v"], "u": df["v"], "label": df["label"]}),
+            batch_format="pandas",
+        )
+        edg = edges.map_batches(
+            lambda df: pd.DataFrame({"node": df["v"], "u": df["u"], "label": -1}),
+            batch_format="pandas",
+        )
+
+        def propagate(g: pd.DataFrame) -> pd.DataFrame:
+            # g holds one bucket of nodes: label rows (label>=0) and edge
+            # rows (label==-1). For each node, send its label to every
+            # neighbor AND to itself.
+            out = []
+            for _, sub in g.groupby("node", sort=False):
+                lbl = sub.loc[sub["label"] >= 0, "label"]
+                if lbl.empty:
+                    continue
+                lv = int(lbl.min())
+                targets = sub["u"].unique()
+                out.append(pd.DataFrame({"v": targets, "cand": lv}))
+            if not out:
+                return pd.DataFrame({"v": [], "cand": []})
+            return pd.concat(out, ignore_index=True)
+
+        cands = bucketed_group_merge(
+            lab.union(edg), ["node"], propagate, num_buckets=num_buckets
+        )
+        new_labels = bucketed_group_merge(
+            cands.map_batches(
+                lambda df: df.groupby("v", sort=False)["cand"].min().rename("label").reset_index(),
+                batch_format="pandas",
+            ),
+            ["v"],
+            lambda df: df.groupby("v", sort=False)["label"].min().reset_index(),
+            num_buckets=num_buckets,
+        ).materialize()
+
+        # converged? labels only ever DECREASE (min of a set containing
+        # the old label), so an unchanged label SUM means a fixpoint —
+        # one cheap aggregation instead of a compare join per iteration
+        new_sum = new_labels.sum("label")
+        old_sum = labels.sum("label")
+        labels = new_labels
+        if new_sum == old_sum:
+            break
+
+    return labels.map_batches(
+        lambda df: df.rename(columns={"v": "doc_id", "label": "cluster_id"}).sort_values(
+            "doc_id"
+        ),
+        batch_format="pandas",
+    )
+
+
 def duplicate_keep_map(docs: "ray.data.Dataset") -> dict:
     """``text_md5 -> keep_doc_id`` for texts with ``dup_count > 1`` ONLY.
 

@@ -373,6 +373,40 @@ def test_duplicate_clusters_transitive_min_labels():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_distributed_label_propagation_matches_union_find():
+    """The iterative min-label propagation (the at-scale path) produces
+    the identical cluster assignment as driver-side union-find, including
+    on a long chain (diameter stress) and a random graph."""
+    import random
+
+    import ray
+
+    from pdf_extraction_tests_ray.stages.dedup import (
+        duplicate_clusters,
+        duplicate_clusters_distributed,
+    )
+
+    rng = random.Random(11)
+    rand_pairs = [
+        {"doc_a": rng.randrange(40), "doc_b": rng.randrange(40)} for _ in range(35)
+    ]
+    rand_pairs = [p for p in rand_pairs if p["doc_a"] != p["doc_b"]]
+    chain = [{"doc_a": 100 + i, "doc_b": 101 + i} for i in range(6)]  # diameter stress
+    rows = rand_pairs + chain
+    pairs = ray.data.from_items(rows).repartition(3)
+    want = duplicate_clusters(pairs).to_pandas()
+    got = (
+        duplicate_clusters_distributed(pairs, num_buckets=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got, want.sort_values("doc_id").reset_index(drop=True), check_dtype=False
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_weighted_mix_tokens_budget_rule():
     """Per-source running token total respects the half-open prefix rule:
     the first doc that would cross the quota is excluded."""
