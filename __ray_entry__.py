@@ -639,6 +639,11 @@ def oracle_sql() -> dict[str, str]:
                             || CAST(i AS VARCHAR) AS media_ref
             FROM imgs
         """,
+        # NOTE: the Ray operator caps pair fan-out at 64 docs per gram
+        # (logged when hit); this UNCAPPED oracle agrees as long as no
+        # gram is shared by >64 docs — true for the driver corpora, and
+        # the operator prints a warning at any corpus where it stops
+        # being true
         "dedup_shared_ngrams": f"""
             WITH g AS (
               SELECT doc_id, unnest(list_distinct(list_transform(

@@ -33,7 +33,11 @@ def main(argv=None) -> int:
     p.add_argument("--num-groups", type=int, default=16)
     p.add_argument("--resume", action="store_true", default=True)
     p.add_argument("--no-resume", dest="resume", action="store_false")
-    p.add_argument("--cleaning-method", default="hybrid")
+    p.add_argument(
+        "--cleaning-method",
+        default=None,
+        help="span pipeline only (default: hybrid)",
+    )
     p.add_argument(
         "--split-threshold",
         type=int,
@@ -74,12 +78,15 @@ def main(argv=None) -> int:
 
     kwargs = dict(num_groups=args.num_groups, resume=args.resume)
     if args.format == "html":
-        if args.fragmented or args.split_threshold is not None:
-            p.error("--fragmented/--split-threshold apply to span input only")
+        if args.fragmented or args.split_threshold is not None or args.cleaning_method:
+            p.error(
+                "--fragmented/--split-threshold/--cleaning-method apply to "
+                "span input only"
+            )
         kwargs["pipeline"] = "html"
     else:
         kwargs.update(
-            cleaning_method=args.cleaning_method,
+            cleaning_method=args.cleaning_method or "hybrid",
             split_threshold=args.split_threshold,
             fragmented=args.fragmented,
         )

@@ -13,11 +13,15 @@ Heuristics follow the public densitometric-classification literature
 Text Features", WSDM 2010 — the boilerpipe rules):
 - LINK DENSITY: a block whose characters are mostly anchor text is
   navigation, not content.
-- TEXT DENSITY (chars per wrapped line at a fixed 80-col measure):
-  boilerplate blocks are short and fragmented; content runs long.
-- CONTEXT: a short low-density block *between* content blocks (a heading
-  inside the article) is kept; the same block between boilerplate is
-  dropped. Implemented as the standard one-pass neighbor rule.
+- TEXT MASS: boilerplate blocks are short and fragmented, content runs
+  long — implemented as a word-count gate (the word count IS the
+  densitometric signal at a fixed wrap measure: boilerpipe's chars-per-
+  wrapped-line and a word threshold rank blocks near-identically, and
+  the word form keeps the SQL oracle exact).
+- CONTEXT: a short block *between* content blocks (a heading inside the
+  article) is kept; the same block between boilerplate is dropped.
+  Implemented as the standard one-pass neighbor rule; media blocks are
+  transparent to it.
 - STRUCTURE: <script>/<style>/<nav>/<header>/<footer>/<aside> subtrees
   are boilerplate by construction and never produce blocks.
 
@@ -40,9 +44,8 @@ _SKIP_TAGS = {"script", "style", "nav", "header", "footer", "aside", "noscript"}
 # heading tags (kept as headings when between content)
 _HEADING_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
 
-_WRAP_COLS = 80.0  # fixed wrap measure for text density (chars/line)
 _MAX_LINK_DENSITY = 0.33  # boilerpipe's link-density gate
-_MIN_DENSITY_WORDS = 12  # short-block gate (words) for isolated blocks
+_MIN_DENSITY_WORDS = 12  # text-mass gate (words) for isolated blocks
 
 
 @dataclass
@@ -57,14 +60,6 @@ class Block:
     @property
     def link_density(self) -> float:
         return self.n_link_chars / self.n_chars if self.n_chars else 0.0
-
-    @property
-    def text_density(self) -> float:
-        """Chars per wrapped line at the fixed 80-column measure."""
-        import math
-
-        lines = max(1.0, math.ceil(self.n_chars / _WRAP_COLS))
-        return self.n_chars / lines
 
 
 class _BlockParser(HTMLParser):

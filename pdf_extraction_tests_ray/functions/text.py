@@ -107,7 +107,10 @@ PII_PATTERNS = (
     (r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),  # SSN-shaped, before phone (3-2-4)
     (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
 )
-_PII_COMPILED = tuple((re.compile(p), tok) for p, tok in PII_PATTERNS)
+# re.ASCII: Python's \d/\b/\w are unicode-aware by default while DuckDB's
+# RE2 is ASCII — the flag pins both engines to the same semantics (e.g.
+# 'ü555-123-4567': unicode \b would NOT fire before the digits, RE2 would)
+_PII_COMPILED = tuple((re.compile(p, re.ASCII), tok) for p, tok in PII_PATTERNS)
 
 
 def scrub_pii(s: str) -> str:

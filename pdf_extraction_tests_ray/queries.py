@@ -983,7 +983,7 @@ def extract_html_main(sf_dir: str):
     """HTML DOM main-content extraction (boilerplate strip): each doc is
     wrapped in a deterministic page skeleton (nav/header/footer/aside/
     related-links chrome around an article), then the densitometric
-    classifier (doclogic.htmlx — link density, 80-col text density,
+    classifier (doclogic.htmlx — link density, word-count text-mass gate,
     neighbor rule) recovers the content spans. The skeleton is chosen so
     the expected output is a pure function of the word list, giving the
     whole DOM path a plain SQL oracle."""
@@ -1084,14 +1084,26 @@ def knn_ivf_indexed(sf_dir: str):
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     idx = f"/tmp/graft_ivf_index_{tag}"
-    if not os.path.exists(idx + "/.done"):
+    # content-keyed cache: a regenerated corpus (or a different directory
+    # with the same basename) must NOT serve a stale index
+    src = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(src)
+    stamp = f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}"
+    marker = idx + "/.done"
+    fresh = False
+    try:
+        with open(marker) as f:
+            fresh = f.read() == stamp
+    except OSError:
+        pass
+    if not fresh:
         import shutil
 
         shutil.rmtree(idx, ignore_errors=True)
         emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
         S.build_ivf_index(emb, idx, n_centroids=16)
-        with open(idx + "/.done", "w") as f:
-            f.write("ok")
+        with open(marker, "w") as f:
+            f.write(stamp)
     return S.knn_ivf_index(idx, _query_vec(sf_dir), k=10, exclude_vec_id=0, nprobe=8)
 
 

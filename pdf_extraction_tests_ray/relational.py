@@ -89,19 +89,34 @@ def semi_join(
     (combiner — repeated keys never leave the task), both sides are
     tagged and unioned, and ONE bucket shuffle co-locates each key's left
     rows with its (single) right-key row; the per-bucket filter is a
-    vectorized ``isin``. Left payload columns ride the union with NaN
-    fill on the right side, which promotes int columns to float64 in the
-    bucket concat — the final pass casts them back to the left schema's
-    arrow types (exact: surviving left rows have no NaNs of their own).
+    vectorized ``isin``. Left payload columns ride the union with a
+    DTYPE-PRESERVING sentinel fill on the right side (0 / False / "" of
+    the column's own type — the filler rows are dropped by the filter, so
+    the value is irrelevant but the dtype is not): the bucket concat then
+    never promotes to float64, keeping int64/uint64 payloads above 2^53
+    and narrow int widths EXACT with no cast-back step.
     """
     right_on = right_on or on
     lschema = left.schema()
     lcols = list(lschema.names)
-    int_cols = [
-        c
+
+    def _sentinel(arrow_type):
+        t = str(arrow_type)
+        if t.startswith(("int", "uint")):
+            return np.zeros(1, dtype=t)[0]
+        if t in ("float", "double", "float32", "float64", "halffloat"):
+            return 0.0
+        if t == "bool":
+            return False
+        if t in ("string", "large_string", "utf8", "large_utf8"):
+            return ""
+        return None  # nested/other types: None round-trips as null
+
+    fills = {
+        c: _sentinel(t)
         for c, t in zip(lschema.names, lschema.types)
-        if c != on and str(t) in ("int8", "int16", "int32", "int64")
-    ]
+        if c != on
+    }
 
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
         out = df[lcols].copy()
@@ -109,10 +124,11 @@ def semi_join(
         return out
 
     def tag_right(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({on: df[right_on].drop_duplicates()})
+        keys = df[right_on].drop_duplicates()
+        out = pd.DataFrame({on: keys})
         for c in lcols:
             if c != on:
-                out[c] = np.nan
+                out[c] = pd.Series([fills[c]] * len(out), index=out.index)
         out["_side"] = np.int8(0)
         return out[lcols + ["_side"]]
 
@@ -135,10 +151,7 @@ def semi_join(
         rkeys = set(g.loc[side == 0, on].tolist())
         l = g[side == 1]
         hit = l[on].isin(rkeys).to_numpy()
-        out = l[~hit if anti else hit].drop(columns=["_bucket", "_side"])
-        for c in int_cols:
-            out[c] = out[c].astype("int64")
-        return out
+        return l[~hit if anti else hit].drop(columns=["_bucket", "_side"])
 
     return (
         tagged.map_batches(add_bucket, batch_format="pandas")
@@ -359,27 +372,42 @@ def grouped_rollup(
     total_label: str = "ALL",
 ) -> "ray.data.Dataset":
     """ROLLUP (multi-level aggregate) in ONE pass and ONE shuffle: each
-    batch emits pre-aggregated partial rows for EVERY level of the
-    hierarchy (full keys, each prefix, grand total — coarser levels get
-    ``total_label`` in the rolled-up columns), and a single small
-    ``groupby(keys)`` merges them. No per-level re-scan, no extra
-    shuffle per level — the coarser levels are nearly free because they
-    aggregate the already-partial rows inside the same batch.
-    Output: (keys..., n_rows, sum_<val>)."""
+    batch pre-aggregates the FINEST level once, derives every coarser
+    level from those few partial rows (not from the raw batch — the
+    re-group runs over the already-collapsed key combinations), and a
+    single small ``groupby(keys)`` merges all levels. Rolled-up key
+    columns carry ``total_label``, so keys must be STRING columns
+    (validated — a mixed int/str object column would break the Arrow
+    block conversion). Output: (keys..., n_rows, sum_<val>)."""
     from ray.data.aggregate import Sum
+
+    _NON_STRING = ("int", "uint", "float", "double", "bool", "decimal", "date", "time")
+    for c, t in zip(ds.schema().names, ds.schema().types):
+        if c in keys and str(t).startswith(_NON_STRING):
+            raise TypeError(
+                f"grouped_rollup key {c!r} has type {t} — rolled-up levels "
+                f"write the string {total_label!r} into key columns, so "
+                f"keys must be strings (cast upstream)"
+            )
 
     sum_col = f"sum_{val}"
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for lvl in range(len(keys), -1, -1):
-            g = df.copy()
+        finest = (
+            df.groupby(keys, sort=False)
+            .agg(n_rows=(val, "size"), **{sum_col: (val, "sum")})
+            .reset_index()
+        )
+        outs = [finest]
+        for lvl in range(len(keys) - 1, -1, -1):
+            g = finest.copy()
             for k in keys[lvl:]:
                 g[k] = total_label
-            agg = g.groupby(keys, sort=False).agg(
-                n_rows=(val, "size"), **{sum_col: (val, "sum")}
+            outs.append(
+                g.groupby(keys, sort=False)
+                .agg(n_rows=("n_rows", "sum"), **{sum_col: (sum_col, "sum")})
+                .reset_index()
             )
-            outs.append(agg.reset_index())
         return pd.concat(outs, ignore_index=True)
 
     return (

@@ -99,12 +99,24 @@ def shared_ngram_pairs(
         # df holds (doc_id, h) rows for ONE bucket (many grams): per gram,
         # sorted distinct docs -> pairs
         out_a, out_b = [], []
+        capped = 0
         for _, sub in df.groupby("h", sort=False):
-            ds_ = sorted(set(sub["doc_id"].tolist()))[:max_docs_per_gram]
+            all_docs = sorted(set(sub["doc_id"].tolist()))
+            if len(all_docs) > max_docs_per_gram:
+                capped += 1
+            ds_ = all_docs[:max_docs_per_gram]
             for i in range(len(ds_)):
                 for j in range(i + 1, len(ds_)):
                     out_a.append(ds_[i])
                     out_b.append(ds_[j])
+        if capped:
+            # no silent truncation: the docstring's cap is a scale guard,
+            # and a hit means pair counts UNDERCOUNT for those grams (the
+            # uncapped SQL oracle will disagree at such corpora)
+            print(
+                f"shared_ngram_pairs: capped {capped} gram(s) at "
+                f"{max_docs_per_gram} docs — boilerplate grams truncated"
+            )
         return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
 
     # shuffle 1: gram key -> per-gram pairs (one row per (gram, pair))
@@ -259,6 +271,16 @@ def duplicate_clusters_distributed(
         labels = new_labels
         if new_sum == old_sum:
             break
+    else:
+        # exhausted without a fixpoint: labels are WRONG (a component
+        # wider than max_iters still carries multiple labels) — never
+        # return them silently
+        raise RuntimeError(
+            f"label propagation did not converge within max_iters="
+            f"{max_iters}; the pair graph has a component of diameter "
+            f"> {max_iters} — raise max_iters (iterations are cheap "
+            f"relative to silently-wrong clusters)"
+        )
 
     return labels.map_batches(
         lambda df: df.rename(columns={"v": "doc_id", "label": "cluster_id"}).sort_values(

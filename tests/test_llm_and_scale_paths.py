@@ -176,8 +176,12 @@ def test_semi_anti_join_partition_left_and_keep_dtypes():
 
     from pdf_extraction_tests_ray.relational import anti_join, semi_join
 
+    import numpy as np
+
+    big = (1 << 60) + 1  # would be corrupted by any float64 transit
     left_rows = [
-        {"k": i, "val": i * 10, "name": f"n{i}"} for i in range(40)
+        {"k": i, "val": i * 10, "name": f"n{i}", "h": np.uint64(big + i)}
+        for i in range(40)
     ]
     right_rows = [{"rk": i} for i in range(0, 40, 3) for _ in range(2)]  # dup keys
     for parts in (1, 7):
@@ -188,7 +192,10 @@ def test_semi_anti_join_partition_left_and_keep_dtypes():
         assert sorted(s["k"]) == [i for i in range(40) if i % 3 == 0]
         assert sorted(a["k"]) == [i for i in range(40) if i % 3 != 0]
         assert str(s["val"].dtype) == "int64" and str(a["val"].dtype) == "int64"
-        assert set(s.columns) == {"k", "val", "name"}
+        assert str(s["h"].dtype) == "uint64"
+        # values above 2^53 must survive EXACTLY (no float64 transit)
+        assert sorted(int(v) - big for v in s["h"]) == [i for i in range(40) if i % 3 == 0]
+        assert set(s.columns) == {"k", "val", "name", "h"}
         # partition: semi + anti == left, disjoint
         assert len(s) + len(a) == 40 and not set(s["k"]) & set(a["k"])
 
