@@ -72,7 +72,11 @@ def dump_extract_input(sf_dir: str, path: str = DUMP_PATH) -> str:
             rows["media_ref"].append(s["media_ref"])
             rows["offset"].append(s["offset"])
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    pq.write_table(pa.table(rows, schema=_FLAT_SCHEMA), path)
+    # atomic publish: a concurrent reader (driver oracle vs test process)
+    # must never see a half-written file — write tmp, then rename
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(pa.table(rows, schema=_FLAT_SCHEMA), tmp)
+    os.replace(tmp, path)
     with open(sidecar, "w") as f:
         json.dump(stamp, f)
     return path

@@ -32,6 +32,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from ..relational import pool_max
 from ..stages.extract_stage import (
     ExtractDocuments,
     add_span_count,
@@ -90,7 +91,7 @@ def extract_dataset(
                 },
                 batch_format="pyarrow",
                 batch_size=batch_size,
-                concurrency=concurrency or (1, 8),
+                concurrency=concurrency or (1, pool_max()),
             )
         if concurrency is None:
             return dset.map_batches(
@@ -171,8 +172,6 @@ def extract_dataset_fragmented(
     coarse ``hash(doc_id) % num_buckets`` bucket — one group task per
     bucket, not per document (per-distinct-key overhead, CLAUDE.md).
     """
-    import hashlib
-
     from ..stages.extract_stage import assemble_fragments_bucket
 
     fragments = ds.map_batches(
@@ -181,13 +180,16 @@ def extract_dataset_fragmented(
     )
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        # md5-based bucket: deterministic ACROSS worker processes (a salted
-        # hash() would scatter one doc's fragments over buckets); stays
-        # Arrow — the list columns never round-trip through pandas
-        b = [
-            int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16) % num_buckets
-            for s in t.column("doc_id").to_pylist()
-        ]
+        # the canonical cross-process-deterministic bucket hash
+        # (relational._bucket_of, vectorized pandas stable hash — a salted
+        # hash() would scatter one doc's fragments over buckets); only the
+        # doc_id column touches pandas, the list columns stay Arrow
+        import pandas as pd
+
+        from ..relational import _bucket_of
+
+        ids = pd.DataFrame({"doc_id": t.column("doc_id").to_pandas()})
+        b = _bucket_of(ids, ["doc_id"], num_buckets)
         return t.append_column("_bucket", pa.array(b, pa.int64()))
 
     def assemble(g: pa.Table) -> pa.Table:

@@ -1352,7 +1352,10 @@ def extract_doc_scalars(sf_dir: str):
         bs = out.column("boundary_start").to_pylist()
         be = out.column("boundary_end").to_pylist()
         for i, did, kinds, _t, _r, _o in _explode_out_spans(out):
-            if errors[i] != "" or n_inp.get(did, 0) == 0:
+            # the oracle's FROM kept GROUP BY doc_id emits nothing for a
+            # doc whose every span is dropped by the keep rules — exclude
+            # zero-OUTPUT docs too, not just zero-input ones
+            if errors[i] != "" or n_inp.get(did, 0) == 0 or len(kinds) == 0:
                 continue
             rows["doc_id"].append(did)
             rows["total_pages"].append(int(tp[i]))

@@ -512,6 +512,12 @@ def sessionize(
     )
 
 
+def _quantile_col(q: float) -> str:
+    """Collision-free quantile column name: p50, p99, p99_9, p12_5 —
+    int(q*100) would map 0.99 and 0.999 both to 'p99'."""
+    return "p" + f"{q * 100:g}".replace(".", "_")
+
+
 def grouped_quantiles(
     ds: "ray.data.Dataset",
     group: str,
@@ -549,7 +555,7 @@ def grouped_quantiles(
     def final(gdf: pd.DataFrame) -> pd.DataFrame:
         out: dict = {group: []}
         for q in qs:
-            out[f"p{int(q * 100)}"] = []
+            out[_quantile_col(q)] = []
         for gkey, sub in gdf.groupby(group, sort=False):
             hist = sub.groupby(col, sort=True)["_cnt"].sum()
             vals = hist.index.to_numpy()
@@ -558,7 +564,7 @@ def grouped_quantiles(
             out[group].append(gkey)
             for q in qs:
                 idx = max(1, int(np.ceil(q * n)))
-                out[f"p{int(q * 100)}"].append(int(vals[int(np.searchsorted(cum, idx))]))
+                out[_quantile_col(q)].append(int(vals[int(np.searchsorted(cum, idx))]))
         return pd.DataFrame(out)
 
     return (
@@ -604,7 +610,7 @@ def grouped_quantiles_tdigest(
         d = SK.tdigest_merge(digs, delta)
         row = {group: [gdf[group].iloc[0]]}
         for q in qs:
-            row[f"p{int(q * 100)}"] = [SK.tdigest_quantile(d, q)]
+            row[_quantile_col(q)] = [SK.tdigest_quantile(d, q)]
         return pd.DataFrame(row)
 
     return (

@@ -514,16 +514,22 @@ def _verify_pairs_join(
         def sh(d):
             b = memo.get(d)
             if b is None:
-                b = T.char_shingles_u64(texts[d], k).tobytes()
+                t = texts.get(d)
+                if t is None:
+                    return None  # pair references a doc absent from docs
+                b = T.char_shingles_u64(t, k).tobytes()
                 memo[d] = b
             return b
 
+        shs = [sh(d) for d in side["key"].tolist()]
+        present = np.array([s is not None for s in shs], dtype=bool)
+        side = side[present]  # stage 2's len(sub)<2 guard drops the pair
         return pa.Table.from_pydict(
             {
                 "doc_a": side["doc_a"].tolist(),
                 "doc_b": side["doc_b"].tolist(),
                 "slot": side["slot"].to_numpy(),
-                "sh": [sh(d) for d in side["key"].tolist()],
+                "sh": [s for s in shs if s is not None],
             },
             schema=_side_schema(id_type),
         )

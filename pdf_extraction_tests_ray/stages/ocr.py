@@ -119,10 +119,21 @@ class OcrRegions:
             self._engine = pytesseract
 
     def _ocr_real(self, payload: bytes, box: dict) -> str:
-        # real path: cv2.imdecode(payload) -> crop [y:y+h, x:x+w] ->
-        # cvtColor(GRAY) -> self._engine.image_to_string(roi, lang=self.lang)
-        # (v10A.R:139-160's ROI loop)
-        raise NotImplementedError("unreachable: construction already gated")
+        # v10A.R:139-160's ROI loop: decode page image, crop the box,
+        # grayscale, one tesseract call per ROI (untestable in this
+        # container — no codecs — but the construction gate guarantees
+        # the libs exist whenever this runs)
+        import cv2
+
+        img = cv2.imdecode(np.frombuffer(payload, dtype=np.uint8), cv2.IMREAD_COLOR)
+        if img is None:
+            return ""
+        x, y = max(0, int(box["x"])), max(0, int(box["y"]))
+        roi = img[y : y + int(box["h"]), x : x + int(box["w"])]
+        if roi.size == 0:
+            return ""
+        gray = cv2.cvtColor(roi, cv2.COLOR_BGR2GRAY)
+        return self._engine.image_to_string(gray, lang=self.lang).strip()
 
     def _ocr_fake(self, payload: bytes, box: dict) -> str:
         h = hashlib.blake2b(

@@ -486,6 +486,8 @@ def knn_ivf(
     (sf0.001/sf0.01/sf0.1) — raise ``nprobe`` for more; the prebuilt
     variant returns the identical result (verified, same cells).
     """
+    if emb.count() == 0:  # metadata-only; empty corpus -> empty top-k
+        return ray.data.from_pandas(pd.DataFrame({"vec_id": [], "cos_sim": []}))
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / (np.linalg.norm(q) or 1.0)
     cn = train_ivf_centroids(emb, n_centroids, train_sample_budget)
