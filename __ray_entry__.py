@@ -94,6 +94,172 @@ def _banding_probe_re() -> str:
     return banding_probe_pattern()
 
 
+# Column-detection chain shared by extract_order_banded and
+# extract_order_publisher: recomputes doclogic.columns.detect_page_layout
+# in SQL — exact 1-D 2-means split (argmin over split points,
+# v10A.R:564-575), the gap/separation acceptance rules (gap > 0.12*pw,
+# betweenss/totss > 0.3, v10A.R:576-589), and the 10px-rounded gap-method
+# fallback (v10A.R:576-590). Expects a CTE named ``banded`` with columns
+# (doc_id, page, band, use_cols, x, y, xc, w, h, text, kind, media_ref);
+# emits ``bound`` (doc_id, page, band, boundary).
+_COLDETECT_CHAIN = """grp AS (
+              -- column-detection unit: one group per use_cols (doc, page,
+              -- band) — the whole page on pages>=2, the use_columns bands
+              -- on page 1
+              SELECT doc_id, page, band, count(*) AS n_spans, max(x + w) AS pw,
+                     coalesce(list_sort(list(xc) FILTER (
+                       WHERE length(trim(text)) > 20 AND w * h > 1000
+                         AND NOT regexp_matches(lower(text),
+                               '^(page|doi|figure|table)\\s'))), []) AS sx
+              FROM banded WHERE use_cols GROUP BY doc_id, page, band
+            ), km AS (
+              SELECT *, length(sx) AS ns,
+                     CASE WHEN n_spans >= 3 AND length(sx) >= 4
+                               AND length(list_distinct(sx)) >= 2 THEN
+                       (SELECT k FROM unnest(range(1, length(sx))) t(k)
+                        ORDER BY (list_sum(list_transform(sx[1:k], v -> v*v))
+                                    - (list_sum(sx[1:k]))^2 / k)
+                               + (list_sum(list_transform(sx[k+1:length(sx)], v -> v*v))
+                                    - (list_sum(sx[k+1:length(sx)]))^2 / (length(sx) - k)),
+                                 k
+                        LIMIT 1)
+                     ELSE NULL END AS split_k
+              FROM grp
+            ), km2 AS (
+              SELECT *,
+                     CASE WHEN split_k IS NOT NULL
+                          THEN list_sum(sx[1:split_k]) / split_k END AS c1,
+                     CASE WHEN split_k IS NOT NULL
+                          THEN list_sum(sx[split_k+1:ns]) / (ns - split_k) END AS c2,
+                     CASE WHEN split_k IS NOT NULL
+                          THEN list_sum(list_transform(sx, v -> v*v))
+                                 - (list_sum(sx))^2 / ns END AS tot_ss,
+                     CASE WHEN split_k IS NOT NULL THEN
+                          (list_sum(list_transform(sx[1:split_k], v -> v*v))
+                             - (list_sum(sx[1:split_k]))^2 / split_k)
+                        + (list_sum(list_transform(sx[split_k+1:ns], v -> v*v))
+                             - (list_sum(sx[split_k+1:ns]))^2 / (ns - split_k))
+                          END AS wss
+              FROM km
+            ), decide AS (
+              SELECT doc_id, page, band, n_spans, pw, sx, ns,
+                     CASE WHEN split_k IS NOT NULL
+                               AND (c2 - c1) > pw * 0.12 AND tot_ss > 0
+                               AND (tot_ss - wss) / tot_ss > 0.3
+                               AND len(list_filter(sx, v -> v < (c1+c2)/2.0)) >= 1
+                               AND len(list_filter(sx, v -> v >= (c1+c2)/2.0)) >= 1
+                          THEN (c1+c2)/2.0 END AS km_boundary
+              FROM km2
+            ), gapm AS (
+              SELECT doc_id, page, band, km_boundary,
+                     CASE WHEN km_boundary IS NULL AND n_spans >= 3 AND ns >= 3 THEN
+                       (SELECT CASE WHEN g.gap > pw * 0.15 THEN g.mid END
+                        FROM (SELECT u[i+1] - u[i] AS gap, (u[i] + u[i+1]) / 2.0 AS mid
+                              FROM (SELECT list_sort(list_distinct(
+                                     list_transform(sx, v -> round(v/10.0)*10.0))) AS u) uu,
+                                   unnest(range(1, length(u))) t(i)
+                              ORDER BY gap DESC, i LIMIT 1) g)
+                     END AS gap_boundary
+              FROM decide
+            ), bound AS (
+              SELECT doc_id, page, band,
+                     coalesce(km_boundary, gap_boundary) AS boundary
+              FROM gapm
+            )"""
+
+# Shared final SELECT: band order, then (column, y, x) within use_cols
+# bands whose detection accepted a boundary, else (y, x).
+_ORDER_SELECT = """SELECT b.doc_id,
+                   row_number() OVER (PARTITION BY b.doc_id
+                     ORDER BY b.page, b.band,
+                              CASE WHEN bd.boundary IS NOT NULL AND b.xc >= bd.boundary THEN 2
+                                   WHEN bd.boundary IS NOT NULL THEN 1 ELSE 0 END,
+                              b.y, b.x) - 1 AS span_order,
+                   b.kind, b.media_ref, md5(b.text) AS text_md5
+            FROM banded b LEFT JOIN bound bd
+              ON b.doc_id = bd.doc_id AND b.page = bd.page AND b.band = bd.band"""
+
+
+# Publisher page-1 band predicates, one list per format in the
+# banding_format dispatch order — the SQL mirror of the band masks in
+# doclogic.formats.FORMAT_REGISTRY (elsevier v10A.R:250-296, nature
+# 298-346, jac 348-394, jsm 396-444). Each entry: (predicate over the
+# geo columns, use_columns). Faithfully union-all (D3): a span matching
+# no predicate is dropped, one matching two is duplicated.
+_NAT_ABS_BOX = (
+    "(regexp_matches(text, 'Silver nanoparticles have already been successfully applied')"
+    " OR (length(text) > 400 AND y > 500 AND y < 800))"
+)
+_PUB_BANDS = {
+    "elsevier": [
+        ("y < 300", False),
+        ("y >= 300 AND y < 400", False),
+        ("y >= 400 AND y < 700 AND NOT regexp_matches(lower(text), 'journal|elsevier')", False),
+        ("y >= 700 AND y < 1000 AND regexp_matches(text, '[A-Z][a-z]+')", False),
+        ("x < 800 AND y >= 1000 AND y < 1600", False),
+        ("x >= 800 AND y >= 1000 AND y < 1600", False),
+        ("y >= 1600", True),
+    ],
+    "nature": [
+        ("y < 200", False),
+        ("y >= 200 AND y < 450", False),
+        ("y >= 450 AND y < 550", False),
+        (f"((y >= 550 AND y < 850 AND w * h > 30000) OR {_NAT_ABS_BOX})", False),
+        (f"y >= 850 AND NOT {_NAT_ABS_BOX}", True),
+    ],
+    "jac": [
+        ("y < 500", False),
+        ("y >= 500 AND y < 900", False),
+        ("y >= 900 AND y < 1800", False),
+        ("y >= 1800", True),
+    ],
+    "jsm": [
+        ("y < 300", False),
+        ("y >= 300 AND y < 700", False),
+        ("y >= 700 AND y < 1100", False),
+        ("((y >= 1100 AND y < 1600 AND w * h > 20000)"
+         " OR regexp_matches(text, 'Escherichia coli can rapidly evolve resistance'))", False),
+        ("y >= 1600 AND y < 1800", False),
+        ("y >= 1800", True),
+    ],
+}
+
+
+def _publisher_banded_cte() -> str:
+    """The publisher ``banded`` CTE body: per-doc format dispatch (probe
+    patterns tested in banding_format's branch order — elsevier wins a
+    multi-probe tie) + the per-format page-1 band UNION ALL, pages >= 2 as
+    one whole-page column-aware group."""
+    from pdf_extraction_tests_ray.doclogic.formats import banding_probe_patterns
+
+    pats = banding_probe_patterns()
+    fmt_case = "\n                     ".join(
+        f"WHEN bool_or(page = 1 AND regexp_matches(lower(text), '{pat}')) THEN {fi}"
+        for fi, (_name, pat) in enumerate(pats)
+    )
+    band_selects = [
+        "SELECT * EXCLUDE (fmt), 0 AS band, true AS use_cols FROM base WHERE page > 1"
+    ]
+    for fi, (name, _pat) in enumerate(pats):
+        for bi, (pred, use_cols) in enumerate(_PUB_BANDS[name]):
+            band_selects.append(
+                f"SELECT * EXCLUDE (fmt), {bi}, {'true' if use_cols else 'false'}"
+                f" FROM base WHERE page = 1 AND fmt = {fi} AND ({pred})"
+            )
+    unions = "\n              UNION ALL\n              ".join(band_selects)
+    return f"""fmt AS (
+              SELECT doc_id,
+                     CASE {fmt_case}
+                     END AS fmt
+              FROM kept GROUP BY doc_id
+            ), base AS (
+              SELECT k.*, f.fmt FROM kept k JOIN fmt f USING (doc_id)
+              WHERE f.fmt IS NOT NULL
+            ), banded AS (
+              {unions}
+            )"""
+
+
 def oracle_sql() -> dict[str, str]:
     dump_path = _extract_dump_path()
     _EXTRACT_DEC = _extract_dec(dump_path)
@@ -772,7 +938,10 @@ def oracle_sql() -> dict[str, str]:
         # ordering cannot legitimately reorder; see
         # queries.extract_order_generic).
         "extract_order_generic": f"""
-            WITH {_EXTRACT_DEC}, onecol AS (
+            WITH {_EXTRACT_DEC}, probe AS (
+              SELECT DISTINCT doc_id FROM kept
+              WHERE page = 1 AND regexp_matches(lower(text), '{_BANDING_PROBE_RE}')
+            ), onecol AS (
               SELECT doc_id FROM dec GROUP BY doc_id HAVING min(xb) >= 350
             )
             SELECT k.doc_id,
@@ -782,6 +951,7 @@ def oracle_sql() -> dict[str, str]:
                    ) - 1 AS span_order,
                    k.kind, k.media_ref, md5(k.text) AS text_md5
             FROM kept k JOIN onecol o ON k.doc_id = o.doc_id
+            WHERE k.doc_id NOT IN (SELECT doc_id FROM probe)
         """,
         # FULL-corpus reading-order oracle (1-col AND 2-col docs): page-1
         # generic banding (y-interval bands, v10A.R:446-482) + exact 1-D
@@ -802,87 +972,36 @@ def oracle_sql() -> dict[str, str]:
                           WHEN y < 1500 THEN 2 ELSE 3 END AS band,
                      (page > 1 OR y >= 1500) AS use_cols
               FROM kept k WHERE doc_id NOT IN (SELECT doc_id FROM probe)
-            ), grp AS (
-              -- column-detection unit: whole page on pages>=2, the main
-              -- band on page 1 (the only generic band with use_columns)
-              SELECT doc_id, page, band, count(*) AS n_spans, max(x + w) AS pw,
-                     coalesce(list_sort(list(xc) FILTER (
-                       WHERE length(trim(text)) > 20 AND w * h > 1000
-                         AND NOT regexp_matches(lower(text),
-                               '^(page|doi|figure|table)\\s'))), []) AS sx
-              FROM banded WHERE use_cols GROUP BY doc_id, page, band
-            ), km AS (
-              SELECT *, length(sx) AS ns,
-                     CASE WHEN n_spans >= 3 AND length(sx) >= 4
-                               AND length(list_distinct(sx)) >= 2 THEN
-                       (SELECT k FROM unnest(range(1, length(sx))) t(k)
-                        ORDER BY (list_sum(list_transform(sx[1:k], v -> v*v))
-                                    - (list_sum(sx[1:k]))^2 / k)
-                               + (list_sum(list_transform(sx[k+1:length(sx)], v -> v*v))
-                                    - (list_sum(sx[k+1:length(sx)]))^2 / (length(sx) - k)),
-                                 k
-                        LIMIT 1)
-                     ELSE NULL END AS split_k
-              FROM grp
-            ), km2 AS (
-              SELECT *,
-                     CASE WHEN split_k IS NOT NULL
-                          THEN list_sum(sx[1:split_k]) / split_k END AS c1,
-                     CASE WHEN split_k IS NOT NULL
-                          THEN list_sum(sx[split_k+1:ns]) / (ns - split_k) END AS c2,
-                     CASE WHEN split_k IS NOT NULL
-                          THEN list_sum(list_transform(sx, v -> v*v))
-                                 - (list_sum(sx))^2 / ns END AS tot_ss,
-                     CASE WHEN split_k IS NOT NULL THEN
-                          (list_sum(list_transform(sx[1:split_k], v -> v*v))
-                             - (list_sum(sx[1:split_k]))^2 / split_k)
-                        + (list_sum(list_transform(sx[split_k+1:ns], v -> v*v))
-                             - (list_sum(sx[split_k+1:ns]))^2 / (ns - split_k))
-                          END AS wss
-              FROM km
-            ), decide AS (
-              SELECT doc_id, page, band, n_spans, pw, sx, ns,
-                     CASE WHEN split_k IS NOT NULL
-                               AND (c2 - c1) > pw * 0.12 AND tot_ss > 0
-                               AND (tot_ss - wss) / tot_ss > 0.3
-                               AND len(list_filter(sx, v -> v < (c1+c2)/2.0)) >= 1
-                               AND len(list_filter(sx, v -> v >= (c1+c2)/2.0)) >= 1
-                          THEN (c1+c2)/2.0 END AS km_boundary
-              FROM km2
-            ), gapm AS (
-              SELECT doc_id, page, band, km_boundary,
-                     CASE WHEN km_boundary IS NULL AND n_spans >= 3 AND ns >= 3 THEN
-                       (SELECT CASE WHEN g.gap > pw * 0.15 THEN g.mid END
-                        FROM (SELECT u[i+1] - u[i] AS gap, (u[i] + u[i+1]) / 2.0 AS mid
-                              FROM (SELECT list_sort(list_distinct(
-                                     list_transform(sx, v -> round(v/10.0)*10.0))) AS u) uu,
-                                   unnest(range(1, length(u))) t(i)
-                              ORDER BY gap DESC, i LIMIT 1) g)
-                     END AS gap_boundary
-              FROM decide
-            ), bound AS (
-              SELECT doc_id, page, band,
-                     coalesce(km_boundary, gap_boundary) AS boundary
-              FROM gapm
-            )
-            SELECT b.doc_id,
-                   row_number() OVER (PARTITION BY b.doc_id
-                     ORDER BY b.page, b.band,
-                              CASE WHEN bd.boundary IS NOT NULL AND b.xc >= bd.boundary THEN 2
-                                   WHEN bd.boundary IS NOT NULL THEN 1 ELSE 0 END,
-                              b.y, b.x) - 1 AS span_order,
-                   b.kind, b.media_ref, md5(b.text) AS text_md5
-            FROM banded b LEFT JOIN bound bd
-              ON b.doc_id = bd.doc_id AND b.page = bd.page AND b.band = bd.band
+            ), {_COLDETECT_CHAIN}
+            {_ORDER_SELECT}
         """,
+        # Publisher-banded reading-order oracle: the docs the banded oracle
+        # excludes. Recomputes banding_format's probe dispatch AND the four
+        # publisher page-1 band sets (union-all with the faithful drop /
+        # duplicate quirks, D3) + in-band column detection, all in SQL over
+        # the dumped input. Together with extract_order_banded this covers
+        # the reading order of 100% of the synthesized corpus.
+        "extract_order_publisher": f"""
+            WITH {_EXTRACT_DEC}, {_publisher_banded_cte()}, {_COLDETECT_CHAIN}
+            {_ORDER_SELECT}
+        """,
+        # Scalars hold for generically-banded docs only (publisher band
+        # sets can drop/duplicate spans, breaking the kept-count == output
+        # invariant) — probe docs are excluded on both sides and their
+        # span accounting is covered by extract_order_publisher instead.
         "extract_doc_scalars": f"""
-            WITH {_EXTRACT_DEC}
+            WITH {_EXTRACT_DEC}, probe AS (
+              SELECT DISTINCT doc_id FROM kept
+              WHERE page = 1 AND regexp_matches(lower(text), '{_BANDING_PROBE_RE}')
+            )
             SELECT doc_id,
                    CAST(max(page) AS BIGINT) AS total_pages,
                    count(*) AS total_text_regions,
                    count(*) AS n_spans_out,
                    true AS boundary_ok
-            FROM kept GROUP BY doc_id
+            FROM kept
+            WHERE doc_id NOT IN (SELECT doc_id FROM probe)
+            GROUP BY doc_id
         """,
         # Remaining rows-only entries, each genuinely non-SQL-expressible:
         # dedup_minhash / dedup_simhash (seeded hash-permutation /

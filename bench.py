@@ -101,8 +101,12 @@ def prepare_corpus(sf_dir: str, replicate: int) -> str:
     """Materialize the deterministic spans corpus ONCE (untimed, shared by
     every parallelism level): the timed headline is then the real pipeline
     shape — read spans parquet -> extract -> write parquet (SURVEY.md §3)."""
+    from pdf_extraction_tests_ray.fixtures import FLAT_SPANS_VERSION
+
     tag = os.path.basename(os.path.normpath(sf_dir))
-    corpus_dir = f"/tmp/graft_bench_corpus_{tag}_x{replicate}"
+    # the synthesizer version keys the cache: a corpus materialized by
+    # older fixture code must not be reused as this version's workload
+    corpus_dir = f"/tmp/graft_bench_corpus_{tag}_v{FLAT_SPANS_VERSION}_x{replicate}"
     done_marker = corpus_dir + ".done"  # outside the dir: read_parquet reads every file inside
     if os.path.exists(done_marker):
         return corpus_dir

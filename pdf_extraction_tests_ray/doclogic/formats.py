@@ -45,6 +45,20 @@ def banding_probe_pattern() -> str:
     return "|".join(p.pattern for p in (_NATURE_RE, _JAC_RE, _JSM_RE, _ELSEVIER_RE))
 
 
+def banding_probe_patterns() -> list:
+    """Per-format probe patterns IN DISPATCH ORDER (the :func:`banding_format`
+    branch order, v10A.R:250/298/348/396 — elsevier wins a multi-probe tie).
+    Single source of truth for the SQL publisher-order oracle's format CASE:
+    the SQL must test the same patterns in the same order, so it is built
+    from this list, never hand-copied."""
+    return [
+        ("elsevier", _ELSEVIER_RE.pattern),
+        ("nature", _NATURE_RE.pattern),
+        ("jac", _JAC_RE.pattern),
+        ("jsm", _JSM_RE.pattern),
+    ]
+
+
 def banding_format(texts) -> str:
     """Which page-1 banding applies; checked in reference branch order
     (elsevier first — v10A.R:250, then nature 298, jac 348, jsm 396,

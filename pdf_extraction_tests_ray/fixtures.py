@@ -387,17 +387,64 @@ def write_corpus(path: str, families=None, seed: int = 42, scale: int = 1, num_f
 # flat-text adapter for the driver testdata `documents` table
 
 
+# Version salt for oracle_io's dump-freshness sidecar: bump whenever
+# spans_from_flat_text's OUTPUT changes for any doc_id, so a stale on-disk
+# dump (written by older code) is never compared against fresh Ray-side
+# synthesis.
+FLAT_SPANS_VERSION = 2
+
+
 def spans_from_flat_text(doc_id: int, text: str) -> list[dict]:
     """Deterministically expand one flat testdata document into spans.
 
-    Seeded by ``doc_id`` only — stable across runs/processes. Produces a
-    generic-family layout (title + author + abstract + body paragraphs over
-    1-3 pages, occasionally 2-column or with a media span).
+    Seeded by ``doc_id`` only — stable across runs/processes. Most docs get
+    a generic-family layout (title + author + abstract + body paragraphs
+    over 1-3 pages, occasionally 2-column or with a media span); a fixed
+    ``doc_id % 16`` residue routes to the publisher golden families
+    (elsevier / nature / jac / jsm page-1 band sets, v10A.R:250-444, plus
+    the generically-banded mdpi layout) so the DRIVER corpus exercises
+    every banding branch, not just the generic one. Publisher docs get
+    deterministic band-quirk riders: a no-band span (dropped, D3) and
+    content-probe spans matching two bands (duplicated).
     """
     rng = np.random.default_rng(np.random.SeedSequence([7, int(doc_id)]))
     words = text.split()
     if not words:
         return []
+    fam = int(doc_id) % 16
+    if fam in (11, 12, 13, 14, 15):
+        if fam == 11:
+            spans = _elsevier_doc(rng)
+            if rng.random() < 0.5:
+                # authors band [700,1000) requires [A-Z][a-z]+ and no other
+                # elsevier band covers that y range -> union-all DROP quirk
+                spans.append(_span(KIND_TEXT, "2024 10 1016 0 1234567", 1, 250, _XB_1COL))
+        elif fam == 12:
+            spans = _nature_doc(rng)
+            if rng.random() < 0.5:
+                # >400 chars at y~511: authors band AND the nchar>400 &
+                # 500<y<800 abstract-box rule -> union-all DUPLICATE quirk
+                # (90 words: even all-4-char-word draws exceed 400 chars)
+                spans.append(_span(KIND_TEXT, _words(rng, 90), 1, 155, _XB_1COL))
+        elif fam == 13:
+            spans = _jac_doc(rng)
+        elif fam == 14:
+            spans = _jsm_doc(rng)
+            if rng.random() < 0.5:
+                # JSM abstract content probe in the header band -> DUPLICATE
+                spans.append(
+                    _span(
+                        KIND_TEXT,
+                        "Escherichia coli can rapidly evolve resistance under exposure.",
+                        1,
+                        50,
+                        _XB_1COL,
+                    )
+                )
+        else:
+            spans = _mdpi_doc(rng)
+        perm = rng.permutation(len(spans))
+        return [spans[i] for i in perm]
     spans = []
     spans.append(_span(KIND_ABANDON, "Synthetic Bulletin of Stream Processing", 1, 30, _XB_1COL))
     title = " ".join(words[: min(12, len(words))])

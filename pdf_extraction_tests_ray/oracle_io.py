@@ -48,11 +48,18 @@ def dump_extract_input(sf_dir: str, path: str = DUMP_PATH) -> str:
     """
     import json
 
-    from .fixtures import spans_from_flat_text
+    from .fixtures import FLAT_SPANS_VERSION, spans_from_flat_text
 
     src = f"{sf_dir}/documents.parquet"
     st = os.stat(src)
-    stamp = {"src": src, "mtime": st.st_mtime, "size": st.st_size}
+    # the version salt invalidates dumps written by older synthesizer code
+    # (same source bytes, different spans)
+    stamp = {
+        "src": src,
+        "mtime": st.st_mtime,
+        "size": st.st_size,
+        "fixture_version": FLAT_SPANS_VERSION,
+    }
     sidecar = path + ".src.json"
     try:
         with open(sidecar) as f:

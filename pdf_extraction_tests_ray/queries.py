@@ -1275,35 +1275,46 @@ def extract_order_generic(sf_dir: str):
 
     One pass: the per-doc flag comes from the same batch that is extracted
     (no second lineage, no driver state). Rows: (doc_id, span_order, kind,
-    media_ref, text_md5) for every span of every one-col doc.
+    media_ref, text_md5) for every span of every one-col doc. Docs whose
+    page 1 hits a publisher banding probe are excluded on both sides
+    (publisher band order legitimately diverges from pure (page, y, x);
+    they are covered by extract_order_publisher).
     """
+    import re as _re
+
+    from .doclogic.formats import banding_probe_pattern
     from .stages.extract_stage import extract_batch, iter_span_lists
 
+    probe_re = _re.compile(banding_probe_pattern())
     spans_ds = _spans_dataset(sf_dir)
 
     def check_batch(batch: pa.Table) -> pa.Table:
         flags = {}
-        for did, _k, _t, _r, offs in iter_span_lists(batch):
-            xb = np.asarray(offs, dtype=np.int64) % 1000
-            flags[did] = len(offs) > 0 and int(xb.min()) >= 350
+        for did, _k, texts, _r, offs in iter_span_lists(batch):
+            offs_a = np.asarray(offs, dtype=np.int64)
+            xb = offs_a % 1000
+            page1 = offs_a // 1_000_000 == 1
+            hit = any(probe_re.search(t.lower()) for t, p in zip(texts, page1) if p)
+            flags[did] = len(offs) > 0 and int(xb.min()) >= 350 and not hit
         return _order_check_table(extract_batch(batch), flags)
 
     return spans_ds.map_batches(check_batch, batch_format="pyarrow")
 
 
 def extract_order_banded(sf_dir: str):
-    """FULL-corpus reading-order oracle — every span of every document,
-    including 2-column pages and the banded page 1.
+    """Generic-banding reading-order oracle — every span of every
+    generically-banded document, including 2-column pages and the banded
+    page 1.
 
     The paired DuckDB oracle independently recomputes generic page-1
     banding (y-interval bands) AND the column-detection ladder — exact 1-D
     2-means split (argmin over split points), the gap/separation
     acceptance rules, and the rounded-gap fallback — entirely in SQL list
-    ops, then orders by (page, band, column, y, x). Only docs whose page-1
-    text hits a publisher banding probe (none in the synthetic corpus) are
-    excluded, with the same regex evaluated on both sides.
+    ops, then orders by (page, band, column, y, x). Docs whose page-1
+    text hits a publisher banding probe are excluded, with the same regex
+    evaluated on both sides; extract_order_publisher covers those, so the
+    two oracles together span 100% of the synthesized corpus.
 
-    Verified at sf0.01: all 500 docs x 4402 spans match, 2-col included.
     Subsumes extract_order_generic (kept: simpler SQL, defense in depth).
     """
     import re as _re
@@ -1327,23 +1338,65 @@ def extract_order_banded(sf_dir: str):
     return spans_ds.map_batches(check_batch, batch_format="pyarrow")
 
 
+def extract_order_publisher(sf_dir: str):
+    """Publisher-banded reading-order oracle — the docs extract_order_banded
+    excludes: page 1 routed by a banding probe to the elsevier / nature /
+    jac / jsm band sets (v10A.R:250-444).
+
+    The paired DuckDB oracle recomputes the probe dispatch (same branch
+    order as banding_format), each format's page-1 bands as a UNION ALL —
+    faithfully reproducing the drop/duplicate quirks of the reference's
+    filter + bind_rows chain (D3) — and in-band / pages>=2 column
+    detection, entirely in SQL over the dumped input.
+    """
+    import re as _re
+
+    from .doclogic.formats import banding_probe_pattern
+    from .stages.extract_stage import extract_batch, iter_span_lists
+
+    probe_re = _re.compile(banding_probe_pattern())
+    spans_ds = _spans_dataset(sf_dir)
+
+    def check_batch(batch: pa.Table) -> pa.Table:
+        flags = {}
+        for did, _k, texts, _r, offs in iter_span_lists(batch):
+            page1 = np.asarray(offs, dtype=np.int64) // 1_000_000 == 1
+            hit = any(probe_re.search(t.lower()) for t, p in zip(texts, page1) if p)
+            flags[did] = len(offs) > 0 and hit
+        return _order_check_table(extract_batch(batch), flags)
+
+    return spans_ds.map_batches(check_batch, batch_format="pyarrow")
+
+
 def extract_doc_scalars(sf_dir: str):
     """Per-doc extraction scalars the oracle recomputes from the dumped
     input: total_pages (max page of kept spans), total_text_regions and
-    n_spans_out (both = kept-span count: the fixture family has no banding
-    drops/dups, so "no span lost" is checked for EVERY doc incl. 2-col),
-    plus boundary_ok (0 <= boundary_start <= boundary_end <=
-    total_text_regions — the oracle pins it to literal true)."""
+    n_spans_out (both = kept-span count: generic banding has no drops/dups,
+    so "no span lost" is checked for every generically-banded doc incl.
+    2-col), plus boundary_ok (0 <= boundary_start <= boundary_end <=
+    total_text_regions — the oracle pins it to literal true). Publisher
+    probe docs are excluded on both sides (their band sets CAN drop or
+    duplicate spans; extract_order_publisher accounts for every one of
+    their spans instead)."""
+    import re as _re
+
+    from .doclogic.formats import banding_probe_pattern
     from .stages.extract_stage import extract_batch
 
+    probe_re = _re.compile(banding_probe_pattern())
     spans_ds = _spans_dataset(sf_dir)
 
     def scalars_batch(batch: pa.Table) -> pa.Table:
         from .stages.extract_stage import iter_span_lists
 
         # empty-INPUT docs produce no oracle rows (SQL groups over spans) —
-        # exclude them on this side too so the doc sets match
-        n_inp = {did: len(offs) for did, _k, _t, _r, offs in iter_span_lists(batch)}
+        # exclude them on this side too so the doc sets match; ditto
+        # publisher probe docs (oracle excludes them symmetrically)
+        n_inp = {}
+        for did, _k, texts, _r, offs in iter_span_lists(batch):
+            page1 = np.asarray(offs, dtype=np.int64) // 1_000_000 == 1
+            hit = any(probe_re.search(t.lower()) for t, p in zip(texts, page1) if p)
+            n_inp[did] = 0 if hit else len(offs)
         out = extract_batch(batch)
         rows = {k: [] for k in ("doc_id", "total_pages", "total_text_regions", "n_spans_out", "boundary_ok")}
         errors = out.column("error").to_pylist()
@@ -1430,5 +1483,6 @@ QUERIES = {
     "extract_spans_flat": extract_spans_flat,
     "extract_order_generic": extract_order_generic,
     "extract_order_banded": extract_order_banded,
+    "extract_order_publisher": extract_order_publisher,
     "extract_doc_scalars": extract_doc_scalars,
 }

@@ -113,6 +113,7 @@ def _to_pandas(res):
         "doc_top_terms",
         "extract_order_generic",
         "extract_order_banded",
+        "extract_order_publisher",
         "extract_doc_scalars",
     ],
 )
