@@ -577,6 +577,50 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": f"""
             SELECT doc_id, md5({_NORM}) AS text_md5 FROM documents
         """,
+        # Gopher-style repetition metrics: same split/distinct/max-count
+        # arithmetic as functions.text.repetition_features (word bigrams
+        # via 1-based list indexing; count-only max needs no tie-break)
+        "doc_repetition": """
+            WITH w AS (
+              SELECT doc_id, trim(text) AS t,
+                     CASE WHEN trim(text) = '' THEN []
+                          ELSE regexp_split_to_array(trim(text), '\\s+')
+                     END AS ws
+              FROM documents
+            ), big AS (
+              SELECT doc_id, max(cnt) AS best FROM (
+                SELECT doc_id, g, count(*) AS cnt
+                FROM (SELECT doc_id,
+                             unnest(list_transform(range(1, length(ws)),
+                                    i -> ws[i] || ' ' || ws[i+1])) AS g
+                      FROM w WHERE length(ws) >= 2)
+                GROUP BY doc_id, g
+              ) GROUP BY doc_id
+            ), s AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(t, '\\.\\s+'),
+                                 x -> x <> '') AS sents
+              FROM w
+            )
+            SELECT w.doc_id,
+                   length(ws) AS n_words,
+                   round(CASE WHEN length(ws) = 0 THEN 0.0
+                         ELSE 1.0 - CAST(length(list_distinct(ws)) AS DOUBLE)
+                                      / length(ws) END, 6) AS dup_word_frac,
+                   round(CASE WHEN coalesce(big.best, 0) >= 2
+                         THEN 2.0 * big.best / length(ws) ELSE 0.0 END, 6)
+                     AS top_bigram_frac,
+                   round(CASE WHEN length(sents) = 0 THEN 0.0
+                         ELSE 1.0 - CAST(length(list_distinct(sents)) AS DOUBLE)
+                                      / length(sents) END, 6) AS dup_sent_frac,
+                   ((CASE WHEN coalesce(big.best, 0) >= 2
+                      THEN 2.0 * big.best / length(ws) ELSE 0.0 END) > 0.18
+                    OR (CASE WHEN length(sents) = 0 THEN 0.0
+                        ELSE 1.0 - CAST(length(list_distinct(sents)) AS DOUBLE)
+                                     / length(sents) END) > 0.30) AS is_repetitive
+            FROM w LEFT JOIN big ON w.doc_id = big.doc_id
+                   JOIN s ON w.doc_id = s.doc_id
+        """,
         "dedup_exact": f"""
             SELECT md5({_NORM}) AS text_md5,
                    min(doc_id) AS keep_doc_id,

@@ -42,6 +42,7 @@ QUERY_SUITE = [
     "q_topk_per_brand",
     "q_user_sessions",
     "doc_quality",
+    "doc_repetition",
     "doc_token_totals_by_lang",
     "q_events_distinct_users",
     "q_order_running_total",

@@ -73,6 +73,56 @@ def is_quality(n_words, punct_ratio, avg_word_len) -> bool:
 
 
 # --------------------------------------------------------------------------
+# repetition / duplication signals (Gopher-style, Rae et al. 2021 §A1.1,
+# at word/sentence granularity — the corpus text carries no newlines, so
+# word-bigram and '.'-sentence units stand in for Gopher's line units)
+
+_SENT_SPLIT_RE = re.compile(r"\.\s+")
+
+
+def repetition_features(s: str) -> tuple[int, float, float, float]:
+    """(n_words, dup_word_frac, top_bigram_frac, dup_sent_frac).
+
+    dup_word_frac = 1 - distinct/total words; top_bigram_frac = fraction
+    of words covered by the most frequent REPEATED word bigram
+    (2*max_count/n when max_count >= 2, else 0 — a short doc whose every
+    bigram is unique is not repetitive; count-only, so no tie-break on
+    WHICH bigram is needed); dup_sent_frac = 1 - distinct/total over
+    non-empty '.'-separated sentences. Every operation (split, distinct,
+    max multiplicity, the divisions) is reproduced exactly by the paired
+    DuckDB oracle.
+    """
+    t = s.strip()
+    if not t:
+        return 0, 0.0, 0.0, 0.0
+    words = _WS_RE.split(t)
+    n = len(words)
+    dup_word = 1.0 - len(set(words)) / n
+    top_bigram = 0.0
+    if n >= 2:
+        counts: dict = {}
+        best = 0
+        for i in range(n - 1):
+            g = words[i] + " " + words[i + 1]
+            c = counts.get(g, 0) + 1
+            counts[g] = c
+            if c > best:
+                best = c
+        top_bigram = 2.0 * best / n if best >= 2 else 0.0
+    sents = [x for x in _SENT_SPLIT_RE.split(t) if x]
+    dup_sent = 1.0 - len(set(sents)) / len(sents) if sents else 0.0
+    return n, dup_word, top_bigram, dup_sent
+
+
+def is_repetitive(top_bigram_frac, dup_sent_frac) -> bool:
+    """Gopher-style repetition gate (top-2-gram threshold per Rae et al.
+    2021 table A1; sentence-duplicate threshold stands in for dup-line).
+    dup_word_frac is reported but not gated — ordinary English repeats
+    stopwords heavily, so it separates poorly."""
+    return bool(top_bigram_frac > 0.18 or dup_sent_frac > 0.30)
+
+
+# --------------------------------------------------------------------------
 # language ID: stopword-hit heuristic over a tiny per-language lexicon
 
 _LANG_STOPS = {

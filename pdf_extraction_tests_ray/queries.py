@@ -872,6 +872,13 @@ def doc_quality(sf_dir: str):
     return out.select_columns(["doc_id", "n_words", "punct_ratio", "avg_word_len", "is_quality"])
 
 
+def doc_repetition(sf_dir: str):
+    """Gopher-style repetition metrics per doc (word-bigram + sentence
+    granularity); column-pruned read, one stateless map_batches pass."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(TA.repetition_batch, batch_format="pandas")
+
+
 def doc_langid(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
     from .relational import pool_max
@@ -1459,6 +1466,7 @@ QUERIES = {
     "doc_token_counts": doc_token_counts,
     "doc_token_totals_by_lang": doc_token_totals_by_lang,
     "doc_quality": doc_quality,
+    "doc_repetition": doc_repetition,
     "doc_langid": doc_langid,
     "doc_fingerprint": doc_fingerprint,
     "dedup_exact": dedup_exact,

@@ -45,6 +45,22 @@ def quality_batch(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def repetition_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-doc repetition signals (Gopher-style); stateless map_batches —
+    pure per-row compute, no shuffle, streams at any scale."""
+    feats = [T.repetition_features(t) for t in df["text"].tolist()]
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"].values,
+            "n_words": [f[0] for f in feats],
+            "dup_word_frac": [round(f[1], 6) for f in feats],
+            "top_bigram_frac": [round(f[2], 6) for f in feats],
+            "dup_sent_frac": [round(f[3], 6) for f in feats],
+            "is_repetitive": [T.is_repetitive(f[2], f[3]) for f in feats],
+        }
+    )
+
+
 class LangId:
     """Actor-pool stage: lexicons live in actor state (warm once).
 

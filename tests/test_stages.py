@@ -56,6 +56,26 @@ def test_langid():
     assert T.detect_language("这是一个中文句子 里面有很多汉字") == "zh"
 
 
+def test_repetition_features():
+    # empty -> all zero
+    assert T.repetition_features("   ") == (0, 0.0, 0.0, 0.0)
+    # all-distinct words, one sentence -> no repetition
+    n, dw, tb, ds = T.repetition_features("alpha beta gamma delta.")
+    assert n == 4 and dw == 0.0 and tb == 0.0 and ds == 0.0
+    # a dominant repeated bigram trips the Gopher gate
+    n, dw, tb, ds = T.repetition_features("buy now " * 20)
+    assert tb > 0.18 and T.is_repetitive(tb, ds)
+    # duplicated sentences trip the sentence gate
+    txt = "The same line here. The same line here. The same line here. Other."
+    n, dw, tb, ds = T.repetition_features(txt)
+    assert ds == 0.5 and T.is_repetitive(tb, ds)
+    # ordinary prose passes
+    n, dw, tb, ds = T.repetition_features(
+        "The quick brown fox jumps over the lazy dog near the river bank."
+    )
+    assert not T.is_repetitive(tb, ds)
+
+
 def test_token_counts():
     assert T.whitespace_token_count("a b  c") == 3
     assert T.whitespace_token_count("  ") == 1  # DuckDB [''] semantics
