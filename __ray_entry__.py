@@ -635,6 +635,37 @@ def oracle_sql() -> dict[str, str]:
               FROM documents GROUP BY md5({_NORM})
             ) k ON d.doc_id = k.keep_doc_id
         """,
+        # C4-style line dedup: same split (split_lines), same keep rule
+        # (corpus-wide first occurrence by (doc_id, line_idx)), same
+        # '. ' string_agg reassembly as stages.dedup.apply_line_dedup
+        "dedup_lines": """
+            WITH s AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\\.\\s+'),
+                                 x -> x <> '') AS sents
+              FROM documents
+              WHERE length(list_filter(regexp_split_to_array(trim(text),
+                           '\\.\\s+'), x -> x <> '')) > 0
+            ), lines AS (
+              SELECT doc_id,
+                     unnest(sents) AS line,
+                     unnest(range(1, length(sents) + 1)) AS line_idx
+              FROM s
+            ), keep AS (
+              SELECT doc_id, line_idx, line,
+                     row_number() OVER (PARTITION BY line
+                                        ORDER BY doc_id, line_idx) AS rn
+              FROM lines
+            )
+            SELECT k.doc_id,
+                   string_agg(k.line, '. ' ORDER BY k.line_idx) AS text_dedup,
+                   count(*) AS n_kept,
+                   CAST(any_value(length(s.sents)) - count(*) AS BIGINT)
+                     AS n_dropped
+            FROM keep k JOIN s ON s.doc_id = k.doc_id
+            WHERE k.rn = 1
+            GROUP BY k.doc_id
+        """,
         "doc_length_quantiles": """
             SELECT lang,
                    quantile_disc(n_chars, 0.5) AS p50,

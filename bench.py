@@ -43,6 +43,7 @@ QUERY_SUITE = [
     "q_user_sessions",
     "doc_quality",
     "doc_repetition",
+    "dedup_lines",
     "doc_token_totals_by_lang",
     "q_events_distinct_users",
     "q_order_running_total",

@@ -114,6 +114,18 @@ def repetition_features(s: str) -> tuple[int, float, float, float]:
     return n, dup_word, top_bigram, dup_sent
 
 
+def split_lines(s: str) -> list:
+    """The corpus-wide 'line' unit shared by line-level dedup and the
+    repetition metrics: non-empty '.'-whitespace-separated sentences of
+    the stripped text (this corpus carries no newlines, so sentences
+    stand in for C4's lines). Paired DuckDB oracles reproduce it as
+    ``list_filter(regexp_split_to_array(trim(text), '\\.\\s+'), ...)``."""
+    t = s.strip()
+    if not t:
+        return []
+    return [x for x in _SENT_SPLIT_RE.split(t) if x]
+
+
 def is_repetitive(top_bigram_frac, dup_sent_frac) -> bool:
     """Gopher-style repetition gate (top-2-gram threshold per Rae et al.
     2021 table A1; sentence-duplicate threshold stands in for dup-line).

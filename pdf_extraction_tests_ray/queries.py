@@ -908,6 +908,16 @@ def dedup_exact_apply(sf_dir: str):
     return D.apply_exact_dedup(ds).select_columns(["doc_id", "lang", "n_chars"])
 
 
+def dedup_lines(sf_dir: str):
+    """C4-style sub-document dedup (Raffel et al. 2020 §2.2 granularity):
+    every document rewritten with corpus-wide duplicate lines removed,
+    keeping each line's first (min doc_id, line_idx) occurrence. Two
+    bounded bucket shuffles: line_hash (narrow 48-byte rows) then a
+    doc_id reassembly join; no broadcast on either side."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return D.apply_line_dedup(ds)
+
+
 def media_features(sf_dir: str):
     """Multimodal decode plumbing (rows-only: binary payloads + fake
     decode are not SQL-expressible): a deterministic media table is
@@ -1471,6 +1481,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "dedup_exact": dedup_exact,
     "dedup_exact_apply": dedup_exact_apply,
+    "dedup_lines": dedup_lines,
     "media_features": media_features,
     "media_ocr_regions": media_ocr_regions,
     "dedup_incremental": dedup_incremental,

@@ -346,6 +346,157 @@ def apply_exact_dedup(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 
 
 # --------------------------------------------------------------------------
+# line-level (sub-document) dedup — C4-style
+
+
+def line_dedup_drops(
+    docs: "ray.data.Dataset", num_buckets: int = 256
+) -> "ray.data.Dataset":
+    """Corpus-wide duplicate LINE occurrences: (doc_id, line_idx) rows for
+    every line occurrence that is NOT the corpus-wide first.
+
+    C4 deduplicates at sub-document granularity (Raffel et al. 2020
+    §2.2 keeps one of any repeated three-sentence span; Lee et al. 2022
+    measure the same effect with exact substrings). Unit here is
+    :func:`functions.text.split_lines`'s '.'-sentence (this corpus has no
+    newlines); the keeper of a line is its minimum (doc_id, line_idx)
+    occurrence — deterministic across block layouts and cluster sizes.
+
+    Scale shape: each batch explodes to narrow (line_hash, doc_id,
+    line_idx) rows — md5 key, never the line text, so the shuffle moves
+    ~48 bytes per line occurrence regardless of line length. ONE bounded
+    bucket shuffle on line_hash co-locates a line's occurrences; the
+    per-bucket kernel is a vectorized sort + duplicated() mask emitting
+    only the drop rows (O(duplicate occurrences) output — empty for a
+    dedup-clean corpus)."""
+    import hashlib
+
+    # Arrow tables with EXPLICIT schemas throughout (the _verify_pairs_join
+    # convention): mostly-empty drop outputs must keep their dtypes, or the
+    # downstream union's pandas concat NaN-promotes doc_id to float64 and
+    # the reassembly bucket hash diverges from the doc side's.
+    def explode(df: pd.DataFrame) -> pa.Table:
+        pos, idxs, hs = [], [], []
+        for p, t in enumerate(df["text"].tolist()):
+            for i, ln in enumerate(T.split_lines(t), 1):
+                pos.append(p)
+                idxs.append(i)
+                hs.append(hashlib.md5(ln.encode("utf-8")).hexdigest())
+        ids = df["doc_id"].iloc[pos] if pos else df["doc_id"].iloc[:0]
+        return pa.Table.from_pydict(
+            {
+                "line_hash": pa.array(hs, type=pa.string()),
+                "doc_id": pa.Array.from_pandas(ids),
+                "line_idx": pa.array(idxs, type=pa.int64()),
+            }
+        )
+
+    from ..relational import bucketed_group_merge
+
+    def drops_of_bucket(g: pd.DataFrame) -> pa.Table:
+        id_type = pa.array(g["doc_id"].head(1)).type  # groups are never empty
+        g = g.sort_values(["line_hash", "doc_id", "line_idx"], kind="mergesort")
+        dup = g.duplicated(subset="line_hash", keep="first")
+        sub = g.loc[dup]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(sub["doc_id"].tolist(), type=id_type),
+                "line_idx": pa.array(sub["line_idx"].tolist(), type=pa.int64()),
+            }
+        )
+
+    return bucketed_group_merge(
+        docs.map_batches(explode, batch_format="pandas"),
+        ["line_hash"],
+        drops_of_bucket,
+        num_buckets=num_buckets,
+    )
+
+
+def apply_line_dedup(
+    docs: "ray.data.Dataset", num_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Rewrite each document with its corpus-wide duplicate lines removed
+    (first occurrence kept): (doc_id, text_dedup, n_kept, n_dropped).
+
+    Reassembly is a bucketed hash join on doc_id (semi_join's tag/union
+    shape — no broadcast on either side): the doc side moves each doc
+    once, the drop side moves O(duplicate occurrences). Within a bucket
+    each doc re-splits its own text (cheaper than shipping line text
+    through the line_hash shuffle) and rejoins the kept lines with '. '
+    — the same separator class the split consumed, so output is a pure
+    deterministic function of the input text reproduced verbatim by the
+    SQL oracle's string_agg. Docs with no non-empty line (or, degenerate,
+    all lines dropped) disappear, matching SQL GROUP BY semantics."""
+    drops = line_dedup_drops(docs, num_buckets=max(num_buckets, 256))
+
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].values,  # native dtype, never cast
+                "text": df["text"].astype(object),
+                "line_idx": np.full(len(df), -1, dtype="int64"),
+            }
+        )
+
+    def tag_drops(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].values,
+                "text": np.full(len(df), "", dtype=object),
+                "line_idx": df["line_idx"].astype("int64"),
+            }
+        )
+
+    cols = ["doc_id", "text", "line_idx"]
+    tagged = (
+        docs.map_batches(tag_docs, batch_format="pandas")
+        .select_columns(cols)
+        .union(drops.map_batches(tag_drops, batch_format="pandas").select_columns(cols))
+    )
+
+    from ..relational import _bucket_of
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bucket"] = _bucket_of(df, ["doc_id"], num_buckets)
+        return df
+
+    def rebuild(g: pd.DataFrame) -> pa.Table:
+        id_type = pa.array(g["doc_id"].head(1)).type  # groups are never empty
+        out_id, out_tx, out_k, out_d = [], [], [], []
+        for d, sub in g.groupby("doc_id", sort=False):
+            is_doc = sub["line_idx"].to_numpy() < 0
+            if not is_doc.any():
+                continue  # impossible: drops derive from the same docs
+            lines = T.split_lines(sub.loc[is_doc, "text"].iloc[0])
+            if not lines:
+                continue
+            dropset = set(sub.loc[~is_doc, "line_idx"].tolist())
+            kept = [ln for i, ln in enumerate(lines, 1) if i not in dropset]
+            if not kept:
+                continue
+            out_id.append(d)
+            out_tx.append(". ".join(kept))
+            out_k.append(len(kept))
+            out_d.append(len(lines) - len(kept))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out_id, type=id_type),
+                "text_dedup": pa.array(out_tx, type=pa.string()),
+                "n_kept": pa.array(out_k, type=pa.int64()),
+                "n_dropped": pa.array(out_d, type=pa.int64()),
+            }
+        )
+
+    return (
+        tagged.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(rebuild, batch_format="pandas")
+    )
+
+
+# --------------------------------------------------------------------------
 # MinHash + LSH near-dup
 
 

@@ -133,6 +133,70 @@ def test_duplicate_keep_map_is_duplicates_only():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_line_dedup_drop_path():
+    """The driver corpus has (almost) no cross-doc duplicate lines, so the
+    conformance green mostly checks pass-through; this pins the DROP path:
+    keep-first by (doc_id, line_idx), reassembly, whole-doc elimination,
+    layout invariance, and parity with the exact driver oracle SQL."""
+    import duckdb
+    import ray
+
+    from pdf_extraction_tests_ray.stages.dedup import apply_line_dedup, line_dedup_drops
+
+    docs_pd = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "alpha beta. shared one. gamma delta",
+                "shared one. unique two. shared two",
+                "shared two. epsilon. shared one",
+                "   ",  # no lines -> absent from output
+                "shared one",  # every line dropped -> absent from output
+            ],
+        }
+    )
+    docs = ray.data.from_pandas(docs_pd).repartition(3)
+
+    drops = line_dedup_drops(docs).to_pandas()
+    assert sorted(map(tuple, drops[["doc_id", "line_idx"]].to_numpy().tolist())) == [
+        (2, 1),  # "shared one" keeper is (1, 2)
+        (3, 1),  # "shared two" keeper is (2, 3)
+        (3, 3),
+        (5, 1),
+    ]
+
+    out = apply_line_dedup(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    assert out["text_dedup"].tolist() == [
+        "alpha beta. shared one. gamma delta",
+        "unique two. shared two",
+        "epsilon",
+    ]
+    assert out["n_kept"].tolist() == [3, 2, 1]
+    assert out["n_dropped"].tolist() == [0, 1, 2]
+
+    # layout invariance: one block vs three
+    out1 = (
+        apply_line_dedup(ray.data.from_pandas(docs_pd))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out1)
+
+    # exact parity with the driver oracle SQL on the same table
+    import __ray_entry__ as entry
+
+    con = duckdb.connect()
+    con.register("documents", docs_pd)
+    sql = entry.oracle_sql()["dedup_lines"]
+    odf = con.execute(sql).df().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[sorted(out.columns)], odf[sorted(odf.columns)], check_dtype=False
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_shared_ngram_pairs_cap_and_layout():
     """A boilerplate gram shared by many docs is capped at
     max_docs_per_gram (bounded pair blow-up); results are invariant to

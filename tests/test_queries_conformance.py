@@ -79,6 +79,7 @@ def _to_pandas(res):
         "doc_pack_group_totals",
         "dedup_exact",
         "dedup_exact_apply",
+        "dedup_lines",
         "dedup_incremental",
         "dedup_shared_ngrams",
         "dedup_jaccard_clusters",
