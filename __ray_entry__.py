@@ -351,7 +351,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM train
             WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
         """
-    return {
+    out = {
         # money aggregates use exact integer-cents sums (matching the Ray
         # side) so the result is independent of float summation order
         "q1_pricing_summary": """
@@ -1095,3 +1095,7 @@ def oracle_sql() -> dict[str, str]:
         # structural output — the order + scalar invariants ARE oracled
         # via extract_order_generic/banded / extract_doc_scalars).
     }
+    # the indexed search variant is BYTE-IDENTICAL to the one-shot path
+    # (same terms, same integer weights) — same oracle
+    out["doc_search_keywords_indexed"] = out["doc_search_keywords"]
+    return out

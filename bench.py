@@ -64,6 +64,7 @@ QUERY_SUITE = [
     "doc_decontaminate",
     "doc_decontaminate_bloom",
     "doc_search_keywords",
+    "doc_search_keywords_indexed",
     "doc_scrub_pii",
     "doc_top_terms",
     "doc_top_terms_approx",

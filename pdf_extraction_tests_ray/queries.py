@@ -761,6 +761,40 @@ def doc_search_keywords(sf_dir: str):
     return SRCH.keyword_search(docs, SEARCH_TERMS, k=10)
 
 
+def doc_search_keywords_indexed(sf_dir: str):
+    """Keyword search over the PERSISTED inverted index (build-once,
+    query-many): first use per sf builds the bucket-partitioned posting +
+    df tables under /tmp, then every query reads ONLY the query terms'
+    bucket directories (file-level pruning + parquet row filter) — the
+    corpus text is never touched at query time. Byte-identical to
+    doc_search_keywords, so it shares that oracle."""
+    import os
+
+    from .stages import search as SRCH
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = f"/tmp/graft_kw_index_{tag}"
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    stamp = f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}"
+    marker = idx + "/.done"
+    fresh = False
+    try:
+        with open(marker) as f:
+            fresh = f.read() == stamp
+    except OSError:
+        pass
+    if not fresh:
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
+        docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+        SRCH.build_keyword_index(docs, idx, num_buckets=64)
+        with open(marker, "w") as f:
+            f.write(stamp)
+    return SRCH.keyword_search_index(idx, SEARCH_TERMS, k=10)
+
+
 MIX_TOKEN_BUDGET = 6000  # total-token target for doc_weighted_mix_tokens
 
 
@@ -1468,6 +1502,7 @@ QUERIES = {
     "doc_weighted_mix_tokens": doc_weighted_mix_tokens,
     "doc_scrub_pii": doc_scrub_pii,
     "doc_search_keywords": doc_search_keywords,
+    "doc_search_keywords_indexed": doc_search_keywords_indexed,
     "doc_top_terms": doc_top_terms,
     "doc_top_terms_approx": doc_top_terms_approx,
     "doc_pack_sequences": doc_pack_sequences,

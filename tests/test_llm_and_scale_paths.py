@@ -265,6 +265,55 @@ def test_semi_anti_join_partition_left_and_keep_dtypes():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_keyword_index_parity_and_pruning(tmp_path):
+    """build_keyword_index + keyword_search_index: byte-identical to the
+    one-shot keyword_search, serving a query from ONLY the query terms'
+    bucket directories (file-level pruning) — the knn_ivf_index contract
+    for text search."""
+    import os
+
+    import ray
+
+    from pdf_extraction_tests_ray.stages.search import (
+        _term_bucket,
+        build_keyword_index,
+        keyword_search,
+        keyword_search_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    idx = str(tmp_path / "kw_index")
+    build_keyword_index(docs, idx, num_buckets=16)
+
+    terms = ["join", "spark", "window"]
+    want = keyword_search(docs, terms, k=10).to_pandas().reset_index(drop=True)
+    got = keyword_search_index(idx, terms, k=10).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # file-level pruning: only the query terms' buckets exist in the plan
+    tb = {_term_bucket(t, 16) for t in terms}
+    n_buckets_on_disk = sum(
+        1 for d in os.listdir(os.path.join(idx, "postings")) if d.startswith("bucket=")
+    )
+    assert len(tb) < n_buckets_on_disk  # pruning is non-trivial here
+    import glob
+
+    files = []
+    for b in sorted(tb):
+        files.extend(glob.glob(os.path.join(idx, "postings", f"bucket={b}", "*.parquet")))
+    pruned = ray.data.read_parquet(files, columns=["term"])
+    touched = {p.split("bucket=")[1].split("/")[0] for p in pruned.input_files()}
+    assert touched <= {str(b) for b in tb}
+
+    # a term absent from the corpus gets the df=0 weight on both paths
+    terms2 = ["join", "zzznotaterm"]
+    want2 = keyword_search(docs, terms2, k=5).to_pandas().reset_index(drop=True)
+    got2 = keyword_search_index(idx, terms2, k=5).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2, want2, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_ivf_persisted_index_partition_pruned(tmp_path):
     """build_ivf_index writes a cell-partitioned index + centroid sidecar;
     knn_ivf_index answers from ONLY the probed cells' files and matches

@@ -106,6 +106,7 @@ def _to_pandas(res):
         "doc_weighted_mix_tokens",
         "doc_top_terms_approx",
         "doc_search_keywords",
+        "doc_search_keywords_indexed",
         "doc_scrub_pii",
         "doc_decontaminate_bloom",
         "curation_pipeline",
