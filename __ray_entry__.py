@@ -288,6 +288,9 @@ def oracle_sql() -> dict[str, str]:
     )
     _SEARCH_TERM_VALUES = ", ".join(f"('{t}')" for t in sorted(set(SEARCH_TERMS)))
 
+    from pdf_extraction_tests_ray.queries import CHUNK_SIZE as _CHUNK_SIZE
+    from pdf_extraction_tests_ray.queries import CHUNK_STRIDE as _CHUNK_STRIDE
+
     from pdf_extraction_tests_ray.queries import MIX_TOKEN_BUDGET
 
     _MIX_TOKEN_QUOTAS = ", ".join(
@@ -634,6 +637,26 @@ def oracle_sql() -> dict[str, str]:
               SELECT md5({_NORM}) AS h, min(doc_id) AS keep_doc_id
               FROM documents GROUP BY md5({_NORM})
             ) k ON d.doc_id = k.keep_doc_id
+        """,
+        # stride-windowed chunking: start grid range(0, n_words, stride),
+        # 1-based INCLUSIVE list slices (ws[s+1 : s+size] is `size` words),
+        # ' '-joined — the exact arithmetic of functions.text.chunk_text
+        "doc_chunks": f"""
+            WITH w AS (
+              SELECT doc_id, {_WORDS} AS ws
+              FROM documents WHERE trim(text) <> ''
+            ), c AS (
+              SELECT doc_id, ws,
+                     unnest(range(0, length(ws), {_CHUNK_STRIDE})) AS s
+              FROM w
+            )
+            SELECT doc_id,
+                   CAST(s // {_CHUNK_STRIDE} + 1 AS BIGINT) AS chunk_idx,
+                   CAST(least(length(ws) - s, {_CHUNK_SIZE}) AS BIGINT)
+                     AS n_tokens,
+                   array_to_string(ws[s + 1 : s + {_CHUNK_SIZE}], ' ')
+                     AS chunk_text
+            FROM c
         """,
         # C4-style line dedup: same split (split_lines), same keep rule
         # (corpus-wide first occurrence by (doc_id, line_idx)), same

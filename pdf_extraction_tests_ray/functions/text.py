@@ -114,6 +114,29 @@ def repetition_features(s: str) -> tuple[int, float, float, float]:
     return n, dup_word, top_bigram, dup_sent
 
 
+def chunk_text(s: str, chunk_size: int, stride: int) -> list:
+    """Stride-windowed word chunks: [(chunk_idx, n_tokens, chunk_text)].
+
+    Windows start at every multiple of ``stride`` below the word count
+    (so consecutive chunks overlap by ``chunk_size - stride`` words when
+    stride < chunk_size — the standard long-document windowing for
+    embedding/training pipelines); the final window may be shorter and,
+    when chunk_size > stride, may repeat only prior words — kept anyway:
+    the start-grid rule is what the DuckDB oracle reproduces exactly
+    (range(0, n, stride) + 1-based inclusive list slices). Empty text
+    yields no chunks."""
+    t = s.strip()
+    if not t:
+        return []
+    ws = _WS_RE.split(t)
+    n = len(ws)
+    out = []
+    for ci, start in enumerate(range(0, n, stride), 1):
+        seg = ws[start : start + chunk_size]
+        out.append((ci, len(seg), " ".join(seg)))
+    return out
+
+
 def split_lines(s: str) -> list:
     """The corpus-wide 'line' unit shared by line-level dedup and the
     repetition metrics: non-empty '.'-whitespace-separated sentences of

@@ -913,6 +913,24 @@ def doc_repetition(sf_dir: str):
     return ds.map_batches(TA.repetition_batch, batch_format="pandas")
 
 
+CHUNK_SIZE = 32  # words per chunk; stride 24 -> 8-word overlap
+CHUNK_STRIDE = 24
+
+
+def doc_chunks(sf_dir: str):
+    """Long-document windowing for embedding/training pipelines: explode
+    every doc into CHUNK_SIZE-word chunks on a CHUNK_STRIDE start grid
+    (overlapping windows). One stateless map_batches pass, column-pruned
+    read — streams at any corpus size."""
+    from functools import partial
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        partial(TA.chunk_batch, chunk_size=CHUNK_SIZE, stride=CHUNK_STRIDE),
+        batch_format="pandas",
+    )
+
+
 def doc_langid(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
     from .relational import pool_max
@@ -1512,6 +1530,7 @@ QUERIES = {
     "doc_token_totals_by_lang": doc_token_totals_by_lang,
     "doc_quality": doc_quality,
     "doc_repetition": doc_repetition,
+    "doc_chunks": doc_chunks,
     "doc_langid": doc_langid,
     "doc_fingerprint": doc_fingerprint,
     "dedup_exact": dedup_exact,

@@ -61,6 +61,27 @@ def repetition_batch(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def chunk_batch(df: pd.DataFrame, chunk_size: int, stride: int) -> pd.DataFrame:
+    """Explode docs into stride-windowed word chunks (stateless
+    map_batches — pure per-row compute, streams at any scale; output rows
+    ~ n_words/stride per doc)."""
+    ids, idxs, toks, txts = [], [], [], []
+    for d, t in zip(df["doc_id"].tolist(), df["text"].tolist()):
+        for ci, n, chunk in T.chunk_text(t, chunk_size, stride):
+            ids.append(d)
+            idxs.append(ci)
+            toks.append(n)
+            txts.append(chunk)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "chunk_idx": pd.Series(idxs, dtype="int64"),
+            "n_tokens": pd.Series(toks, dtype="int64"),
+            "chunk_text": pd.Series(txts, dtype=object),
+        }
+    )
+
+
 class LangId:
     """Actor-pool stage: lexicons live in actor state (warm once).
 

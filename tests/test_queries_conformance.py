@@ -74,6 +74,7 @@ def _to_pandas(res):
         "doc_token_totals_by_lang",
         "doc_quality",
         "doc_repetition",
+        "doc_chunks",
         "doc_langid",
         "doc_fingerprint",
         "doc_pack_group_totals",

@@ -76,6 +76,22 @@ def test_repetition_features():
     assert not T.is_repetitive(tb, ds)
 
 
+def test_chunk_text():
+    # empty -> no chunks
+    assert T.chunk_text("   ", 4, 3) == []
+    # single short doc -> one chunk
+    assert T.chunk_text("a b c", 4, 3) == [(1, 3, "a b c")]
+    # overlap: size 4, stride 3 over 7 words -> starts 0, 3, 6
+    out = T.chunk_text("w1 w2 w3 w4 w5 w6 w7", 4, 3)
+    assert out == [
+        (1, 4, "w1 w2 w3 w4"),
+        (2, 4, "w4 w5 w6 w7"),
+        (3, 1, "w7"),
+    ]
+    # exact multiple: no dangling empty window (start grid stops below n)
+    assert [c[0] for c in T.chunk_text("a b c d e f", 3, 3)] == [1, 2]
+
+
 def test_token_counts():
     assert T.whitespace_token_count("a b  c") == 3
     assert T.whitespace_token_count("  ") == 1  # DuckDB [''] semantics
