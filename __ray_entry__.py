@@ -425,6 +425,26 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier JOIN nation ON s_nationkey = n_nationkey
             GROUP BY n_name
         """,
+        # TPC-H Q5 shape; revenue summed in exact 10^-4-dollar integer
+        # units, half-up cents at the end (matches the Ray side's rev_c4)
+        "q5_regional_revenue": """
+            SELECT n_name,
+                   ((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                     + 50) // 100) / 100.0 AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name
+        """,
         "q_user_sessions": """
             WITH e AS (
               -- floor, not round: pandas datetime64[s] truncates subseconds

@@ -313,6 +313,94 @@ def q_supplier_nation_balance(sf_dir: str):
     )
 
 
+def q5_regional_revenue(sf_dir: str):
+    """TPC-H Q5-style regional revenue: per-nation revenue for 1996
+    orders where the customer and the line's supplier share an ASIA
+    nation.
+
+    Join plan (the 100-TB shape): the two FACT tables meet in genuine
+    large-large partitioned hash joins — lineitem |><| orders on orderkey,
+    then |><| customer on custkey (relational.hash_join, Ray Data's native
+    hash-shuffle join; neither side is broadcast) — while the true DIMS
+    (supplier/nation/region, O(nodes) rows) are broadcast-merged into the
+    lineitem scan, which also PRUNES non-ASIA-supplier lines before any
+    shuffle. Revenue is exact integer 10^-4-dollar units end to end
+    (float sums are order-dependent); half-up cents at the very end."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    asia = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    asia = asia.loc[asia["r_name"] == "ASIA", ["n_nationkey", "n_name"]]
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    sup_asia = sup[sup["s_nationkey"].isin(asia["n_nationkey"])]
+    sup_ref = ray.put(sup_asia)
+
+    def li_prep(df: pd.DataFrame) -> pd.DataFrame:
+        # inner merge vs ASIA suppliers = filter + nationkey decorate in one
+        df = df.merge(ray.get(sup_ref), left_on="l_suppkey", right_on="s_suppkey")
+        price_c = df["l_extendedprice"].mul(100).round().astype("int64")
+        disc_c = df["l_discount"].mul(100).round().astype("int64")
+        return pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"],
+                "s_nationkey": df["s_nationkey"].astype("int64"),
+                "rev_c4": price_c * (100 - disc_c),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pandas")
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+
+    def o_prep(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["o_orderdate"] >= lo) & (df["o_orderdate"] < hi)
+        return df.loc[m, ["o_orderkey", "o_custkey"]]
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(o_prep, batch_format="pandas")
+
+    from .relational import hash_join
+
+    j1 = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    j2 = hash_join(j1, cust, on="o_custkey", right_on="c_custkey")
+
+    name_of = dict(zip(asia["n_nationkey"].tolist(), asia["n_name"].tolist()))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["s_nationkey"] == df["c_nationkey"].astype("int64")]
+        if df.empty:
+            return pd.DataFrame({"n_name": pd.Series([], dtype=object),
+                                 "rev_c4": pd.Series([], dtype="int64")})
+        out = df.assign(n_name=df["s_nationkey"].map(name_of))
+        return (
+            out.groupby("n_name", sort=False)
+            .agg(rev_c4=("rev_c4", "sum"))
+            .reset_index()
+        )
+
+    agg = (
+        j2.map_batches(partial, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Sum("rev_c4", alias_name="rev_c4"))
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = ((df["rev_c4"] + 50) // 100) / 100.0
+        return df[["n_name", "revenue"]]
+
+    return agg.map_batches(finish, batch_format="pandas").sort(
+        ["revenue", "n_name"], descending=[True, False]
+    )
+
+
 def q_asof_user_order(sf_dir: str):
     """Backward as-of join: each event matched to the user's most recent
     order on-or-before the event (DuckDB ASOF JOIN oracle).
@@ -1498,6 +1586,7 @@ QUERIES = {
     "q_events_tumbling": q_events_tumbling,
     "q_customer_segment_orders": q_customer_segment_orders,
     "q_supplier_nation_balance": q_supplier_nation_balance,
+    "q5_regional_revenue": q5_regional_revenue,
     "q_user_sessions": q_user_sessions,
     "q_asof_user_order": q_asof_user_order,
     "q_events_sliding": q_events_sliding,

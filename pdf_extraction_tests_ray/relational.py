@@ -60,15 +60,20 @@ def hash_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
     on: str,
+    right_on: str | None = None,
     num_partitions: int | None = None,
     join_type: str = "inner",
 ) -> "ray.data.Dataset":
-    """Partitioned hash join for two large sides (all-to-all shuffle)."""
+    """Partitioned hash join for two LARGE sides (one all-to-all shuffle
+    via Ray Data's native hash-shuffle join) — the fact-to-fact path when
+    neither side fits a broadcast. Dimension tables should use
+    :func:`broadcast_join` instead (no shuffle)."""
     return left.join(
         right,
         join_type=join_type,
         num_partitions=num_partitions or join_partitions(),
         on=(on,),
+        right_on=(right_on,) if right_on and right_on != on else None,
     )
 
 

@@ -91,6 +91,7 @@ def _to_pandas(res):
         "knn_bruteforce",
         "knn_multi",
         "q_supplier_nation_balance",
+        "q5_regional_revenue",
         "q_user_sessions",
         "q_asof_user_order",
         "q_events_sliding",
