@@ -445,6 +445,33 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name
             ORDER BY revenue DESC, n_name
         """,
+        # pivot via conditional aggregation; n_total is the sum of the
+        # declared categories (rows outside the category list count nowhere)
+        "q_pivot_priority_status": """
+            SELECT o_orderpriority,
+                   CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_f,
+                   CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_o,
+                   CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_p,
+                   CAST(sum(CASE WHEN o_orderstatus IN ('F','O','P')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_total
+            FROM orders GROUP BY o_orderpriority
+        """,
+        # LAG window; floor-epoch (pandas datetime64[s] truncates), -1 for
+        # each customer's first order (null-free output hashes exactly),
+        # orderkey tiebreak pins tied timestamps on both sides
+        "q_order_gap_seconds": """
+            SELECT o_custkey, o_orderkey,
+                   COALESCE(
+                     CAST(floor(epoch(o_orderdate)) AS BIGINT)
+                     - lag(CAST(floor(epoch(o_orderdate)) AS BIGINT)) OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey),
+                     -1) AS gap_s
+            FROM orders
+        """,
         "q_user_sessions": """
             WITH e AS (
               -- floor, not round: pandas datetime64[s] truncates subseconds

@@ -401,6 +401,36 @@ def q5_regional_revenue(sf_dir: str):
     )
 
 
+def q_pivot_priority_status(sf_dir: str):
+    """PIVOT/crosstab: order counts per priority, one count column per
+    order status (relational.pivot_counts — per-batch partial crosstab,
+    the shuffle moves ≤ one wide row per distinct priority per batch)."""
+    from .relational import pivot_counts
+
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus"])
+    piv = pivot_counts(ds, "o_orderpriority", "o_orderstatus", ["F", "O", "P"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_total"] = df["n_f"] + df["n_o"] + df["n_p"]
+        return df
+
+    return piv.map_batches(finish, batch_format="pandas")
+
+
+def q_order_gap_seconds(sf_dir: str):
+    """LAG window: per customer, seconds since their previous order
+    (first order = -1). relational.grouped_lag_diff — one bucket shuffle,
+    vectorized sort+diff per bucket; (ts, orderkey) ordering makes tied
+    timestamps deterministic on both sides."""
+    from .relational import grouped_lag_diff
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"])
+    return grouped_lag_diff(
+        ds, group="o_custkey", ts="o_orderdate", tiebreak="o_orderkey",
+        out_col="gap_s",
+    )
+
+
 def q_asof_user_order(sf_dir: str):
     """Backward as-of join: each event matched to the user's most recent
     order on-or-before the event (DuckDB ASOF JOIN oracle).
@@ -1587,6 +1617,8 @@ QUERIES = {
     "q_customer_segment_orders": q_customer_segment_orders,
     "q_supplier_nation_balance": q_supplier_nation_balance,
     "q5_regional_revenue": q5_regional_revenue,
+    "q_pivot_priority_status": q_pivot_priority_status,
+    "q_order_gap_seconds": q_order_gap_seconds,
     "q_user_sessions": q_user_sessions,
     "q_asof_user_order": q_asof_user_order,
     "q_events_sliding": q_events_sliding,

@@ -370,6 +370,38 @@ def grouped_topk(
     )
 
 
+def pivot_counts(
+    ds: "ray.data.Dataset",
+    row_key: str,
+    col_key: str,
+    categories: list[str],
+) -> "ray.data.Dataset":
+    """PIVOT/crosstab: one wide row per ``row_key`` value with a count
+    column per category of ``col_key`` (fixed, caller-declared category
+    list — the output schema must be static for Arrow). Per-batch partial
+    crosstab (combiner: at most one row per distinct row_key leaves each
+    batch) then a small ``groupby().aggregate`` merge — the shuffle never
+    moves raw rows. Rows whose ``col_key`` is outside ``categories`` are
+    dropped (counted by no column); output count columns are
+    ``n_<category.lower()>``, int64.
+    """
+    from ray.data.aggregate import Sum
+
+    cols = [f"n_{c.lower()}" for c in categories]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(df[row_key], df[col_key])
+        ct = ct.reindex(columns=categories, fill_value=0).astype("int64")
+        ct.columns = cols
+        return ct.reset_index()
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(row_key)
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    )
+
+
 def grouped_rollup(
     ds: "ray.data.Dataset",
     keys: list,
@@ -456,6 +488,61 @@ def grouped_running_sum(
         ds.map_batches(add_bucket, batch_format="pandas")
         .groupby("_bucket")
         .map_groups(running, batch_format="pandas")
+    )
+
+
+def grouped_lag_diff(
+    ds: "ray.data.Dataset",
+    group: str,
+    ts: str,
+    tiebreak: str,
+    out_col: str,
+    num_buckets: int = 64,
+    default: int = -1,
+) -> "ray.data.Dataset":
+    """LAG window function: per group (ordered by ``ts`` then ``tiebreak``),
+    the gap in seconds to the group's PREVIOUS row — i.e.
+    ``t - LAG(t) OVER (PARTITION BY group ORDER BY ts, tiebreak)``; the
+    group's first row gets ``default`` (not NULL — null-free output hashes
+    exactly). ONE bucket shuffle co-locates each group (same shape as
+    :func:`grouped_running_sum`); the per-bucket pass is a vectorized
+    sort + diff. The explicit ``tiebreak`` column makes tied timestamps
+    deterministic on both the Ray and SQL sides.
+
+    Output: (group, tiebreak, out_col) — int64 epoch-second gaps.
+    """
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                group: df[group],
+                tiebreak: df[tiebreak],
+                "_t": df[ts].astype("datetime64[s]").astype("int64"),
+            }
+        )
+        out["_bucket"] = _bucket_of(out, [group], num_buckets)
+        return out
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group, "_t", tiebreak], kind="stable")
+        t = g["_t"].to_numpy()
+        u = g[group].to_numpy()
+        if len(t) == 0:
+            return pd.DataFrame(
+                {
+                    group: u,
+                    tiebreak: g[tiebreak].to_numpy(),
+                    out_col: np.array([], dtype="int64"),
+                }
+            )
+        gap = np.r_[np.int64(default), t[1:] - t[:-1]]
+        gap[np.r_[True, u[1:] != u[:-1]]] = default
+        return pd.DataFrame({group: u, tiebreak: g[tiebreak].to_numpy(), out_col: gap})
+
+    return (
+        ds.map_batches(prep, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(lag, batch_format="pandas")
     )
 
 

@@ -92,6 +92,8 @@ def _to_pandas(res):
         "knn_multi",
         "q_supplier_nation_balance",
         "q5_regional_revenue",
+        "q_pivot_priority_status",
+        "q_order_gap_seconds",
         "q_user_sessions",
         "q_asof_user_order",
         "q_events_sliding",
