@@ -736,6 +736,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE k.rn = 1
             GROUP BY k.doc_id
         """,
+        # global-decile bucketing: decile = 1 + #(quantile_disc thresholds
+        # strictly below the doc's token count) — tie-insensitive, matches
+        # grouped_quantiles' ceil(q*n) rule exactly
+        "doc_token_deciles": f"""
+            WITH t AS (
+              SELECT doc_id, length({_WORDS}) AS n_tokens FROM documents
+            ), q AS (
+              SELECT {", ".join(
+                  f"quantile_disc(n_tokens, {k}/10.0) AS t{k}"
+                  for k in range(1, 10)
+              )} FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(1 + {" + ".join(
+                       f"CAST(n_tokens > t{k} AS BIGINT)" for k in range(1, 10)
+                   )} AS BIGINT) AS decile
+            FROM t, q
+        """,
         "doc_length_quantiles": """
             SELECT lang,
                    quantile_disc(n_chars, 0.5) AS p50,

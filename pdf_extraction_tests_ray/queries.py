@@ -946,6 +946,54 @@ def doc_top_terms_approx(sf_dir: str):
     return C.top_terms_approx(docs, group="source", k=5)
 
 
+def doc_token_deciles(sf_dir: str):
+    """FineWeb-style global-distribution bucketing: corpus-wide EXACT token
+    deciles, then every doc labeled with its decile — the 'filter to the
+    top quality percentile' primitive of training-data curation.
+
+    Two streaming passes (inherent to any global-distribution op): pass 1
+    reduces the corpus to a value-count histogram (grouped_quantiles over
+    a constant group — one tiny shuffle, histograms not rows) and yields 9
+    threshold ints; pass 2 broadcasts them and assigns
+    ``decile = 1 + #(thresholds strictly below the doc's count)`` — a
+    tie-insensitive rule that is layout/cluster-size invariant."""
+    from .functions import text as T
+    from .relational import _quantile_col, grouped_quantiles, to_small_pandas
+
+    def toks(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_tokens": pd.Series(
+                    [T.whitespace_token_count(t) for t in df["text"].tolist()],
+                    dtype="int64",
+                ),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        toks, batch_format="pandas"
+    )
+    qs = tuple(k / 10 for k in range(1, 10))
+    th_df = to_small_pandas(
+        grouped_quantiles(
+            ds.map_batches(lambda df: df.assign(_g="all"), batch_format="pandas"),
+            "_g",
+            "n_tokens",
+            qs=qs,
+        )
+    )
+    th = np.array([int(th_df[_quantile_col(q)].iloc[0]) for q in qs], dtype="int64")
+    ref = ray.put(th)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["n_tokens"].to_numpy()
+        dec = 1 + (t[:, None] > ray.get(ref)[None, :]).sum(axis=1)
+        return df.assign(decile=dec.astype("int64"))
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
 def doc_length_quantiles(sf_dir: str):
     """Exact per-lang p50/p90/p99 of document length (n_chars) via the
     mergeable-histogram grouped-quantile operator."""
@@ -1646,6 +1694,7 @@ QUERIES = {
     "doc_top_terms_approx": doc_top_terms_approx,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_pack_group_totals": doc_pack_group_totals,
+    "doc_token_deciles": doc_token_deciles,
     "curation_pipeline": curation_pipeline,
     "doc_token_counts": doc_token_counts,
     "doc_token_totals_by_lang": doc_token_totals_by_lang,

@@ -115,6 +115,7 @@ def _to_pandas(res):
         "doc_decontaminate_bloom",
         "curation_pipeline",
         "doc_length_quantiles",
+        "doc_token_deciles",
         "doc_decontaminate",
         "doc_stratified_sample",
         "doc_top_terms",
