@@ -1167,6 +1167,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
         """,
         # Remaining rows-only entries, each genuinely non-SQL-expressible:
+        # dedup_semantic (k-means cell boundaries; keep rule + ground-truth
+        # containment vs the ORACLED dedup_embedding_pairs pinned in tests),
         # dedup_minhash / dedup_simhash (seeded hash-permutation /
         # blake2b-based signatures), knn_lsh / knn_ivf / knn_ivf_indexed
         # (seeded-RNG approximate probing; the indexed variant's parity

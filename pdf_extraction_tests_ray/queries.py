@@ -1262,6 +1262,15 @@ def dedup_simhash(sf_dir: str):
     return D.simhash_pairs(ds, max_hamming=3)
 
 
+def dedup_semantic(sf_dir: str):
+    """SemDeDup: spherical-k-means cells + within-cell cosine components,
+    keep the member least similar to its centroid (rows-only: k-means cell
+    boundaries are not SQL-expressible; within-cell keep rule, ground-truth
+    containment and layout invariance are pinned in tests)."""
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return D.semantic_dedup(emb, n_clusters=16, threshold=0.35)
+
+
 def dedup_embedding_pairs(sf_dir: str):
     """Cosine >= 0.35 within label blocks (threshold sits in a wide gap of
     the synthetic distribution — fp-boundary safe; round 6)."""
@@ -1717,6 +1726,7 @@ QUERIES = {
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_pairs": dedup_embedding_pairs,
+    "dedup_semantic": dedup_semantic,
     "knn_bruteforce": knn_bruteforce,
     "knn_multi": knn_multi,
     "knn_lsh": knn_lsh,

@@ -805,6 +805,81 @@ def ngram_jaccard_pairs(
 # embedding-cosine near-dup within label blocks
 
 
+def semantic_dedup(
+    emb: "ray.data.Dataset",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    train_sample_budget: int = 65536,
+) -> "ray.data.Dataset":
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup in
+    embedding space. (1) spherical k-means clusters the corpus — bounded
+    driver-side training sample, broadcast centroids, streaming assign
+    (reuses the IVF machinery in ``stages.similarity``); (2) WITHIN each
+    cluster only, exact pairwise cosine finds near-dup groups (connected
+    components at >= ``threshold``); (3) each group keeps ONE
+    representative — the member LEAST similar to the cluster centroid
+    (the paper's keep-low-centroid-similarity rule: prefer the atypical
+    example), lowest vec_id on ties.
+
+    Scale shape: the quadratic all-pairs cost drops from O(n^2) to
+    sum_c O(|c|^2) — size ``n_clusters`` ~ corpus / target_cell_size so
+    cells stay bounded (the paper runs 110k clusters on LAION); ONE
+    ``groupby(cell)`` shuffle moves each vector once. Deterministic
+    across block layouts and cluster sizes: centroids are trained on an
+    id-canonicalized bounded sample and each cell's pass sorts by vec_id.
+
+    Output: (vec_id, cell, keep) for every vector — keep=False marks the
+    semantic duplicates to drop.
+    """
+    from .similarity import _as_matrix, _norm_rows, ivf_assign, train_ivf_centroids
+
+    cents = _norm_rows(
+        np.asarray(
+            train_ivf_centroids(emb, n_clusters, train_sample_budget),
+            dtype=np.float64,
+        )
+    )
+    cref = ray.put(cents)
+    assigned = ivf_assign(emb, cents)
+
+    def dedup_cell(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        cell = int(g["cell"].iloc[0])
+        m = _norm_rows(_as_matrix(g["embedding"]))
+        sim = m @ m.T
+        n = len(ids)
+        parent = np.arange(n)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        iu, ju = np.where(np.triu(sim >= threshold, k=1))
+        for i, j in zip(iu.tolist(), ju.tolist()):
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
+        root = np.array([find(i) for i in range(n)])
+        cent_sim = m @ ray.get(cref)[cell]
+        keep = np.zeros(n, dtype=bool)
+        for r in np.unique(root):
+            members = np.where(root == r)[0]
+            # ids pre-sorted -> argmin ties resolve to the lowest vec_id
+            keep[members[int(np.argmin(cent_sim[members]))]] = True
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": np.full(n, cell, dtype=np.int32),
+                "keep": keep,
+            }
+        )
+
+    return assigned.groupby("cell").map_groups(dedup_cell, batch_format="pandas")
+
+
 def embedding_neardup_pairs(
     emb: "ray.data.Dataset", threshold: float = 0.95
 ) -> "ray.data.Dataset":

@@ -1046,3 +1046,120 @@ def test_lance_read_path(tmp_path, ray_session):
     got = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert list(got["doc_id"]) == ["a", "b", "c"]
     assert list(got["n"]) == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (semantic dedup in embedding space)
+
+
+def _semdedup_ground_truth(ids, vecs, cells, cents, threshold):
+    """Independent per-cell oracle: BFS connected components over the
+    cosine graph (not the stage's union-find), keep-low-centroid-sim."""
+    keep = {}
+    for cell in np.unique(cells):
+        m = cells == cell
+        cid = ids[m]
+        v = vecs[m]
+        v = v / np.linalg.norm(v, axis=1, keepdims=True)
+        order = np.argsort(cid)
+        cid, v = cid[order], v[order]
+        sim = v @ v.T
+        n = len(cid)
+        seen = np.zeros(n, dtype=bool)
+        for s in range(n):
+            if seen[s]:
+                continue
+            comp, frontier = [s], [s]
+            seen[s] = True
+            while frontier:
+                cur = frontier.pop()
+                for j in np.where((sim[cur] >= threshold) & ~seen)[0]:
+                    seen[j] = True
+                    comp.append(int(j))
+                    frontier.append(int(j))
+            cs = v[comp] @ cents[int(cell)]
+            comp_sorted = sorted(comp)  # lowest-vec_id tiebreak
+            best = min(comp_sorted, key=lambda i: (cs[comp.index(i)], cid[i]))
+            for i in comp:
+                keep[int(cid[i])] = i == best
+    return keep
+
+
+def test_semantic_dedup_matches_independent_oracle():
+    """One keeper per within-cell near-dup component, and it is the
+    member LEAST similar to its cell centroid (vec_id tiebreak) — checked
+    against a BFS reimplementation, not the stage's own union-find."""
+    import ray
+
+    from pdf_extraction_tests_ray.stages.dedup import semantic_dedup
+    from pdf_extraction_tests_ray.stages.similarity import (
+        _norm_rows,
+        train_ivf_centroids,
+    )
+
+    emb = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    )
+    out = semantic_dedup(emb, n_clusters=8, threshold=0.35).to_pandas()
+    assert len(out) == emb.count()  # every vector classified exactly once
+    assert out["vec_id"].is_unique
+
+    import pyarrow.parquet as pq
+
+    raw = pq.read_table("/root/testdata/sf0.001/embeddings.parquet").to_pandas()
+    vecs = np.array([np.asarray(v, dtype=np.float64) for v in raw["embedding"]])
+    cents = _norm_rows(np.asarray(train_ivf_centroids(emb, 8), dtype=np.float64))
+    m = out.sort_values("vec_id")
+    gt = _semdedup_ground_truth(
+        m["vec_id"].to_numpy(),
+        vecs[np.argsort(raw["vec_id"].to_numpy())],
+        m["cell"].to_numpy(),
+        cents,
+        0.35,
+    )
+    got = dict(zip(m["vec_id"].tolist(), m["keep"].tolist()))
+    assert got == gt
+    assert sum(not k for k in got.values()) > 0  # corpus has semantic dups
+
+
+def test_semantic_dedup_invariant_to_block_layout():
+    import ray
+
+    from pdf_extraction_tests_ray.stages.dedup import semantic_dedup
+
+    def run(nblocks):
+        emb = ray.data.read_parquet(
+            "/root/testdata/sf0.001/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+        ).repartition(nblocks)
+        return (
+            semantic_dedup(emb, n_clusters=8, threshold=0.35)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run(2), run(7))
+
+
+def test_semantic_dedup_drops_exact_duplicate():
+    """Two identical vectors always share a cell and a component — exactly
+    one survives, regardless of the trained centroids."""
+    import ray
+
+    from pdf_extraction_tests_ray.stages.dedup import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8))
+    vecs[13] = vecs[29]  # exact duplicate pair
+    rows = [
+        {"vec_id": i, "embedding": vecs[i].astype(np.float32).tolist()}
+        for i in range(40)
+    ]
+    out = semantic_dedup(
+        ray.data.from_items(rows), n_clusters=4, threshold=0.999
+    ).to_pandas()
+    pair = out[out["vec_id"].isin([13, 29])]
+    assert pair["cell"].nunique() == 1
+    assert sorted(pair["keep"].tolist()) == [False, True]

@@ -157,6 +157,7 @@ def test_query_matches_oracle(name, duck):
     [
         "dedup_minhash",
         "dedup_simhash",
+        "dedup_semantic",
         "knn_lsh",
         "knn_ivf",
         "doc_pack_sequences",
