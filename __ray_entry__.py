@@ -445,6 +445,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name
             ORDER BY revenue DESC, n_name
         """,
+        # LEFT OUTER join parity: unmatched orders -> 0 lines (null-free)
+        "q_order_lineitem_counts": """
+            SELECT o_orderkey,
+                   CAST(COALESCE(c.n_lines, 0) AS BIGINT) AS n_lines
+            FROM orders LEFT JOIN (
+              SELECT l_orderkey, count(*) AS n_lines
+              FROM lineitem GROUP BY l_orderkey
+            ) c ON o_orderkey = l_orderkey
+        """,
         # pivot via conditional aggregation; n_total is the sum of the
         # declared categories (rows outside the category list count nowhere)
         "q_pivot_priority_status": """

@@ -401,6 +401,49 @@ def q5_regional_revenue(sf_dir: str):
     )
 
 
+def q_order_lineitem_counts(sf_dir: str):
+    """LEFT OUTER join: every order with its lineitem count, zero-line
+    orders included (the outer path is real: the synthetic corpus has
+    orders with no lines). Lineitem is pre-aggregated to one row per
+    orderkey BEFORE the join (bucketed merge — the shuffle moves counts,
+    not raw lines), then meets orders in a native large-large outer hash
+    join; the unmatched side's null count becomes 0."""
+    from .relational import bucketed_group_merge, hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("l_orderkey", sort=False)
+            .size()
+            .rename("n_lines")
+            .reset_index()
+        )
+
+    counts = bucketed_group_merge(
+        li.map_batches(partial, batch_format="pandas"),
+        ["l_orderkey"],
+        lambda df: df.groupby("l_orderkey", sort=False)
+        .agg(n_lines=("n_lines", "sum"))
+        .reset_index(),
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey"])
+    j = hash_join(
+        orders, counts, on="o_orderkey", right_on="l_orderkey",
+        join_type="left_outer",
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].astype("int64"),
+                "n_lines": df["n_lines"].fillna(0).astype("int64"),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pandas")
+
+
 def q_pivot_priority_status(sf_dir: str):
     """PIVOT/crosstab: order counts per priority, one count column per
     order status (relational.pivot_counts — per-batch partial crosstab,
@@ -1674,6 +1717,7 @@ QUERIES = {
     "q_customer_segment_orders": q_customer_segment_orders,
     "q_supplier_nation_balance": q_supplier_nation_balance,
     "q5_regional_revenue": q5_regional_revenue,
+    "q_order_lineitem_counts": q_order_lineitem_counts,
     "q_pivot_priority_status": q_pivot_priority_status,
     "q_order_gap_seconds": q_order_gap_seconds,
     "q_user_sessions": q_user_sessions,
