@@ -71,6 +71,12 @@ QUERY_SUITE = [
     "doc_weighted_mix",
     "doc_stratified_sample",
     "curation_pipeline",
+    "q5_regional_revenue",
+    "q_order_lineitem_counts",
+    "q_order_gap_seconds",
+    "doc_token_deciles",
+    "doc_chunks",
+    "dedup_semantic",
 ]
 
 

@@ -318,14 +318,22 @@ def q5_regional_revenue(sf_dir: str):
     orders where the customer and the line's supplier share an ASIA
     nation.
 
-    Join plan (the 100-TB shape): the two FACT tables meet in genuine
-    large-large partitioned hash joins — lineitem |><| orders on orderkey,
-    then |><| customer on custkey (relational.hash_join, Ray Data's native
-    hash-shuffle join; neither side is broadcast) — while the true DIMS
+    Join plan (the 100-TB shape): the FACT tables meet in genuine
+    large-large partitioned hash joins (relational.hash_join, Ray Data's
+    native hash-shuffle join; neither side is broadcast) ordered
+    smallest-first — 1996-filtered orders |><| customer on custkey, THEN
+    lineitem against that pruned result on orderkey — while the true DIMS
     (supplier/nation/region, O(nodes) rows) are broadcast-merged into the
     lineitem scan, which also PRUNES non-ASIA-supplier lines before any
     shuffle. Revenue is exact integer 10^-4-dollar units end to end
-    (float sums are order-dependent); half-up cents at the very end."""
+    (float sums are order-dependent); half-up cents at the very end.
+
+    Partition sizing: each hash join spawns num_partitions shuffle
+    aggregator ACTORS (measured ~0.5s spawn each locally) — at 100 TB
+    size partitions to ~data/256MB, at bench scale the pool_max()//4
+    floor keeps the fixed cost from dominating tiny inputs. The final
+    ORDER BY runs driver-side on the <= |ASIA nations| aggregate rows
+    (a Dataset.sort all-to-all on 5 rows measured a flat ~8s)."""
     import pyarrow.parquet as pq
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
@@ -366,11 +374,16 @@ def q5_regional_revenue(sf_dir: str):
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     ).map_batches(o_prep, batch_format="pandas")
 
-    from .relational import hash_join
+    from .relational import hash_join, pool_max
 
-    j1 = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+    parts = max(4, pool_max() // 4)
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    j2 = hash_join(j1, cust, on="o_custkey", right_on="c_custkey")
+    j1 = hash_join(
+        orders, cust, on="o_custkey", right_on="c_custkey", num_partitions=parts
+    )
+    j2 = hash_join(
+        li, j1, on="l_orderkey", right_on="o_orderkey", num_partitions=parts
+    )
 
     name_of = dict(zip(asia["n_nationkey"].tolist(), asia["n_name"].tolist()))
 
@@ -392,13 +405,12 @@ def q5_regional_revenue(sf_dir: str):
         .aggregate(Sum("rev_c4", alias_name="rev_c4"))
     )
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df["revenue"] = ((df["rev_c4"] + 50) // 100) / 100.0
-        return df[["n_name", "revenue"]]
-
-    return agg.map_batches(finish, batch_format="pandas").sort(
-        ["revenue", "n_name"], descending=[True, False]
+    adf = agg.to_pandas()  # <= one row per ASIA nation — driver-small
+    adf["revenue"] = ((adf["rev_c4"] + 50) // 100) / 100.0
+    adf = adf[["n_name", "revenue"]].sort_values(
+        ["revenue", "n_name"], ascending=[False, True], kind="stable"
     )
+    return ray.data.from_pandas(adf.reset_index(drop=True))
 
 
 def q_order_lineitem_counts(sf_dir: str):
@@ -407,8 +419,9 @@ def q_order_lineitem_counts(sf_dir: str):
     orders with no lines). Lineitem is pre-aggregated to one row per
     orderkey BEFORE the join (bucketed merge — the shuffle moves counts,
     not raw lines), then meets orders in a native large-large outer hash
-    join; the unmatched side's null count becomes 0."""
-    from .relational import bucketed_group_merge, hash_join
+    join; the unmatched side's null count becomes 0. Join partitions:
+    see q5_regional_revenue's sizing note."""
+    from .relational import bucketed_group_merge, hash_join, pool_max
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
 
@@ -430,7 +443,7 @@ def q_order_lineitem_counts(sf_dir: str):
     orders = _read(sf_dir, "orders", columns=["o_orderkey"])
     j = hash_join(
         orders, counts, on="o_orderkey", right_on="l_orderkey",
-        join_type="left_outer",
+        join_type="left_outer", num_partitions=max(4, pool_max() // 4),
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
