@@ -745,6 +745,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE k.rn = 1
             GROUP BY k.doc_id
         """,
+        # distributed zipWithIndex parity: exact 0-based positions in
+        # seeded-md5 order (doc_id tiebreak is unreachable — md5 keys of
+        # distinct ids — but pins both sides' rule)
+        "doc_shuffle_order": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                     ORDER BY md5('shuffle42:' || CAST(doc_id AS VARCHAR)),
+                              doc_id) - 1 AS BIGINT) AS pos
+            FROM documents
+        """,
+        # lexicographic compare on the lowercase hex prefix == byte compare
+        "doc_train_split": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+                        THEN 'val'
+                        WHEN substr(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+                        THEN 'test'
+                        ELSE 'train' END AS split
+            FROM documents
+        """,
         # global-decile bucketing: decile = 1 + #(quantile_disc thresholds
         # strictly below the doc's token count) — tie-insensitive, matches
         # grouped_quantiles' ceil(q*n) rule exactly

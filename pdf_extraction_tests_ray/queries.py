@@ -1050,6 +1050,60 @@ def doc_token_deciles(sf_dir: str):
     return ds.map_batches(assign, batch_format="pandas")
 
 
+def doc_shuffle_order(sf_dir: str):
+    """Deterministic seeded corpus shuffle with MATERIALIZED positions —
+    the training-data ordering primitive (an epoch's read order must be
+    uniform, reproducible, and resumable from any offset). Each doc's
+    shuffle key is md5('shuffle42:'||doc_id); relational.global_rank
+    (distributed zipWithIndex: order-aligned hex-prefix buckets, tiny
+    offset broadcast, one bucket shuffle) turns the key order into exact
+    0-based positions with no single-node sort."""
+    import hashlib
+
+    from .relational import global_rank
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "_k": [
+                    hashlib.md5(f"shuffle42:{d}".encode()).hexdigest()
+                    for d in df["doc_id"].tolist()
+                ],
+            }
+        )
+
+    ranked = global_rank(
+        docs.map_batches(key, batch_format="pandas"), "_k", "doc_id", out_col="pos"
+    )
+    return ranked.map_batches(
+        lambda df: df[["doc_id", "pos"]], batch_format="pandas"
+    )
+
+
+def doc_train_split(sf_dir: str):
+    """Hash-based train/val/test assignment (~5%/~5%/~90% by the first
+    md5 byte, compared lexicographically on the hex — engine-portable,
+    no RNG state, stable under any corpus growth or layout)."""
+    import hashlib
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        hs = [
+            hashlib.md5(f"split42:{d}".encode()).hexdigest()[:2]
+            for d in df["doc_id"].tolist()
+        ]
+        split = [
+            "val" if h < "0d" else ("test" if h < "1a" else "train") for h in hs
+        ]
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "split": split})
+
+    return docs.map_batches(assign, batch_format="pandas")
+
+
 def doc_length_quantiles(sf_dir: str):
     """Exact per-lang p50/p90/p99 of document length (n_chars) via the
     mergeable-histogram grouped-quantile operator."""
@@ -1761,6 +1815,8 @@ QUERIES = {
     "doc_pack_sequences": doc_pack_sequences,
     "doc_pack_group_totals": doc_pack_group_totals,
     "doc_token_deciles": doc_token_deciles,
+    "doc_shuffle_order": doc_shuffle_order,
+    "doc_train_split": doc_train_split,
     "curation_pipeline": curation_pipeline,
     "doc_token_counts": doc_token_counts,
     "doc_token_totals_by_lang": doc_token_totals_by_lang,

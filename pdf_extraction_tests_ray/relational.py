@@ -491,6 +491,67 @@ def grouped_running_sum(
     )
 
 
+def global_rank(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    tiebreak: str,
+    out_col: str = "pos",
+    prefix_chars: int = 2,
+) -> "ray.data.Dataset":
+    """Distributed zipWithIndex / global rank: every row gets its 0-based
+    position in the total order ``(key_col, tiebreak)`` — exactly
+    ``row_number() OVER (ORDER BY key, tiebreak) - 1`` — without a
+    single-node sort or a driver materialization.
+
+    Requires ``key_col`` to be a lowercase-hex digest (md5-style): its
+    leading ``prefix_chars`` chars define 16^prefix_chars range buckets
+    that are both ORDER-ALIGNED (bucket i's keys all sort before bucket
+    i+1's) and uniform. Two passes: (1) per-batch bucket counts are
+    pre-aggregated and cumsum'd driver-side into bucket offsets (tiny:
+    16^prefix_chars ints, broadcast back); (2) ONE ``groupby(bucket)``
+    shuffle — each bucket sorts locally and adds its offset. For
+    non-digest keys, derive a digest key upstream or swap the bucket fn
+    for sampled range boundaries.
+    """
+    nb = 16 ** prefix_chars
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = np.fromiter(
+            (int(s[:prefix_chars], 16) for s in df[key_col].tolist()),
+            dtype=np.int64,
+            count=len(df),
+        )
+        return df
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("_b", sort=False).size().rename("_cnt").reset_index()
+        return g
+
+    cnt = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .map_batches(counts, batch_format="pandas")
+        .to_pandas()  # <= nb rows per input block — driver-small
+        .groupby("_b")["_cnt"]
+        .sum()
+    )
+    full = cnt.reindex(range(nb), fill_value=0).to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(full)[:-1]]).astype("int64")
+    oref = ray.put(offsets)
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, tiebreak], kind="stable")
+        b = int(g["_b"].iloc[0])
+        g[out_col] = ray.get(oref)[b] + np.arange(len(g), dtype="int64")
+        return g.drop(columns=["_b"])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(rank, batch_format="pandas")
+    )
+
+
 def grouped_lag_diff(
     ds: "ray.data.Dataset",
     group: str,

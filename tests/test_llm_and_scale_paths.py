@@ -1163,3 +1163,37 @@ def test_semantic_dedup_drops_exact_duplicate():
     pair = out[out["vec_id"].isin([13, 29])]
     assert pair["cell"].nunique() == 1
     assert sorted(pair["keep"].tolist()) == [False, True]
+
+
+# ---------------------------------------------------------------------------
+# distributed zipWithIndex (global_rank)
+
+
+def test_global_rank_exact_and_layout_invariant():
+    """Positions are a permutation 0..n-1, equal row_number()-1 in
+    (key, tiebreak) order, and invariant to block layout."""
+    import hashlib
+
+    import ray
+
+    from pdf_extraction_tests_ray.relational import global_rank
+
+    rows = [
+        {"doc_id": i, "_k": hashlib.md5(f"shuffle42:{i}".encode()).hexdigest()}
+        for i in range(300)
+    ]
+
+    def run(nblocks):
+        ds = ray.data.from_items(rows).repartition(nblocks)
+        return (
+            global_rank(ds, "_k", "doc_id", out_col="pos")
+            .to_pandas()
+            .sort_values("pos")
+            .reset_index(drop=True)
+        )
+
+    a, b = run(3), run(11)
+    pd.testing.assert_frame_equal(a, b)
+    assert a["pos"].tolist() == list(range(300))
+    expected = sorted(rows, key=lambda r: (r["_k"], r["doc_id"]))
+    assert a["doc_id"].tolist() == [r["doc_id"] for r in expected]

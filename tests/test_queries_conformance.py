@@ -117,6 +117,8 @@ def _to_pandas(res):
         "curation_pipeline",
         "doc_length_quantiles",
         "doc_token_deciles",
+        "doc_shuffle_order",
+        "doc_train_split",
         "doc_decontaminate",
         "doc_stratified_sample",
         "doc_top_terms",
