@@ -291,6 +291,8 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_tests_ray.queries import CHUNK_SIZE as _CHUNK_SIZE
     from pdf_extraction_tests_ray.queries import CHUNK_STRIDE as _CHUNK_STRIDE
 
+    from pdf_extraction_tests_ray.queries import VOCAB_SIZE as _VOCAB_SIZE
+
     from pdf_extraction_tests_ray.queries import MIX_TOKEN_BUDGET
 
     _MIX_TOKEN_QUOTAS = ", ".join(
@@ -745,6 +747,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE k.rn = 1
             GROUP BY k.doc_id
         """,
+        # tokenizer build+encode: same rank rule (count desc, word asc,
+        # ids from 1, 0=OOV), MAP lookup per word, ' '-joined id strings
+        "doc_vocab_encode": f"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split({_NORM}, ' '), x -> x <> '')
+                       AS ws
+              FROM documents
+            ), vocab AS (
+              SELECT word,
+                     CAST(row_number() OVER (ORDER BY n DESC, word)
+                          AS BIGINT) AS token_id
+              FROM (
+                SELECT word, count(*) AS n
+                FROM (SELECT unnest(ws) AS word FROM w) GROUP BY word
+              )
+              QUALIFY row_number() OVER (ORDER BY n DESC, word)
+                      <= {{vocab_size}}
+            ), m AS (
+              SELECT map(list(word ORDER BY token_id),
+                         list(token_id ORDER BY token_id)) AS mp
+              FROM vocab
+            )
+            SELECT doc_id,
+                   CAST(length(ws) AS BIGINT) AS n_tokens,
+                   CAST(length(list_filter(ids, i -> i = 0)) AS BIGINT)
+                     AS n_oov,
+                   COALESCE(array_to_string(ids, ' '), '') AS ids_str
+            FROM (
+              SELECT doc_id, ws,
+                     list_transform(
+                       ws, x -> coalesce(map_extract(mp, x)[1], 0)) AS ids
+              FROM w, m
+            )
+        """.replace("{vocab_size}", str(_VOCAB_SIZE)),
         # distributed zipWithIndex parity: exact 0-based positions in
         # seeded-md5 order (doc_id tiebreak is unreachable — md5 keys of
         # distinct ids — but pins both sides' rule)

@@ -983,6 +983,21 @@ def doc_weighted_mix_tokens(sf_dir: str):
     return C.weighted_mix_tokens(docs, MIX_WEIGHTS, MIX_TOKEN_BUDGET)
 
 
+VOCAB_SIZE = 20  # the synthetic corpus has ~31 distinct words -> real OOV
+
+
+def doc_vocab_encode(sf_dir: str):
+    """Tokenizer build + encode: corpus-wide top-VOCAB_SIZE vocabulary
+    (stable ids by count desc / word asc; 0 = OOV), then every doc
+    re-encoded as its id sequence — the vocab is the small side by
+    definition and is broadcast into a single streaming encode pass."""
+    from .stages import curation as C
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab = C.build_vocab(docs, size=VOCAB_SIZE)
+    return C.encode_docs(docs, vocab)
+
+
 def doc_top_terms(sf_dir: str):
     """Top-5 most frequent normalized words per source."""
     from .stages import curation as C
@@ -1817,6 +1832,7 @@ QUERIES = {
     "doc_token_deciles": doc_token_deciles,
     "doc_shuffle_order": doc_shuffle_order,
     "doc_train_split": doc_train_split,
+    "doc_vocab_encode": doc_vocab_encode,
     "curation_pipeline": curation_pipeline,
     "doc_token_counts": doc_token_counts,
     "doc_token_totals_by_lang": doc_token_totals_by_lang,

@@ -355,3 +355,79 @@ def top_terms(
         ascending=[False, True],
         k=k,
     )
+
+
+def build_vocab(docs: "ray.data.Dataset", size: int = 1000) -> pd.DataFrame:
+    """Corpus-wide top-``size`` vocabulary with STABLE integer ids —
+    the tokenizer-building primitive. Rank by (count desc, word asc),
+    ids 1..size; 0 is reserved for OOV/UNK.
+
+    Shuffle shape: per-batch partial word counts (combiner — repeated
+    words never leave the task) -> bucketed merge on the high-cardinality
+    word key -> constant-group top-k (``size`` rows per block cross the
+    final shuffle). The returned frame is ``size`` rows — small by
+    definition (a vocabulary is O(100k) at any corpus scale), so it is a
+    legitimate driver-side artifact / broadcast side."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        words: list = []
+        for t in df["text"].tolist():
+            words.extend(w for w in T.normalize_text(t).split(" ") if w)
+        if not words:
+            return pd.DataFrame(
+                {"word": pd.Series([], dtype=object), "n": pd.Series([], dtype="int64")}
+            )
+        s = pd.Series(words).value_counts()
+        return pd.DataFrame({"word": s.index.to_numpy(), "n": s.to_numpy()})
+
+    counts = bucketed_group_merge(
+        docs.map_batches(partial, batch_format="pandas"),
+        ["word"],
+        lambda df: df.groupby("word", sort=False).agg(n=("n", "sum")).reset_index(),
+    )
+    topk = grouped_topk(
+        counts.map_batches(
+            lambda df: df.assign(_g=np.int8(0)), batch_format="pandas"
+        ),
+        group_keys=["_g"],
+        sort_cols=["n", "word"],
+        ascending=[False, True],
+        k=size,
+    )
+    vdf = (
+        topk.to_pandas()
+        .sort_values(["n", "word"], ascending=[False, True], kind="stable")
+        .reset_index(drop=True)
+    )
+    vdf["token_id"] = np.arange(1, len(vdf) + 1, dtype="int64")
+    return vdf[["word", "n", "token_id"]]
+
+
+def encode_docs(
+    docs: "ray.data.Dataset", vocab: pd.DataFrame
+) -> "ray.data.Dataset":
+    """Tokenizer ENCODE: map every normalized word to its vocabulary id
+    (0 = OOV), streaming — the vocab dict is broadcast once via
+    ``ray.put``. Output per doc: (doc_id, n_tokens, n_oov, ids_str) with
+    ids_str the ' '-joined id sequence (string-typed so the driver's
+    value-hash comparison is exact)."""
+    ref = ray.put(dict(zip(vocab["word"].tolist(), vocab["token_id"].tolist())))
+
+    def enc(df: pd.DataFrame) -> pd.DataFrame:
+        v = ray.get(ref)
+        ids_strs, noov, ntok = [], [], []
+        for t in df["text"].tolist():
+            ids = [v.get(w, 0) for w in T.normalize_text(t).split(" ") if w]
+            ids_strs.append(" ".join(map(str, ids)))
+            noov.append(sum(1 for i in ids if i == 0))
+            ntok.append(len(ids))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_tokens": pd.Series(ntok, dtype="int64"),
+                "n_oov": pd.Series(noov, dtype="int64"),
+                "ids_str": pd.Series(ids_strs, dtype=object),
+            }
+        )
+
+    return docs.map_batches(enc, batch_format="pandas")

@@ -119,6 +119,7 @@ def _to_pandas(res):
         "doc_token_deciles",
         "doc_shuffle_order",
         "doc_train_split",
+        "doc_vocab_encode",
         "doc_decontaminate",
         "doc_stratified_sample",
         "doc_top_terms",
