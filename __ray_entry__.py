@@ -447,6 +447,36 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name
             ORDER BY revenue DESC, n_name
         """,
+        # Pearson corr from exact integer moments; every factor is cast
+        # to DOUBLE before multiplying so both engines evaluate the
+        # identical IEEE expression (BIGINT products would stay exact in
+        # SQL but overflow/diverge from numpy above 2^53)
+        "q_corr_quantity_discount": """
+            SELECT l_returnflag,
+                   round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                         6) AS corr_qd,
+                   n
+            FROM (
+              SELECT l_returnflag,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(q) AS BIGINT) AS sx,
+                     CAST(sum(d) AS BIGINT) AS sy,
+                     CAST(sum(q * q) AS BIGINT) AS sxx,
+                     CAST(sum(d * d) AS BIGINT) AS syy,
+                     CAST(sum(q * d) AS BIGINT) AS sxy
+              FROM (
+                SELECT l_returnflag,
+                       CAST(round(l_quantity) AS BIGINT) AS q,
+                       CAST(round(l_discount * 100) AS BIGINT) AS d
+                FROM lineitem
+              ) GROUP BY l_returnflag
+            )
+        """,
         # LEFT OUTER join parity: unmatched orders -> 0 lines (null-free)
         "q_order_lineitem_counts": """
             SELECT o_orderkey,

@@ -413,6 +413,35 @@ def q5_regional_revenue(sf_dir: str):
     return ray.data.from_pandas(adf.reset_index(drop=True))
 
 
+def q_corr_quantity_discount(sf_dir: str):
+    """Distributed Pearson correlation (quantity vs discount per return
+    flag) via relational.grouped_corr — six exact int64 moments per
+    (group, batch) cross the shuffle, never raw rows; the identical
+    integer-fed IEEE expression is evaluated on both engines."""
+    from .relational import grouped_corr
+
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_discount"]
+    )
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "q": df["l_quantity"].round().astype("int64"),
+                "d": df["l_discount"].mul(100).round().astype("int64"),
+            }
+        )
+
+    return grouped_corr(
+        ds.map_batches(prep, batch_format="pandas"),
+        group="l_returnflag",
+        x="q",
+        y="d",
+        out_col="corr_qd",
+    )
+
+
 def q_order_lineitem_counts(sf_dir: str):
     """LEFT OUTER join: every order with its lineitem count, zero-line
     orders included (the outer path is real: the synthetic corpus has
@@ -1799,6 +1828,7 @@ QUERIES = {
     "q_customer_segment_orders": q_customer_segment_orders,
     "q_supplier_nation_balance": q_supplier_nation_balance,
     "q5_regional_revenue": q5_regional_revenue,
+    "q_corr_quantity_discount": q_corr_quantity_discount,
     "q_order_lineitem_counts": q_order_lineitem_counts,
     "q_pivot_priority_status": q_pivot_priority_status,
     "q_order_gap_seconds": q_order_gap_seconds,

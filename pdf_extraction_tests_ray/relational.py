@@ -402,6 +402,71 @@ def pivot_counts(
     )
 
 
+def grouped_corr(
+    ds: "ray.data.Dataset",
+    group: str,
+    x: str,
+    y: str,
+    out_col: str = "corr",
+    decimals: int = 6,
+) -> "ray.data.Dataset":
+    """Pearson correlation per group via MERGEABLE MOMENTS: each batch
+    reduces to (n, Σx, Σy, Σx², Σy², Σxy) per group — six int64s — and one
+    small ``groupby().aggregate`` merges them; the correlation is computed
+    once per group from the exact sums. The shuffle moves one 6-number row
+    per (group, batch), never raw rows.
+
+    Exactness contract: ``x``/``y`` must be INTEGER-unit columns whose
+    squared sums fit int64 (both engines then evaluate the identical
+    integer-fed float expression — hash-exact vs the SQL oracle after
+    rounding). For unbounded magnitudes swap the partial for Chan/Welford
+    float merging at the cost of bit-exactness. Degenerate groups (zero
+    variance) yield NaN, matching SQL's NULL-on-zero-denominator.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        xv = df[x].astype("int64")
+        yv = df[y].astype("int64")
+        d = pd.DataFrame(
+            {
+                group: df[group],
+                "_n": np.int64(1),
+                "_sx": xv,
+                "_sy": yv,
+                "_sxx": xv * xv,
+                "_syy": yv * yv,
+                "_sxy": xv * yv,
+            }
+        )
+        return d.groupby(group, sort=False).sum().reset_index()
+
+    cols = ["_n", "_sx", "_sy", "_sxx", "_syy", "_sxy"]
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(group)
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["_n"].to_numpy(dtype=np.float64)
+        sx = df["_sx"].to_numpy(dtype=np.float64)
+        sy = df["_sy"].to_numpy(dtype=np.float64)
+        num = n * df["_sxy"].to_numpy(dtype=np.float64) - sx * sy
+        den = np.sqrt(
+            (n * df["_sxx"].to_numpy(dtype=np.float64) - sx * sx)
+            * (n * df["_syy"].to_numpy(dtype=np.float64) - sy * sy)
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = np.round(num / den, decimals)
+        out = df[[group]].copy()
+        out[out_col] = c
+        out["n"] = df["_n"].astype("int64")
+        return out
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
 def grouped_rollup(
     ds: "ray.data.Dataset",
     keys: list,
