@@ -1038,11 +1038,11 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
               WHERE len({_WORDS}) >= 12
             ), idx AS (
-              SELECT doc_id, ws,
+              SELECT doc_id, ws, n_paras,
                      unnest(range(0, n_paras)) AS i
               FROM base
             ), imgs AS (
-              SELECT doc_id,
+              SELECT doc_id, n_paras,
                      unnest(range(1, (n_paras - 1) // 3 + 1)) AS i
               FROM base
             )
@@ -1052,13 +1052,28 @@ def oracle_sql() -> dict[str, str]:
                    '' AS media_ref
             FROM base
             UNION ALL
-            SELECT doc_id, CAST(i + 1 + i // 3 AS BIGINT) AS "order",
+            SELECT doc_id,
+                   CAST(i + 1 + i // 3
+                        + CASE WHEN i >= 2 AND n_paras >= 3
+                               THEN 1 ELSE 0 END AS BIGINT) AS "order",
                    'text' AS kind,
                    array_to_string(ws[(i*20+1):(i*20+20)], ' ') AS text,
                    '' AS media_ref
             FROM idx
             UNION ALL
-            SELECT doc_id, CAST(4 * i AS BIGINT) AS "order",
+            -- the synthesized 2x3 data table after paragraph 2 (docs with
+            -- >= 3 paragraphs): atomic span, cells = the first six words
+            SELECT doc_id, CAST(3 AS BIGINT) AS "order",
+                   'table' AS kind,
+                   array_to_string(ws[1:3], ' | ') || ' || '
+                     || array_to_string(ws[4:6], ' | ') AS text,
+                   '' AS media_ref
+            FROM base WHERE n_paras >= 3
+            UNION ALL
+            SELECT doc_id,
+                   CAST(4 * i + CASE WHEN n_paras >= 3
+                                     THEN 1 ELSE 0 END AS BIGINT)
+                     AS "order",
                    'figure' AS kind, '' AS text,
                    'img://' || CAST(doc_id AS VARCHAR) || '/'
                             || CAST(i AS VARCHAR) AS media_ref

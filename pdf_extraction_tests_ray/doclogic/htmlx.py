@@ -56,6 +56,7 @@ class Block:
     is_heading: bool = False
     n_words: int = field(default=0)
     media_ref: str = ""  # <img src>: an interleaved media span
+    is_table: bool = False  # atomic <table> (cells ' | ', rows ' || ')
 
     @property
     def link_density(self) -> float:
@@ -71,6 +72,38 @@ class _BlockParser(HTMLParser):
         self._in_anchor = 0
         self._skip_depth = 0
         self._heading_depth = 0
+        # <table> capture: one ATOMIC block per top-level table (cells
+        # ' | ', rows ' || ') — per-cell fragments would be short-block
+        # boilerplate to the densitometric gates, losing every data
+        # table; nested tables flatten into the outer one's row list
+        self._table_depth = 0
+        self._rows: list[list[str]] = []
+        self._cell: list[str] | None = None
+        self._tbl_link_chars = 0
+
+    def _close_cell(self):
+        if self._cell is not None:
+            text = " ".join("".join(self._cell).split())
+            if text and self._rows:
+                self._rows[-1].append(text)
+            self._cell = None
+
+    def _flush_table(self):
+        self._close_cell()
+        rows = [" | ".join(r) for r in self._rows if r]
+        text = " || ".join(rows)
+        if text:
+            b = Block(
+                text=text,
+                n_chars=len(text),
+                n_link_chars=min(self._tbl_link_chars, len(text)),
+                is_table=True,
+            )
+            # density signal = cell words only (not the separator glyphs)
+            b.n_words = sum(len(c.split()) for r in self._rows for c in r)
+            self.blocks.append(b)
+        self._rows = []
+        self._tbl_link_chars = 0
 
     def _flush(self):
         text = " ".join("".join(self._buf).split())
@@ -91,6 +124,21 @@ class _BlockParser(HTMLParser):
             self._skip_depth += 1
             return
         if self._skip_depth:
+            return
+        if tag == "table":
+            if self._table_depth == 0:
+                self._flush()
+            self._table_depth += 1
+            return
+        if self._table_depth:
+            if tag == "tr":
+                self._close_cell()
+                self._rows.append([])
+            elif tag in ("td", "th"):
+                self._close_cell()
+                self._cell = []
+            elif tag == "a":
+                self._in_anchor += 1
             return
         if tag == "img":
             # media span at its DOM position: flush the text run, emit a
@@ -115,6 +163,16 @@ class _BlockParser(HTMLParser):
             return
         if self._skip_depth:
             return
+        if self._table_depth:
+            if tag == "table":
+                self._table_depth -= 1
+                if self._table_depth == 0:
+                    self._flush_table()
+            elif tag in ("td", "th"):
+                self._close_cell()
+            elif tag == "a":
+                self._in_anchor = max(0, self._in_anchor - 1)
+            return
         if tag in _BLOCK_TAGS:
             self._flush()
         if tag in _HEADING_TAGS:
@@ -125,12 +183,21 @@ class _BlockParser(HTMLParser):
     def handle_data(self, data):
         if self._skip_depth:
             return
+        if self._table_depth:
+            if self._cell is not None:
+                self._cell.append(data)
+                if self._in_anchor:
+                    self._tbl_link_chars += len(data.strip())
+            return
         self._buf.append(data)
         if self._in_anchor:
             self._link_chars += len(data.strip())
 
     def close(self):
         super().close()
+        if self._table_depth:  # unclosed <table> at EOF
+            self._table_depth = 0
+            self._flush_table()
         self._flush()
 
 
@@ -170,14 +237,22 @@ def classify_blocks(blocks: list[Block]) -> list[bool]:
             prev_c = i > 0 and local[i - 1] is True
             next_c = i + 1 < n and local[i + 1] is True
         else:
-            # text context skips over media blocks (a figure carries no
-            # density signal — the nearest TEXT neighbors decide)
+            # text context skips over media AND short-table blocks (a
+            # figure carries no density signal, and a small data table is
+            # likewise neutral — a caption-sized paragraph right after an
+            # in-article table must not lose its content neighborhood to
+            # it; the nearest TEXT neighbors decide)
+            def _transparent(k: int) -> bool:
+                return bool(blocks[k].media_ref) or (
+                    blocks[k].is_table and local[k] is None
+                )
+
             j = i - 1
-            while j >= 0 and blocks[j].media_ref:
+            while j >= 0 and _transparent(j):
                 j -= 1
             prev_c = j >= 0 and local[j] is True
             j = i + 1
-            while j < n and blocks[j].media_ref:
+            while j < n and _transparent(j):
                 j += 1
             next_c = j < n and local[j] is True
         out.append(prev_c or next_c)
@@ -187,7 +262,10 @@ def classify_blocks(blocks: list[Block]) -> list[bool]:
 def extract_main_html(html: str) -> list[dict]:
     """Main-content spans of one HTML document, in DOM order:
     ``[{kind, text, media_ref, order}]`` — kind ``heading``/``text`` for
-    text runs, ``figure`` for kept interleaved ``<img>`` spans."""
+    text runs, ``figure`` for kept interleaved ``<img>`` spans, ``table``
+    for atomic table blocks (cells ' | ', rows ' || '; the same
+    densitometric gates apply, so link-farm layout tables are dropped
+    while data tables survive on cell-word mass or content context)."""
     blocks = parse_blocks(html)
     keep = classify_blocks(blocks)
     out = []
@@ -195,7 +273,12 @@ def extract_main_html(html: str) -> list[dict]:
     for b, k in zip(blocks, keep):
         if not k:
             continue
-        kind = "figure" if b.media_ref else ("heading" if b.is_heading else "text")
+        if b.media_ref:
+            kind = "figure"
+        elif b.is_table:
+            kind = "table"
+        else:
+            kind = "heading" if b.is_heading else "text"
         out.append(
             {
                 "kind": kind,

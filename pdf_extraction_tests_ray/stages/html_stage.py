@@ -38,6 +38,16 @@ def synth_html_doc(doc_id, text: str) -> str:
     body = ""
     for j, p in enumerate(paras, start=1):
         body += f"<p>{_html.escape(p)}</p>"
+        if j == 2 and j < len(paras):
+            # deterministic 2x3 data table after the 2nd paragraph: its
+            # cells are the doc's first six words, so the expected atomic
+            # 'table' span stays a pure function of the word list
+            cells = [_html.escape(w) for w in words[:6]]
+            body += (
+                "<table><tr><td>" + "</td><td>".join(cells[:3])
+                + "</td></tr><tr><td>" + "</td><td>".join(cells[3:6])
+                + "</td></tr></table>"
+            )
         if j % IMG_EVERY == 0 and j < len(paras):
             # interleaved media span between paragraphs (never after the
             # last: a figure with only boilerplate after a short trailing

@@ -180,3 +180,81 @@ def test_html_stage_layout_invariant():
     one = extract_main_html(synth_html_doc(7, rows[7]["text"]))
     d7 = outs[0][outs[0]["doc_id"] == 7]
     assert list(d7["text"]) == [s["text"] for s in one]
+
+
+# ---------------------------------------------------------------------------
+# atomic <table> extraction
+
+
+CONTENT = "<p>" + " ".join(f"w{i}" for i in range(20)) + "</p>"
+
+
+def test_table_is_one_atomic_span():
+    from pdf_extraction_tests_ray.doclogic.htmlx import extract_main_html
+
+    html = (
+        "<body>" + CONTENT
+        + "<table><tr><td>a1</td><td>a2</td></tr>"
+        + "<tr><td>b1</td><td>b2</td></tr></table>"
+        + CONTENT + "</body>"
+    )
+    spans = extract_main_html(html)
+    tables = [s for s in spans if s["kind"] == "table"]
+    assert len(tables) == 1
+    assert tables[0]["text"] == "a1 | a2 || b1 | b2"
+    # DOM order preserved: text, table, text
+    assert [s["kind"] for s in spans] == ["text", "table", "text"]
+
+
+def test_link_farm_table_is_dropped():
+    """A layout table of navigation links fails the link-density gate."""
+    from pdf_extraction_tests_ray.doclogic.htmlx import extract_main_html
+
+    nav = (
+        "<table><tr>"
+        + "".join(f'<td><a href="/{i}">link {i}</a></td>' for i in range(4))
+        + "</tr></table>"
+    )
+    spans = extract_main_html("<body>" + CONTENT + nav + CONTENT + "</body>")
+    assert [s["kind"] for s in spans] == ["text", "text"]
+
+
+def test_nested_table_flattens_into_outer():
+    from pdf_extraction_tests_ray.doclogic.htmlx import extract_main_html
+
+    html = (
+        "<body>" + CONTENT
+        + "<table><tr><td>o1</td></tr>"
+        + "<table><tr><td>i1</td><td>i2</td></tr></table>"
+        + "<tr><td>o2</td></tr></table>"
+        + CONTENT + "</body>"
+    )
+    tables = [s for s in extract_main_html(html) if s["kind"] == "table"]
+    assert len(tables) == 1
+    assert tables[0]["text"] == "o1 || i1 | i2 || o2"
+
+
+def test_short_text_after_table_keeps_content_context():
+    """A caption-sized paragraph right after an in-article table must not
+    lose its content neighborhood to the (density-neutral) table."""
+    from pdf_extraction_tests_ray.doclogic.htmlx import extract_main_html
+
+    html = (
+        "<body>" + CONTENT
+        + "<table><tr><td>x</td><td>y</td></tr></table>"
+        + "<p>short trailing caption</p></body>"
+    )
+    kinds_texts = [(s["kind"], s["text"]) for s in extract_main_html(html)]
+    assert ("text", "short trailing caption") in kinds_texts
+    assert ("table", "x | y") in kinds_texts
+
+
+def test_big_table_is_content_on_its_own_mass():
+    """A data table with >= 12 cell words is content even with no text
+    neighbors."""
+    from pdf_extraction_tests_ray.doclogic.htmlx import extract_main_html
+
+    cells = "".join(f"<td>cell word {i}</td>" for i in range(5))
+    html = f"<body><nav><a href='/'>only nav</a></nav><table><tr>{cells}</tr></table></body>"
+    spans = extract_main_html(html)
+    assert [s["kind"] for s in spans] == ["table"]
