@@ -1055,6 +1055,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(i + 1 + i // 3
                         + CASE WHEN i >= 2 AND n_paras >= 3
+                               THEN 1 ELSE 0 END
+                        + CASE WHEN i >= 4 AND n_paras >= 5
                                THEN 1 ELSE 0 END AS BIGINT) AS "order",
                    'text' AS kind,
                    array_to_string(ws[(i*20+1):(i*20+20)], ' ') AS text,
@@ -1070,9 +1072,23 @@ def oracle_sql() -> dict[str, str]:
                    '' AS media_ref
             FROM base WHERE n_paras >= 3
             UNION ALL
+            -- the synthesized 3-item bullet list after paragraph 4 (docs
+            -- with >= 5 paragraphs): atomic 'list' span, items are word
+            -- pairs 7-8 / 9-10 / 11-12; order 7 = heading + 4 paras +
+            -- img1 + the table
+            SELECT doc_id, CAST(7 AS BIGINT) AS "order",
+                   'list' AS kind,
+                   array_to_string(ws[7:8], ' ') || '; '
+                     || array_to_string(ws[9:10], ' ') || '; '
+                     || array_to_string(ws[11:12], ' ') AS text,
+                   '' AS media_ref
+            FROM base WHERE n_paras >= 5
+            UNION ALL
             SELECT doc_id,
                    CAST(4 * i + CASE WHEN n_paras >= 3
-                                     THEN 1 ELSE 0 END AS BIGINT)
+                                     THEN 1 ELSE 0 END
+                        + CASE WHEN i >= 2 AND n_paras >= 5
+                               THEN 1 ELSE 0 END AS BIGINT)
                      AS "order",
                    'figure' AS kind, '' AS text,
                    'img://' || CAST(doc_id AS VARCHAR) || '/'

@@ -57,6 +57,7 @@ class Block:
     n_words: int = field(default=0)
     media_ref: str = ""  # <img src>: an interleaved media span
     is_table: bool = False  # atomic <table> (cells ' | ', rows ' || ')
+    is_list: bool = False  # atomic <ul>/<ol> (items joined '; ')
 
     @property
     def link_density(self) -> float:
@@ -80,6 +81,37 @@ class _BlockParser(HTMLParser):
         self._rows: list[list[str]] = []
         self._cell: list[str] | None = None
         self._tbl_link_chars = 0
+        # <ul>/<ol> capture: one ATOMIC block per top-level list (items
+        # joined '; ') — per-<li> fragments would be short-block
+        # boilerplate, shattering in-article bullet lists; nested lists
+        # flatten into the outer item sequence. A <table> inside a list
+        # item still captures as its own table block (table wins).
+        self._list_depth = 0
+        self._items: list[str] = []
+        self._item: list[str] | None = None
+        self._lst_link_chars = 0
+
+    def _close_item(self):
+        if self._item is not None:
+            text = " ".join("".join(self._item).split())
+            if text:
+                self._items.append(text)
+            self._item = None
+
+    def _flush_list(self):
+        self._close_item()
+        text = "; ".join(self._items)
+        if text:
+            b = Block(
+                text=text,
+                n_chars=len(text),
+                n_link_chars=min(self._lst_link_chars, len(text)),
+                is_list=True,
+            )
+            b.n_words = sum(len(i.split()) for i in self._items)
+            self.blocks.append(b)
+        self._items = []
+        self._lst_link_chars = 0
 
     def _close_cell(self):
         if self._cell is not None:
@@ -140,6 +172,18 @@ class _BlockParser(HTMLParser):
             elif tag == "a":
                 self._in_anchor += 1
             return
+        if tag in ("ul", "ol"):
+            if self._list_depth == 0:
+                self._flush()
+            self._list_depth += 1
+            return
+        if self._list_depth:
+            if tag == "li":
+                self._close_item()
+                self._item = []
+            elif tag == "a":
+                self._in_anchor += 1
+            return
         if tag == "img":
             # media span at its DOM position: flush the text run, emit a
             # zero-text block carrying the ref (kept/dropped by the same
@@ -173,6 +217,16 @@ class _BlockParser(HTMLParser):
             elif tag == "a":
                 self._in_anchor = max(0, self._in_anchor - 1)
             return
+        if self._list_depth:
+            if tag in ("ul", "ol"):
+                self._list_depth -= 1
+                if self._list_depth == 0:
+                    self._flush_list()
+            elif tag == "li":
+                self._close_item()
+            elif tag == "a":
+                self._in_anchor = max(0, self._in_anchor - 1)
+            return
         if tag in _BLOCK_TAGS:
             self._flush()
         if tag in _HEADING_TAGS:
@@ -189,6 +243,12 @@ class _BlockParser(HTMLParser):
                 if self._in_anchor:
                     self._tbl_link_chars += len(data.strip())
             return
+        if self._list_depth:
+            if self._item is not None:
+                self._item.append(data)
+                if self._in_anchor:
+                    self._lst_link_chars += len(data.strip())
+            return
         self._buf.append(data)
         if self._in_anchor:
             self._link_chars += len(data.strip())
@@ -198,6 +258,9 @@ class _BlockParser(HTMLParser):
         if self._table_depth:  # unclosed <table> at EOF
             self._table_depth = 0
             self._flush_table()
+        if self._list_depth:  # unclosed <ul>/<ol> at EOF
+            self._list_depth = 0
+            self._flush_list()
         self._flush()
 
 
@@ -237,14 +300,15 @@ def classify_blocks(blocks: list[Block]) -> list[bool]:
             prev_c = i > 0 and local[i - 1] is True
             next_c = i + 1 < n and local[i + 1] is True
         else:
-            # text context skips over media AND short-table blocks (a
-            # figure carries no density signal, and a small data table is
-            # likewise neutral — a caption-sized paragraph right after an
-            # in-article table must not lose its content neighborhood to
-            # it; the nearest TEXT neighbors decide)
+            # text context skips over media AND short table/list blocks
+            # (a figure carries no density signal, and a small data table
+            # or bullet list is likewise neutral — a caption-sized
+            # paragraph right after one must not lose its content
+            # neighborhood to it; the nearest TEXT neighbors decide)
             def _transparent(k: int) -> bool:
                 return bool(blocks[k].media_ref) or (
-                    blocks[k].is_table and local[k] is None
+                    (blocks[k].is_table or blocks[k].is_list)
+                    and local[k] is None
                 )
 
             j = i - 1
@@ -263,9 +327,11 @@ def extract_main_html(html: str) -> list[dict]:
     """Main-content spans of one HTML document, in DOM order:
     ``[{kind, text, media_ref, order}]`` — kind ``heading``/``text`` for
     text runs, ``figure`` for kept interleaved ``<img>`` spans, ``table``
-    for atomic table blocks (cells ' | ', rows ' || '; the same
-    densitometric gates apply, so link-farm layout tables are dropped
-    while data tables survive on cell-word mass or content context)."""
+    for atomic table blocks (cells ' | ', rows ' || ') and ``list`` for
+    atomic ``<ul>``/``<ol>`` blocks (items '; '). The same densitometric
+    gates apply to both, so link-farm layout tables and nav-menu lists
+    are dropped while data tables / in-article bullet lists survive on
+    word mass or content context."""
     blocks = parse_blocks(html)
     keep = classify_blocks(blocks)
     out = []
@@ -277,6 +343,8 @@ def extract_main_html(html: str) -> list[dict]:
             kind = "figure"
         elif b.is_table:
             kind = "table"
+        elif b.is_list:
+            kind = "list"
         else:
             kind = "heading" if b.is_heading else "text"
         out.append(

@@ -48,6 +48,13 @@ def synth_html_doc(doc_id, text: str) -> str:
                 + "</td></tr><tr><td>" + "</td><td>".join(cells[3:6])
                 + "</td></tr></table>"
             )
+        if j == 4 and j < len(paras):
+            # deterministic 3-item bullet list after the 4th paragraph:
+            # items are word pairs 7-8 / 9-10 / 11-12 of the doc
+            items = [
+                _html.escape(" ".join(words[k : k + 2])) for k in (6, 8, 10)
+            ]
+            body += "<ul>" + "".join(f"<li>{i}</li>" for i in items) + "</ul>"
         if j % IMG_EVERY == 0 and j < len(paras):
             # interleaved media span between paragraphs (never after the
             # last: a figure with only boilerplate after a short trailing

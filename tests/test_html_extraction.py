@@ -258,3 +258,54 @@ def test_big_table_is_content_on_its_own_mass():
     html = f"<body><nav><a href='/'>only nav</a></nav><table><tr>{cells}</tr></table></body>"
     spans = extract_main_html(html)
     assert [s["kind"] for s in spans] == ["table"]
+
+
+# ---------------------------------------------------------------------------
+# atomic <ul>/<ol> extraction
+
+
+def test_list_is_one_atomic_span():
+    from pdf_extraction_tests_ray.doclogic.htmlx import extract_main_html
+
+    html = (
+        "<body>" + CONTENT
+        + "<ul><li>first item</li><li>second item</li></ul>"
+        + CONTENT + "</body>"
+    )
+    spans = extract_main_html(html)
+    assert [s["kind"] for s in spans] == ["text", "list", "text"]
+    assert spans[1]["text"] == "first item; second item"
+
+
+def test_nav_menu_list_is_dropped():
+    """A <ul> of links (nav menu outside <nav>) fails link density."""
+    from pdf_extraction_tests_ray.doclogic.htmlx import extract_main_html
+
+    menu = (
+        "<ul>"
+        + "".join(f'<li><a href="/{i}">menu {i}</a></li>' for i in range(4))
+        + "</ul>"
+    )
+    spans = extract_main_html("<body>" + CONTENT + menu + CONTENT + "</body>")
+    assert [s["kind"] for s in spans] == ["text", "text"]
+
+
+def test_nested_list_flattens():
+    from pdf_extraction_tests_ray.doclogic.htmlx import extract_main_html
+
+    html = (
+        "<body>" + CONTENT
+        + "<ul><li>outer one</li><ul><li>inner a</li></ul><li>outer two</li></ul>"
+        + "</body>"
+    )
+    lists = [s for s in extract_main_html(html) if s["kind"] == "list"]
+    assert len(lists) == 1
+    assert lists[0]["text"] == "outer one; inner a; outer two"
+
+
+def test_big_list_is_content_on_its_own_mass():
+    from pdf_extraction_tests_ray.doclogic.htmlx import extract_main_html
+
+    items = "".join(f"<li>item number {i} words</li>" for i in range(4))
+    html = f"<body><ul>{items}</ul></body>"
+    assert [s["kind"] for s in extract_main_html(html)] == ["list"]
