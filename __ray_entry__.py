@@ -621,6 +621,18 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY c_mktsegment
         """,
+        # the bloom-join variant is EXACT (the bloom only prefilters the
+        # shuffle; the in-bucket check decides) -> same EXISTS oracle
+        "q_customers_with_urgent_orders_bloom": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+            FROM customer c
+            WHERE EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT'
+            )
+            GROUP BY c_mktsegment
+        """,
         "q_price_quantiles": """
             SELECT l_returnflag,
                    quantile_disc(cents, 0.5) / 100.0 AS p50,

@@ -737,6 +737,22 @@ def q_customers_with_urgent_orders(sf_dir: str):
     )
 
 
+def q_customers_with_urgent_orders_bloom(sf_dir: str):
+    """Bloom-join variant of the SEMI join: a compact broadcast Bloom
+    filter over the urgent-order custkeys drops non-matching customers
+    BEFORE the bucket shuffle; the exact in-bucket check still runs, so
+    the result — and the SQL oracle — is identical to the plain semi
+    join (the bloom only cuts shuffle volume)."""
+    from .relational import semi_join_bloom
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    return _segment_counts(
+        semi_join_bloom(
+            cust, _urgent_custkeys(sf_dir), on="c_custkey", right_on="o_custkey"
+        )
+    )
+
+
 def q_lineitem_rollup(sf_dir: str):
     """ROLLUP(returnflag, linestatus): detail rows + per-flag subtotals +
     grand total, computed in one pass / one shuffle (every level's
@@ -1829,6 +1845,7 @@ QUERIES = {
     "q_supplier_nation_balance": q_supplier_nation_balance,
     "q5_regional_revenue": q5_regional_revenue,
     "q_corr_quantity_discount": q_corr_quantity_discount,
+    "q_customers_with_urgent_orders_bloom": q_customers_with_urgent_orders_bloom,
     "q_order_lineitem_counts": q_order_lineitem_counts,
     "q_pivot_priority_status": q_pivot_priority_status,
     "q_order_gap_seconds": q_order_gap_seconds,

@@ -1197,3 +1197,41 @@ def test_global_rank_exact_and_layout_invariant():
     assert a["pos"].tolist() == list(range(300))
     expected = sorted(rows, key=lambda r: (r["_k"], r["doc_id"]))
     assert a["doc_id"].tolist() == [r["doc_id"] for r in expected]
+
+
+# ---------------------------------------------------------------------------
+# bloom-join (bloom-prefiltered semi/anti join)
+
+
+def test_semi_join_bloom_matches_exact_semi_join():
+    """Bloom prefilter must not change results — semi AND anti, including
+    at a deliberately tiny 4-bit filter where false positives are
+    guaranteed (they just ride through to the exact in-bucket check)."""
+    import ray
+
+    from pdf_extraction_tests_ray.relational import semi_join, semi_join_bloom
+
+    left = ray.data.from_items(
+        [{"k": i, "v": f"row{i}"} for i in range(500)]
+    ).repartition(5)
+    right = ray.data.from_items(
+        [{"rk": i * 7} for i in range(40)]  # sparse: most left rows miss
+    ).repartition(3)
+
+    for anti in (False, True):
+        for bits in (32, 4):
+            a = (
+                semi_join(left, right, on="k", right_on="rk", anti=anti)
+                .to_pandas().sort_values("k").reset_index(drop=True)
+            )
+            b = (
+                semi_join_bloom(
+                    left, right, on="k", right_on="rk", anti=anti,
+                    bits_per_key=bits,
+                )
+                .to_pandas().sort_values("k").reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(a, b)
+    # sanity: the semi result is exactly the multiples of 7 under 274
+    semi = semi_join_bloom(left, right, on="k", right_on="rk").to_pandas()
+    assert sorted(semi["k"].tolist()) == [i * 7 for i in range(40)]

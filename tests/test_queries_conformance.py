@@ -107,6 +107,7 @@ def _to_pandas(res):
         "q_order_running_total",
         "q_lineitem_rollup",
         "q_customers_with_urgent_orders",
+        "q_customers_with_urgent_orders_bloom",
         "doc_hash_sample",
         "doc_weighted_mix",
         "doc_weighted_mix_tokens",
