@@ -10,8 +10,9 @@ The reference's source is ``pdf_convert`` + a directory listing
   ``lance`` package is not in this container, so the reader is
   import-gated: registered only when available, raising a clear error
   otherwise. Same rows-out contract as parquet.
-- ``json`` — ``ray.data.read_json`` for line-delimited span dumps
-  (debug/interop).
+- ``json`` — ``ray.data.read_json`` for line-delimited (JSONL) corpora —
+  the common interchange format of web-crawl text dumps.
+- ``csv`` — ``ray.data.read_csv`` for delimited exports (interop).
 
 A real-PDF ingestion frontend (rasterize + layout + OCR) would be an
 actor-pool ``map_batches`` stage ahead of these readers; out of scope for
@@ -43,6 +44,7 @@ def read_corpus(path: str, format: str = "parquet", **kwargs) -> "ray.data.Datas
 
 register_reader("parquet", ray.data.read_parquet)
 register_reader("json", ray.data.read_json)
+register_reader("csv", ray.data.read_csv)
 
 try:  # at-scale path; absent in this container
     import lance  # noqa: F401

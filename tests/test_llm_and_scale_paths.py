@@ -1235,3 +1235,36 @@ def test_semi_join_bloom_matches_exact_semi_join():
     # sanity: the semi result is exactly the multiples of 7 under 274
     semi = semi_join_bloom(left, right, on="k", right_on="rk").to_pandas()
     assert sorted(semi["k"].tolist()) == [i * 7 for i in range(40)]
+
+
+def test_source_registry_jsonl_and_csv_round_trip(tmp_path):
+    """Every registered text format yields the same rows as parquet
+    through the one read_corpus entry point."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extraction_tests_ray.sources import read_corpus
+
+    rows = [{"doc_id": i, "text": f"doc {i} words here"} for i in range(50)]
+    t = pa.Table.from_pylist(rows)
+    pq.write_table(t, str(tmp_path / "c.parquet"))
+    import csv as _csv
+    import json as _json
+
+    with open(tmp_path / "c.jsonl", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    with open(tmp_path / "c.csv", "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=["doc_id", "text"])
+        w.writeheader()
+        w.writerows(rows)
+
+    base = read_corpus(str(tmp_path / "c.parquet")).to_pandas()
+    for fmt, name in [("json", "c.jsonl"), ("csv", "c.csv")]:
+        got = read_corpus(str(tmp_path / name), format=fmt).to_pandas()
+        got = got[["doc_id", "text"]].sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got, base.sort_values("doc_id").reset_index(drop=True)
+        )
+    with pytest.raises(ValueError, match="unknown corpus format"):
+        read_corpus(str(tmp_path / "c.csv"), format="orc")
