@@ -286,6 +286,73 @@ def train_ivf_centroids(
     return _train_centroids(sample, min(n_centroids, len(sample)))
 
 
+def train_ivf_centroids_distributed(
+    emb: "ray.data.Dataset",
+    n_centroids: int = 16,
+    iters: int = 5,
+    init_sample_budget: int = 4096,
+) -> np.ndarray:
+    """FULL-CORPUS spherical k-means (distributed Lloyd) — the
+    10^12-vector scale path where even a budget-capped driver sample
+    under-represents the distribution (TODO.md's mini-batch note).
+
+    Init = the bounded-sample trainer (:func:`train_ivf_centroids`); each
+    refinement iteration is then ONE ``map_batches`` pass over the whole
+    corpus emitting per-cell (count, vector-sum) partials — at most
+    ``n_centroids`` rows per batch, the mergeable-sketch combiner shape —
+    which the driver merges in canonical (cell, min vec_id) order, so the
+    update is deterministic for a fixed block layout. Across layouts the
+    centroids are stable only up to float-association drift; like the
+    t-digest family, tests pin ASSIGNMENT AGREEMENT, not bit-equality.
+    Empty cells keep their previous centroid; centroids re-normalize
+    every update (same spherical rule as train/probe assignment)."""
+    cents = train_ivf_centroids(emb, n_centroids, init_sample_budget)
+    dim = cents.shape[1]
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame(
+                    {"cell": pd.Series([], dtype="int64"),
+                     "n": pd.Series([], dtype="int64"),
+                     "s": pd.Series([], dtype=object),
+                     "mid": pd.Series([], dtype="int64")}
+                )
+            m = _norm_rows(_as_matrix(df["embedding"]))
+            cell = np.argmax(m @ ray.get(ref).T, axis=1)
+            ids = df["vec_id"].to_numpy()
+            rows = []
+            for c in np.unique(cell):
+                msk = cell == c
+                rows.append(
+                    {
+                        "cell": int(c),
+                        "n": int(msk.sum()),
+                        "s": m[msk].sum(axis=0).tobytes(),
+                        "mid": int(ids[msk].min()),
+                    }
+                )
+            return pd.DataFrame(rows)
+
+        parts = (
+            emb.map_batches(partial, batch_format="pandas")
+            .to_pandas()  # <= n_centroids rows per batch — driver-small
+            .sort_values(["cell", "mid"], kind="stable")
+        )
+        new = cents.copy()
+        for c, sub in parts.groupby("cell", sort=True):
+            s = np.zeros(dim, dtype=np.float64)
+            n = 0
+            for raw, cnt in zip(sub["s"].tolist(), sub["n"].tolist()):
+                s += np.frombuffer(raw, dtype=np.float64)
+                n += int(cnt)
+            if n:
+                new[int(c)] = s / n
+        cents = _norm_rows(new)
+    return cents
+
+
 def ivf_assign(emb: "ray.data.Dataset", centroids: np.ndarray) -> "ray.data.Dataset":
     """Materialize the IVF inverted index: append each vector's ``cell``
     (argmax cosine against the broadcast centroids) as a column.

@@ -1268,3 +1268,41 @@ def test_source_registry_jsonl_and_csv_round_trip(tmp_path):
         )
     with pytest.raises(ValueError, match="unknown corpus format"):
         read_corpus(str(tmp_path / "c.csv"), format="orc")
+
+
+def test_distributed_kmeans_refines_and_agrees_across_layouts():
+    """Full-corpus Lloyd refinement: (1) inertia (mean max-cosine to the
+    assigned centroid) does not get worse vs the sampled init; (2) cell
+    assignments agree across block layouts for nearly all vectors
+    (float-association drift only — the t-digest-style bound)."""
+    import ray
+
+    from pdf_extraction_tests_ray.stages.similarity import (
+        _as_matrix,
+        _norm_rows,
+        train_ivf_centroids,
+        train_ivf_centroids_distributed,
+    )
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+
+    def load(nblocks):
+        return ray.data.read_parquet(path).repartition(nblocks)
+
+    import pyarrow.parquet as pq
+
+    raw = pq.read_table(path).to_pandas().sort_values("vec_id")
+    m = _norm_rows(_as_matrix(raw["embedding"]))
+
+    init = train_ivf_centroids(load(4), 8, 4096)
+    ref = train_ivf_centroids_distributed(load(4), 8, iters=4)
+
+    def inertia(cents):
+        return float(np.max(m @ cents.T, axis=1).mean())
+
+    assert inertia(ref) >= inertia(init) - 1e-9  # refinement helps
+
+    other = train_ivf_centroids_distributed(load(9), 8, iters=4)
+    a = np.argmax(m @ ref.T, axis=1)
+    b = np.argmax(m @ other.T, axis=1)
+    assert (a == b).mean() >= 0.99  # layout drift is float-level only
