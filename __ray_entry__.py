@@ -477,6 +477,29 @@ def oracle_sql() -> dict[str, str]:
               ) GROUP BY l_returnflag
             )
         """,
+        # z-score parity: same mean/var/z expression shape as numpy
+        # (population variance, DOUBLE casts before every product)
+        "q_part_price_zscore": """
+            WITH p AS (
+              SELECT p_partkey, p_brand,
+                     CAST(round(p_retailprice * 100) AS BIGINT) AS c
+              FROM part
+            ), s AS (
+              SELECT p_brand,
+                     CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS mean,
+                     sqrt(CAST(sum(c * c) AS DOUBLE)
+                            / CAST(count(*) AS DOUBLE)
+                          - (CAST(sum(c) AS DOUBLE)
+                             / CAST(count(*) AS DOUBLE))
+                            * (CAST(sum(c) AS DOUBLE)
+                               / CAST(count(*) AS DOUBLE))) AS std
+              FROM p GROUP BY p_brand
+            )
+            SELECT p_partkey, p.p_brand,
+                   round((CAST(c AS DOUBLE) - mean) / std, 6) AS z
+            FROM p JOIN s ON p.p_brand = s.p_brand
+        """,
         # LEFT OUTER join parity: unmatched orders -> 0 lines (null-free)
         "q_order_lineitem_counts": """
             SELECT o_orderkey,

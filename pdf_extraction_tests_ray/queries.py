@@ -413,6 +413,33 @@ def q5_regional_revenue(sf_dir: str):
     return ray.data.from_pandas(adf.reset_index(drop=True))
 
 
+def q_part_price_zscore(sf_dir: str):
+    """Per-brand z-score standardization of part retail price (the ML
+    feature-normalization primitive): exact int64-cent moments per brand
+    come back to the driver (one row per brand), broadcast into a second
+    streaming pass — relational.grouped_standardize."""
+    from .relational import grouped_standardize
+
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_retailprice"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p_partkey": df["p_partkey"],
+                "p_brand": df["p_brand"],
+                "price_c": df["p_retailprice"].mul(100).round().astype("int64"),
+            }
+        )
+
+    return grouped_standardize(
+        ds.map_batches(prep, batch_format="pandas"),
+        group="p_brand",
+        col="price_c",
+        keys=["p_partkey"],
+        out_col="z",
+    )
+
+
 def q_corr_quantity_discount(sf_dir: str):
     """Distributed Pearson correlation (quantity vs discount per return
     flag) via relational.grouped_corr — six exact int64 moments per
@@ -1845,6 +1872,7 @@ QUERIES = {
     "q_supplier_nation_balance": q_supplier_nation_balance,
     "q5_regional_revenue": q5_regional_revenue,
     "q_corr_quantity_discount": q_corr_quantity_discount,
+    "q_part_price_zscore": q_part_price_zscore,
     "q_customers_with_urgent_orders_bloom": q_customers_with_urgent_orders_bloom,
     "q_order_lineitem_counts": q_order_lineitem_counts,
     "q_pivot_priority_status": q_pivot_priority_status,

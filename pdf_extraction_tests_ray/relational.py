@@ -547,6 +547,74 @@ def grouped_corr(
     return agg.map_batches(finish, batch_format="pandas")
 
 
+def grouped_standardize(
+    ds: "ray.data.Dataset",
+    group: str,
+    col: str,
+    keys: list[str],
+    out_col: str = "z",
+    decimals: int = 6,
+) -> "ray.data.Dataset":
+    """Per-group z-score standardization (the ML feature-normalization
+    primitive): ``z = (x - mean) / std`` with POPULATION std, computed in
+    the two-pass global-stat shape — pass 1 reduces each group to exact
+    int64 moments (n, Σx, Σx²) via the same combiner as
+    :func:`grouped_corr` (one tiny shuffle; one row per group comes back
+    to the driver — groups are low-cardinality by assumption); pass 2
+    broadcasts the moments and standardizes streamingly. Same exactness
+    contract as grouped_corr: ``col`` must be an INTEGER-unit column with
+    Σx² inside int64, and both engines evaluate the identical
+    mean/var/z float expression (round ``decimals``). Zero-variance
+    groups yield NaN (SQL NULL).
+
+    Output: ``keys + [group, out_col]``.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        xv = df[col].astype("int64")
+        d = pd.DataFrame(
+            {group: df[group], "_n": np.int64(1), "_sx": xv, "_sxx": xv * xv}
+        )
+        return d.groupby(group, sort=False).sum().reset_index()
+
+    stats = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(group)
+        .aggregate(
+            Sum("_n", alias_name="_n"),
+            Sum("_sx", alias_name="_sx"),
+            Sum("_sxx", alias_name="_sxx"),
+        )
+        .to_pandas()
+    )
+    n = stats["_n"].to_numpy(dtype=np.float64)
+    sx = stats["_sx"].to_numpy(dtype=np.float64)
+    mean = sx / n
+    var = stats["_sxx"].to_numpy(dtype=np.float64) / n - mean * mean
+    with np.errstate(invalid="ignore"):
+        std = np.sqrt(var)
+    mref = ray.put(
+        {
+            g: (m, s)
+            for g, m, s in zip(stats[group].tolist(), mean.tolist(), std.tolist())
+        }
+    )
+
+    def standardize(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(mref)
+        ms = df[group].map(lambda g: lookup[g][0]).to_numpy(dtype=np.float64)
+        ss = df[group].map(lambda g: lookup[g][1]).to_numpy(dtype=np.float64)
+        x = df[col].astype("int64").to_numpy(dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.round((x - ms) / ss, decimals)
+        out = df[keys + [group]].copy()
+        out[out_col] = z
+        return out
+
+    return ds.map_batches(standardize, batch_format="pandas")
+
+
 def grouped_rollup(
     ds: "ray.data.Dataset",
     keys: list,

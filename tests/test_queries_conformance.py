@@ -93,6 +93,7 @@ def _to_pandas(res):
         "q_supplier_nation_balance",
         "q5_regional_revenue",
         "q_corr_quantity_discount",
+        "q_part_price_zscore",
         "q_order_lineitem_counts",
         "q_pivot_priority_status",
         "q_order_gap_seconds",
