@@ -1329,6 +1329,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
         """,
         # Remaining rows-only entries, each genuinely non-SQL-expressible:
+        # emb_pca_project (eigendecomposition; orthonormality/variance-
+        # order/reconstruction/layout-agreement pinned in tests),
         # dedup_semantic (k-means cell boundaries; keep rule + ground-truth
         # containment vs the ORACLED dedup_embedding_pairs pinned in tests),
         # dedup_minhash / dedup_simhash (seeded hash-permutation /

@@ -1459,6 +1459,19 @@ def dedup_simhash(sf_dir: str):
     return D.simhash_pairs(ds, max_hamming=3)
 
 
+def emb_pca_project(sf_dir: str):
+    """Distributed PCA (fit via mergeable covariance moments, one combiner
+    pass; 64x64 eigendecomposition driver-side) + streaming projection to
+    8 components (rows-only: eigenvectors are not SQL-expressible;
+    orthonormality, variance ordering, reconstruction-error monotonicity
+    and cross-layout agreement are pinned in tests)."""
+    from .stages.similarity import pca_fit, pca_project
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    comps, mean = pca_fit(emb, k=8)
+    return pca_project(emb, comps, mean)
+
+
 def dedup_semantic(sf_dir: str):
     """SemDeDup: spherical-k-means cells + within-cell cosine components,
     keep the member least similar to its centroid (rows-only: k-means cell
@@ -1931,6 +1944,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_pairs": dedup_embedding_pairs,
     "dedup_semantic": dedup_semantic,
+    "emb_pca_project": emb_pca_project,
     "knn_bruteforce": knn_bruteforce,
     "knn_multi": knn_multi,
     "knn_lsh": knn_lsh,

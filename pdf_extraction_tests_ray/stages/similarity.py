@@ -286,6 +286,85 @@ def train_ivf_centroids(
     return _train_centroids(sample, min(n_centroids, len(sample)))
 
 
+def pca_fit(emb: "ray.data.Dataset", k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Distributed PCA via MERGEABLE COVARIANCE MOMENTS — the
+    dimensionality-reduction step ahead of ANN/clustering at corpus
+    scale. ONE ``map_batches`` pass reduces each batch to
+    (n, Σx ∈ R^d, ΣxᵀX ∈ R^(d×d)) — O(d²) bytes per batch regardless of
+    row count (the combiner shape); the driver merges partials in
+    canonical min-vec_id order, forms the covariance, and runs the d×d
+    eigendecomposition locally (d is small by construction — 64 here).
+    Deterministic sign convention: each component's largest-|coefficient|
+    entry is made positive. Returns (components (k,d) row-major,
+    mean (d,)).
+
+    Like the distributed k-means trainer, results are bit-deterministic
+    for a fixed block layout and stable to float-association drift across
+    layouts (tests pin projection agreement, not bit-equality)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"n": pd.Series([], dtype="int64"),
+                 "sx": pd.Series([], dtype=object),
+                 "sxx": pd.Series([], dtype=object),
+                 "mid": pd.Series([], dtype="int64")}
+            )
+        m = _as_matrix(df["embedding"])
+        return pd.DataFrame(
+            {
+                "n": [len(m)],
+                "sx": [m.sum(axis=0).tobytes()],
+                "sxx": [(m.T @ m).tobytes()],
+                "mid": [int(df["vec_id"].min())],
+            }
+        )
+
+    parts = (
+        emb.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .sort_values("mid", kind="stable")
+    )
+    n = int(parts["n"].sum())
+    d = len(np.frombuffer(parts["sx"].iloc[0], dtype=np.float64))
+    sx = np.zeros(d)
+    sxx = np.zeros((d, d))
+    for rsx, rsxx in zip(parts["sx"].tolist(), parts["sxx"].tolist()):
+        sx += np.frombuffer(rsx, dtype=np.float64)
+        sxx += np.frombuffer(rsxx, dtype=np.float64).reshape(d, d)
+    mean = sx / n
+    cov = sxx / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)  # ascending eigenvalues
+    comps = v[:, ::-1][:, :k].T.copy()  # top-k, (k, d)
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return comps, mean
+
+
+def pca_project(
+    emb: "ray.data.Dataset", components: np.ndarray, mean: np.ndarray
+) -> "ray.data.Dataset":
+    """Streaming projection: broadcast (components, mean) once, emit
+    (vec_id, pc1..pck) per row — a pure per-batch matmul, no shuffle."""
+    ref = ray.put((np.asarray(components, np.float64), np.asarray(mean, np.float64)))
+    k = int(np.asarray(components).shape[0])
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        comps, mu = ray.get(ref)
+        out = pd.DataFrame({"vec_id": df["vec_id"].to_numpy()})
+        if len(df):
+            p = (_as_matrix(df["embedding"]) - mu) @ comps.T
+        else:
+            p = np.zeros((0, k))
+        for i in range(k):
+            out[f"pc{i + 1}"] = np.round(p[:, i], 6)
+        return out
+
+    return emb.map_batches(project, batch_format="pandas")
+
+
 def train_ivf_centroids_distributed(
     emb: "ray.data.Dataset",
     n_centroids: int = 16,

@@ -1306,3 +1306,61 @@ def test_distributed_kmeans_refines_and_agrees_across_layouts():
     a = np.argmax(m @ ref.T, axis=1)
     b = np.argmax(m @ other.T, axis=1)
     assert (a == b).mean() >= 0.99  # layout drift is float-level only
+
+
+# ---------------------------------------------------------------------------
+# distributed PCA
+
+
+def test_pca_fit_properties_and_layout_agreement():
+    import ray
+
+    from pdf_extraction_tests_ray.stages.similarity import (
+        _as_matrix,
+        pca_fit,
+        pca_project,
+    )
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+
+    def load(nblocks):
+        return ray.data.read_parquet(
+            path, columns=["vec_id", "embedding"]
+        ).repartition(nblocks)
+
+    comps, mean = pca_fit(load(4), k=8)
+    # orthonormal components
+    g = comps @ comps.T
+    assert np.allclose(g, np.eye(8), atol=1e-10)
+
+    import pyarrow.parquet as pq
+
+    raw = pq.read_table(path).to_pandas().sort_values("vec_id")
+    m = _as_matrix(raw["embedding"])
+    proj = (m - mean) @ comps.T
+    # variance ordering: pc1 >= pc2 >= ... (population variance)
+    var = proj.var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-12 for i in range(7))
+
+    # reconstruction error strictly improves with more components
+    def recon_err(k):
+        c, mu = pca_fit(load(4), k=k)
+        p = (m - mu) @ c.T
+        back = p @ c + mu
+        return float(((m - back) ** 2).sum())
+
+    e4, e8, e16 = recon_err(4), recon_err(8), recon_err(16)
+    assert e16 < e8 < e4
+
+    # cross-layout agreement (float-association drift only)
+    df_a = (
+        pca_project(load(4), comps, mean).to_pandas()
+        .sort_values("vec_id").reset_index(drop=True)
+    )
+    comps_b, mean_b = pca_fit(load(9), k=8)
+    df_b = (
+        pca_project(load(9), comps_b, mean_b).to_pandas()
+        .sort_values("vec_id").reset_index(drop=True)
+    )
+    for i in range(1, 9):
+        assert np.allclose(df_a[f"pc{i}"], df_b[f"pc{i}"], atol=1e-4)

@@ -165,6 +165,7 @@ def test_query_matches_oracle(name, duck):
         "dedup_minhash",
         "dedup_simhash",
         "dedup_semantic",
+        "emb_pca_project",
         "knn_lsh",
         "knn_ivf",
         "doc_pack_sequences",
