@@ -812,6 +812,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE k.rn = 1
             GROUP BY k.doc_id
         """,
+        # Shannon entropy of each source's word distribution; ln on the
+        # same integer counts both sides, round-6 absorbs association drift
+        "doc_source_word_entropy": f"""
+            WITH wc AS (
+              SELECT source, word, count(*) AS n FROM (
+                SELECT source,
+                       unnest(string_split({_NORM}, ' ')) AS word
+                FROM documents
+              ) WHERE word <> '' GROUP BY source, word
+            ), t AS (
+              SELECT source,
+                     CAST(sum(n) AS BIGINT) AS total,
+                     sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS snln
+              FROM wc GROUP BY source
+            )
+            SELECT source,
+                   round(ln(CAST(total AS DOUBLE))
+                         - snln / CAST(total AS DOUBLE), 6) AS entropy,
+                   total AS n_words
+            FROM t
+        """,
         # tokenizer build+encode: same rank rule (count desc, word asc,
         # ids from 1, 0=OOV), MAP lookup per word, ' '-joined id strings
         "doc_vocab_encode": f"""

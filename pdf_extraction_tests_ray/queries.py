@@ -1070,6 +1070,71 @@ def doc_vocab_encode(sf_dir: str):
     return C.encode_docs(docs, vocab)
 
 
+def doc_source_word_entropy(sf_dir: str):
+    """Corpus diagnostics for data mixing: Shannon entropy (nats) of each
+    source's word distribution. Per-batch (source, word) count partials →
+    bucketed merge to GLOBAL per-word counts (the only shuffle that moves
+    per-word rows) → the distributive Σ n·ln n reduces per batch to one
+    row per source → tiny groupby → H = ln N − (Σ n·ln n)/N. Float sums
+    of ln-terms differ in association order between engines at ~1e-15
+    relative; round-6 absorbs it (values are O(1) nats)."""
+    from .relational import bucketed_group_merge
+    from .functions import text as T
+
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def wc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        groups, words = [], []
+        for g, t in zip(df["source"].tolist(), df["text"].tolist()):
+            for w in T.normalize_text(t).split(" "):
+                if w:
+                    groups.append(g)
+                    words.append(w)
+        out = pd.DataFrame({"source": groups, "word": words})
+        return (
+            out.groupby(["source", "word"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    counts = bucketed_group_merge(
+        docs.map_batches(wc_partial, batch_format="pandas"),
+        ["source", "word"],
+        lambda df: df.groupby(["source", "word"], sort=False)
+        .agg(n=("n", "sum"))
+        .reset_index(),
+    )
+
+    def ent_partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(dtype=np.float64)
+        d = pd.DataFrame(
+            {"source": df["source"], "snln": n * np.log(n), "total": df["n"]}
+        )
+        return d.groupby("source", sort=False).sum().reset_index()
+
+    agg = (
+        counts.map_batches(ent_partial, batch_format="pandas")
+        .groupby("source")
+        .aggregate(
+            Sum("snln", alias_name="snln"), Sum("total", alias_name="total")
+        )
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        total = df["total"].to_numpy(dtype=np.float64)
+        ent = np.round(np.log(total) - df["snln"].to_numpy() / total, 6)
+        return pd.DataFrame(
+            {
+                "source": df["source"],
+                "entropy": ent,
+                "n_words": df["total"].astype("int64"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
 def doc_top_terms(sf_dir: str):
     """Top-5 most frequent normalized words per source."""
     from .stages import curation as C
@@ -1921,6 +1986,7 @@ QUERIES = {
     "doc_shuffle_order": doc_shuffle_order,
     "doc_train_split": doc_train_split,
     "doc_vocab_encode": doc_vocab_encode,
+    "doc_source_word_entropy": doc_source_word_entropy,
     "curation_pipeline": curation_pipeline,
     "doc_token_counts": doc_token_counts,
     "doc_token_totals_by_lang": doc_token_totals_by_lang,

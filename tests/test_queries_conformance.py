@@ -123,6 +123,7 @@ def _to_pandas(res):
         "doc_shuffle_order",
         "doc_train_split",
         "doc_vocab_encode",
+        "doc_source_word_entropy",
         "doc_decontaminate",
         "doc_stratified_sample",
         "doc_top_terms",
