@@ -812,6 +812,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE k.rn = 1
             GROUP BY k.doc_id
         """,
+        # blocked edit-distance record linkage on the distinct-name
+        # dictionary; DuckDB's levenshtein is the same unit-cost DP
+        "dedup_fuzzy_names": """
+            WITH nc AS (
+              SELECT p_type, p_name, CAST(count(*) AS BIGINT) AS n
+              FROM part GROUP BY p_type, p_name
+            )
+            SELECT a.p_type,
+                   a.p_name AS name_a, b.p_name AS name_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+                   a.n AS n_a, b.n AS n_b
+            FROM nc a JOIN nc b
+              ON a.p_type = b.p_type AND a.p_name < b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) <= 1
+        """,
         # Shannon entropy of each source's word distribution; ln on the
         # same integer counts both sides, round-6 absorbs association drift
         "doc_source_word_entropy": f"""

@@ -1524,6 +1524,15 @@ def dedup_simhash(sf_dir: str):
     return D.simhash_pairs(ds, max_hamming=3)
 
 
+def dedup_fuzzy_names(sf_dir: str):
+    """Record-linkage fuzzy matching: distinct part names within each
+    p_type block at edit distance <= 1, with per-name row counts —
+    comparisons run on the block's distinct-name DICTIONARY, never rows
+    (stages.dedup.fuzzy_pairs)."""
+    ds = _read(sf_dir, "part", columns=["p_type", "p_name"])
+    return D.fuzzy_pairs(ds, block="p_type", name="p_name", max_dist=1)
+
+
 def emb_pca_project(sf_dir: str):
     """Distributed PCA (fit via mergeable covariance moments, one combiner
     pass; 64x64 eigendecomposition driver-side) + streaming projection to
@@ -2011,6 +2020,7 @@ QUERIES = {
     "dedup_embedding_pairs": dedup_embedding_pairs,
     "dedup_semantic": dedup_semantic,
     "emb_pca_project": emb_pca_project,
+    "dedup_fuzzy_names": dedup_fuzzy_names,
     "knn_bruteforce": knn_bruteforce,
     "knn_multi": knn_multi,
     "knn_lsh": knn_lsh,

@@ -905,3 +905,88 @@ def embedding_neardup_pairs(
         )
 
     return emb.groupby("label").map_groups(pairs, batch_format="pandas")
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Unit-cost edit distance (matches DuckDB's ``levenshtein`` exactly)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != b[j - 1])
+            )
+        prev = cur
+    return prev[lb]
+
+
+def fuzzy_pairs(
+    ds: "ray.data.Dataset",
+    block: str,
+    name: str,
+    max_dist: int = 1,
+) -> "ray.data.Dataset":
+    """Record-linkage fuzzy matching: pairs of DISTINCT ``name`` values
+    within each ``block`` whose edit distance is <= ``max_dist``, each
+    side carrying its row count.
+
+    Scale shape (the classic blocking + dictionary design): per-batch
+    (block, name, count) partials — repeated names never leave the task —
+    then ONE ``groupby(block)`` shuffle; inside each block the quadratic
+    DP runs over the block's DISTINCT-NAME DICTIONARY only (names repeat
+    heavily in entity data: 64 distinct over 20k rows here), never over
+    rows. Blocking is the caller's recall contract, as in record-linkage
+    practice (cross-block near-matches are not compared).
+
+    Output: (block, name_a, name_b, dist, n_a, n_b) with name_a < name_b.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby([block, name], sort=False)
+            .size()
+            .rename("_n")
+            .reset_index()
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        counts = g.groupby(name, sort=False)["_n"].sum()
+        names = sorted(counts.index.tolist())
+        bval = g[block].iloc[0]
+        rows = []
+        for i in range(len(names)):
+            for j in range(i + 1, len(names)):
+                d = _levenshtein(names[i], names[j])
+                if d <= max_dist:
+                    rows.append(
+                        {
+                            block: bval,
+                            "name_a": names[i],
+                            "name_b": names[j],
+                            "dist": np.int64(d),
+                            "n_a": np.int64(counts[names[i]]),
+                            "n_b": np.int64(counts[names[j]]),
+                        }
+                    )
+        if not rows:
+            return pd.DataFrame(
+                {
+                    block: pd.Series([], dtype=g[block].dtype),
+                    "name_a": pd.Series([], dtype=object),
+                    "name_b": pd.Series([], dtype=object),
+                    "dist": pd.Series([], dtype="int64"),
+                    "n_a": pd.Series([], dtype="int64"),
+                    "n_b": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(block)
+        .map_groups(pairs, batch_format="pandas")
+    )

@@ -86,6 +86,7 @@ def _to_pandas(res):
         "dedup_jaccard_clusters",
         "extract_html_main",
         "dedup_jaccard_pairs",
+        "dedup_fuzzy_names",
         "dedup_ngram3_jaccard_pairs",
         "dedup_embedding_pairs",
         "knn_bruteforce",
