@@ -523,6 +523,16 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_total
             FROM orders GROUP BY o_orderpriority
         """,
+        # RANK window (ties share + gap; tie-stable so no tiebreak column)
+        "q_order_price_rank": """
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+                   CAST(rank() OVER (
+                     PARTITION BY o_orderpriority
+                     ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC
+                   ) AS BIGINT) AS price_rank
+            FROM orders
+        """,
         # LAG window; floor-epoch (pandas datetime64[s] truncates), -1 for
         # each customer's first order (null-free output hashes exactly),
         # orderkey tiebreak pins tied timestamps on both sides

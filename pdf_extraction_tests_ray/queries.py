@@ -529,6 +529,36 @@ def q_pivot_priority_status(sf_dir: str):
     return piv.map_batches(finish, batch_format="pandas")
 
 
+def q_order_price_rank(sf_dir: str):
+    """RANK window function: each order's price rank (descending, ties
+    share and gap — SQL RANK semantics, tie-stable with no tiebreak
+    column) within its priority class. relational.grouped_rank — one
+    bucket shuffle, vectorized tie-run scatter per bucket."""
+    from .relational import grouped_rank
+
+    ds = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"],
+                "o_orderpriority": df["o_orderpriority"],
+                "price_c": df["o_totalprice"].mul(100).round().astype("int64"),
+            }
+        )
+
+    return grouped_rank(
+        ds.map_batches(prep, batch_format="pandas"),
+        group="o_orderpriority",
+        order_col="price_c",
+        keys=["o_orderkey"],
+        out_col="price_rank",
+        descending=True,
+    )
+
+
 def q_order_gap_seconds(sf_dir: str):
     """LAG window: per customer, seconds since their previous order
     (first order = -1). relational.grouped_lag_diff — one bucket shuffle,
@@ -1964,6 +1994,7 @@ QUERIES = {
     "q_order_lineitem_counts": q_order_lineitem_counts,
     "q_pivot_priority_status": q_pivot_priority_status,
     "q_order_gap_seconds": q_order_gap_seconds,
+    "q_order_price_rank": q_order_price_rank,
     "q_user_sessions": q_user_sessions,
     "q_asof_user_order": q_asof_user_order,
     "q_events_sliding": q_events_sliding,

@@ -765,6 +765,52 @@ def global_rank(
     )
 
 
+def grouped_rank(
+    ds: "ray.data.Dataset",
+    group: str,
+    order_col: str,
+    keys: list[str],
+    out_col: str = "rank",
+    descending: bool = False,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """RANK() OVER (PARTITION BY group ORDER BY order_col) — ties share a
+    rank and leave gaps, exactly SQL's RANK semantics (tie-stable: the
+    output is a pure function of the VALUES, no tiebreak column needed).
+    ONE bucket shuffle co-locates each group; the per-bucket pass is a
+    vectorized sort + first-occurrence-index scatter. Output:
+    ``keys + [group, order_col, out_col]`` (int64 ranks from 1)."""
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[keys + [group, order_col]].copy()
+        df["_bucket"] = _bucket_of(df, [group], num_buckets)
+        return df
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group, order_col], ascending=[True, not descending],
+                          kind="stable")
+        u = g[group].to_numpy()
+        v = g[order_col].to_numpy()
+        n = len(g)
+        if n == 0:
+            g[out_col] = np.array([], dtype="int64")
+            return g.drop(columns=["_bucket"])
+        pos = np.arange(n, dtype="int64")
+        new_grp = np.r_[True, u[1:] != u[:-1]]
+        grp_start = np.maximum.accumulate(np.where(new_grp, pos, 0))
+        new_val = new_grp | np.r_[True, v[1:] != v[:-1]]
+        # rank = index of the tie-run's first row within its group, +1
+        run_start = np.maximum.accumulate(np.where(new_val, pos, 0))
+        g[out_col] = run_start - grp_start + 1
+        return g.drop(columns=["_bucket"])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(rank, batch_format="pandas")
+    )
+
+
 def grouped_lag_diff(
     ds: "ray.data.Dataset",
     group: str,

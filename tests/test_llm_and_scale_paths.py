@@ -1364,3 +1364,31 @@ def test_pca_fit_properties_and_layout_agreement():
     )
     for i in range(1, 9):
         assert np.allclose(df_a[f"pc{i}"], df_b[f"pc{i}"], atol=1e-4)
+
+
+def test_grouped_rank_tie_semantics():
+    """RANK: ties share a rank and leave gaps (1,1,3 not 1,1,2), per
+    group, invariant to block layout."""
+    import ray
+
+    from pdf_extraction_tests_ray.relational import grouped_rank
+
+    rows = [
+        {"k": i, "g": g, "v": v}
+        for i, (g, v) in enumerate(
+            [("a", 5), ("a", 5), ("a", 3), ("a", 3), ("a", 1),
+             ("b", 9), ("b", 9), ("b", 9), ("b", 2)]
+        )
+    ]
+
+    def run(nblocks):
+        ds = ray.data.from_items(rows).repartition(nblocks)
+        return (
+            grouped_rank(ds, group="g", order_col="v", keys=["k"],
+                         descending=True)
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+
+    a = run(2)
+    pd.testing.assert_frame_equal(a, run(5))
+    assert a["rank"].tolist() == [1, 1, 3, 3, 5, 1, 1, 1, 4]

@@ -98,6 +98,7 @@ def _to_pandas(res):
         "q_order_lineitem_counts",
         "q_pivot_priority_status",
         "q_order_gap_seconds",
+        "q_order_price_rank",
         "q_user_sessions",
         "q_asof_user_order",
         "q_events_sliding",
