@@ -523,6 +523,29 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_total
             FROM orders GROUP BY o_orderpriority
         """,
+        # time-series densification: full hour grid x types, zeros filled
+        "q_events_gapfill": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h
+              FROM events
+            ), c AS (
+              SELECT event_type, h, CAST(count(*) AS BIGINT) AS n
+              FROM e GROUP BY event_type, h
+            ), grid AS (
+              SELECT t.event_type, g.h
+              FROM (SELECT DISTINCT event_type FROM e) t
+              CROSS JOIN (
+                SELECT unnest(range((SELECT min(h) FROM e),
+                                    (SELECT max(h) FROM e) + 1)) AS h
+              ) g
+            )
+            SELECT grid.event_type,
+                   CAST(grid.h * 3600 AS BIGINT) AS hour_s,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+            FROM grid LEFT JOIN c
+              ON grid.event_type = c.event_type AND grid.h = c.h
+        """,
         # RANK window (ties share + gap; tie-stable so no tiebreak column)
         "q_order_price_rank": """
             SELECT o_orderkey, o_orderpriority,

@@ -240,6 +240,56 @@ def q_events_tumbling(sf_dir: str):
     return agg.map_batches(finish, batch_format="pandas")
 
 
+def q_events_gapfill(sf_dir: str):
+    """Time-series GAP FILLING: hourly event counts per type over the
+    corpus's full [min, max] hour grid — missing (type, hour) cells
+    emitted as explicit zeros (the densification step before any
+    rate/moving-average computation). Pass 1: per-batch (type, hour)
+    count partials → bucketed merge; the global hour span reduces to two
+    scalars driver-side; pass 2: ONE groupby(type) reindexes each type's
+    sparse counts onto the broadcast grid (grid size = hours × types —
+    bounded by the time span, not the event count)."""
+    from .relational import bucketed_group_merge
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["ts"].astype("datetime64[s]").astype("int64") // 3600
+        return (
+            pd.DataFrame({"event_type": df["event_type"], "_h": h})
+            .groupby(["event_type", "_h"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    counts = bucketed_group_merge(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["event_type", "_h"],
+        lambda df: df.groupby(["event_type", "_h"], sort=False)
+        .agg(n=("n", "sum"))
+        .reset_index(),
+    )
+    span = counts.map_batches(
+        lambda df: pd.DataFrame({"lo": [df["_h"].min()], "hi": [df["_h"].max()]}),
+        batch_format="pandas",
+    ).to_pandas()
+    lo, hi = int(span["lo"].min()), int(span["hi"].max())
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["event_type"].iloc[0]
+        s = g.set_index("_h")["n"].reindex(range(lo, hi + 1), fill_value=0)
+        return pd.DataFrame(
+            {
+                "event_type": t,
+                "hour_s": (s.index.to_numpy() * 3600).astype("int64"),
+                "n_events": s.to_numpy().astype("int64"),
+            }
+        )
+
+    return counts.groupby("event_type").map_groups(fill, batch_format="pandas")
+
+
 def q_customer_segment_orders(sf_dir: str):
     """Large-large hash join orders<->customer, per-segment stats."""
     from .relational import join_partitions
@@ -1985,6 +2035,7 @@ QUERIES = {
     "q_orders_priority": q_orders_priority,
     "q_part_topk": q_part_topk,
     "q_events_tumbling": q_events_tumbling,
+    "q_events_gapfill": q_events_gapfill,
     "q_customer_segment_orders": q_customer_segment_orders,
     "q_supplier_nation_balance": q_supplier_nation_balance,
     "q5_regional_revenue": q5_regional_revenue,
