@@ -546,6 +546,38 @@ def oracle_sql() -> dict[str, str]:
             FROM grid LEFT JOIN c
               ON grid.event_type = c.event_type AND grid.h = c.h
         """,
+        # densify -> centered 7-hour moving average; edge windows shrink
+        # (avg OVER ROWS BETWEEN semantics); integer sums / window count
+        "q_events_smoothed": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h
+              FROM events
+            ), c AS (
+              SELECT event_type, h, CAST(count(*) AS BIGINT) AS n
+              FROM e GROUP BY event_type, h
+            ), grid AS (
+              SELECT t.event_type, g.h
+              FROM (SELECT DISTINCT event_type FROM e) t
+              CROSS JOIN (
+                SELECT unnest(range((SELECT min(h) FROM e),
+                                    (SELECT max(h) FROM e) + 1)) AS h
+              ) g
+            ), f AS (
+              SELECT grid.event_type, grid.h,
+                     CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+              FROM grid LEFT JOIN c
+                ON grid.event_type = c.event_type AND grid.h = c.h
+            )
+            SELECT event_type,
+                   CAST(h * 3600 AS BIGINT) AS hour_s,
+                   n_events,
+                   round(CAST(sum(n_events) OVER w AS DOUBLE)
+                         / CAST(count(*) OVER w AS DOUBLE), 6) AS ma
+            FROM f
+            WINDOW w AS (PARTITION BY event_type ORDER BY h
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        """,
         # RANK window (ties share + gap; tie-stable so no tiebreak column)
         "q_order_price_rank": """
             SELECT o_orderkey, o_orderpriority,

@@ -240,7 +240,7 @@ def q_events_tumbling(sf_dir: str):
     return agg.map_batches(finish, batch_format="pandas")
 
 
-def q_events_gapfill(sf_dir: str):
+def q_events_gapfill(sf_dir: str, smooth_window: int | None = None):
     """Time-series GAP FILLING: hourly event counts per type over the
     corpus's full [min, max] hour grid — missing (type, hour) cells
     emitted as explicit zeros (the densification step before any
@@ -248,7 +248,10 @@ def q_events_gapfill(sf_dir: str):
     count partials → bucketed merge; the global hour span reduces to two
     scalars driver-side; pass 2: ONE groupby(type) reindexes each type's
     sparse counts onto the broadcast grid (grid size = hours × types —
-    bounded by the time span, not the event count)."""
+    bounded by the time span, not the event count). With
+    ``smooth_window`` set, a centered moving average runs over the dense
+    series inside the same group pass (densify → smooth, zero extra
+    shuffles)."""
     from .relational import bucketed_group_merge
 
     ds = _read(sf_dir, "events", columns=["event_type", "ts"])
@@ -279,13 +282,22 @@ def q_events_gapfill(sf_dir: str):
     def fill(g: pd.DataFrame) -> pd.DataFrame:
         t = g["event_type"].iloc[0]
         s = g.set_index("_h")["n"].reindex(range(lo, hi + 1), fill_value=0)
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "event_type": t,
                 "hour_s": (s.index.to_numpy() * 3600).astype("int64"),
                 "n_events": s.to_numpy().astype("int64"),
             }
         )
+        if smooth_window:
+            # centered moving average over the DENSE series; edge windows
+            # shrink (divide by the actual window size) — SQL's
+            # ROWS BETWEEN k PRECEDING AND k FOLLOWING avg semantics
+            r = out["n_events"].rolling(
+                smooth_window, center=True, min_periods=1
+            )
+            out["ma"] = (r.sum() / r.count()).round(6)
+        return out
 
     return counts.groupby("event_type").map_groups(fill, batch_format="pandas")
 
@@ -2036,6 +2048,7 @@ QUERIES = {
     "q_part_topk": q_part_topk,
     "q_events_tumbling": q_events_tumbling,
     "q_events_gapfill": q_events_gapfill,
+    "q_events_smoothed": lambda sf_dir: q_events_gapfill(sf_dir, smooth_window=7),
     "q_customer_segment_orders": q_customer_segment_orders,
     "q_supplier_nation_balance": q_supplier_nation_balance,
     "q5_regional_revenue": q5_regional_revenue,

@@ -70,6 +70,7 @@ def _to_pandas(res):
         "q_part_topk",
         "q_events_tumbling",
         "q_events_gapfill",
+        "q_events_smoothed",
         "q_customer_segment_orders",
         "doc_token_counts",
         "doc_token_totals_by_lang",
