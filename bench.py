@@ -74,9 +74,16 @@ QUERY_SUITE = [
     "q5_regional_revenue",
     "q_order_lineitem_counts",
     "q_order_gap_seconds",
+    "q_order_price_rank",
+    "q_events_gapfill",
+    "q_customers_with_urgent_orders_bloom",
     "doc_token_deciles",
     "doc_chunks",
+    "doc_vocab_encode",
+    "doc_shuffle_order",
     "dedup_semantic",
+    "dedup_fuzzy_names",
+    "emb_pca_project",
 ]
 
 
