@@ -725,6 +725,10 @@ def global_rank(
     shuffle — each bucket sorts locally and adds its offset. For
     non-digest keys, derive a digest key upstream or swap the bucket fn
     for sampled range boundaries.
+
+    Both passes re-execute ``ds``'s lazy lineage, so the upstream must be
+    DETERMINISTIC (reads + pure transforms — true of every pipeline here;
+    an unseeded sample upstream would desync counts from rank rows).
     """
     nb = 16 ** prefix_chars
 
