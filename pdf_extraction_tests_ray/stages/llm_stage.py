@@ -55,6 +55,27 @@ def build_region_prompt(texts: list[str]) -> str:
     )
 
 
+_BATCH_SEP = "\n=== DOCUMENT {i} ===\n"
+
+
+def build_batched_prompt(prompts: list[str]) -> str:
+    """Pack N per-document region prompts into ONE request (TODO.md's
+    batched-prompt perf step: real LLM serving amortizes per-request
+    latency over many documents). The reply contract is a JSON ARRAY
+    with one object per document, in order."""
+    parts = [
+        _BATCH_SEP.format(i=i + 1) + p.rsplit("\nReply with JSON:", 1)[0]
+        for i, p in enumerate(prompts)
+    ]
+    return (
+        "Label the numbered page-1 regions of EACH document below.\n"
+        + "".join(parts)
+        + '\nReply with a JSON ARRAY, one object per document in order, '
+        'each shaped {"title_regions": [..], "author_regions": [..], '
+        '"abstract_regions": [..], "introduction_regions": [..]}'
+    )
+
+
 class FakeLLMClient:
     """Deterministic test double: derives labels from the prompt text
     alone (no RNG, no network) so pipeline tests exercise the full
@@ -68,8 +89,8 @@ class FakeLLMClient:
     def __init__(self):
         self.calls = 0
 
-    def complete(self, prompt: str) -> str:
-        self.calls += 1
+    @staticmethod
+    def _one(prompt: str) -> str:
         abstract_rows = []
         for line in prompt.splitlines():
             head, sep, body = line.partition(": ")
@@ -82,6 +103,14 @@ class FakeLLMClient:
             f'"abstract_regions": {abstract_rows}, "introduction_regions": null}}'
         )
 
+    def complete(self, prompt: str) -> str:
+        self.calls += 1
+        if prompt.startswith("Label the numbered page-1 regions of EACH"):
+            # batched protocol: answer per document section, as an array
+            docs = prompt.split("=== DOCUMENT ")[1:]
+            return "[" + ", ".join(self._one(d) for d in docs) + "]"
+        return self._one(prompt)
+
 
 class ExtractDocumentsLLM:
     """Flagship extraction WITH the per-document A4 region-analysis call.
@@ -92,12 +121,23 @@ class ExtractDocumentsLLM:
     (HTTP session / loaded weights), unlike the stateless regex default
     (CLAUDE.md actor-pool note)."""
 
-    def __init__(self, cleaning_method: str = "hybrid", client_factory=None):
+    def __init__(
+        self,
+        cleaning_method: str = "hybrid",
+        client_factory=None,
+        batch_prompts: int = 1,
+    ):
         # warm per-actor state: compiled regex tables + the LLM client
         from ..doclogic import cleaners, extract, formats  # noqa: F401
 
         self.cleaning_method = cleaning_method
         self.client = client_factory() if client_factory is not None else None
+        # batch_prompts > 1 packs that many documents per LLM request
+        # (one JSON-array reply) — the per-request latency amortization of
+        # real serving; output is IDENTICAL to per-doc calls (pinned in
+        # tests), and any batched parse failure degrades that chunk to the
+        # deterministic fallback, same as a failed single call.
+        self.batch_prompts = max(1, int(batch_prompts))
 
     def _structure(self, rdf):
         if self.client is None:
@@ -108,5 +148,50 @@ class ExtractDocumentsLLM:
             return None  # client failure -> deterministic fallback, never a crash
         return parse_llm_response(reply)
 
+    def _batched_structures(self, batch: pa.Table) -> dict:
+        """Pre-pass: one region prompt per document (geometry recomputed
+        once — noise against real LLM latency), packed ``batch_prompts``
+        per request, parsed through the SAME M26 ladder. Returns
+        {prompt: structure|None}; keying by prompt content is
+        identity-safe (identical docs share a prompt AND a structure)."""
+        import json
+
+        from ..doclogic.document import _build_rdf, order_document
+        from .extract_stage import iter_span_lists
+
+        prompts = []
+        for _doc_id, kinds, texts, refs, offs in iter_span_lists(batch):
+            try:
+                idx, geom = order_document(kinds, texts, refs, offs)
+                rdf = _build_rdf(kinds, texts, refs, geom, idx)
+                prompts.append(build_region_prompt(page1_region_texts(rdf)))
+            except Exception:
+                continue  # the doc will quarantine in the main pass anyway
+        unique = list(dict.fromkeys(prompts))
+        out: dict = {}
+        for i in range(0, len(unique), self.batch_prompts):
+            chunk = unique[i : i + self.batch_prompts]
+            structures = [None] * len(chunk)
+            try:
+                reply = self.client.complete(build_batched_prompt(chunk))
+                arr = json.loads(reply)
+                if isinstance(arr, list) and len(arr) == len(chunk):
+                    structures = [
+                        parse_llm_response(json.dumps(obj)) for obj in arr
+                    ]
+            except Exception:
+                pass  # whole chunk -> deterministic fallback
+            out.update(zip(chunk, structures))
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return extract_batch(batch, self.cleaning_method, structure_provider=self._structure)
+        if self.client is None or self.batch_prompts <= 1:
+            return extract_batch(
+                batch, self.cleaning_method, structure_provider=self._structure
+            )
+        lookup = self._batched_structures(batch)
+
+        def provider(rdf):
+            return lookup.get(build_region_prompt(page1_region_texts(rdf)))
+
+        return extract_batch(batch, self.cleaning_method, structure_provider=provider)

@@ -1392,3 +1392,27 @@ def test_grouped_rank_tie_semantics():
     a = run(2)
     pd.testing.assert_frame_equal(a, run(5))
     assert a["rank"].tolist() == [1, 1, 3, 3, 5, 1, 1, 1, 4]
+
+
+def test_llm_batched_prompts_identical_to_per_doc(golden_corpus):
+    """batch_prompts=N must be byte-identical to per-doc calls, with
+    ~N-fold fewer client requests (TODO.md's batching perf step)."""
+    from pdf_extraction_tests_ray.stages.llm_stage import (
+        ExtractDocumentsLLM,
+        FakeLLMClient,
+    )
+
+    batch = golden_corpus.slice(0, 40)
+    singles = []
+    batches = []
+    single = ExtractDocumentsLLM(
+        client_factory=lambda: singles.append(FakeLLMClient()) or singles[-1]
+    )(batch)
+    batched = ExtractDocumentsLLM(
+        client_factory=lambda: batches.append(FakeLLMClient()) or batches[-1],
+        batch_prompts=8,
+    )(batch)
+    assert single.equals(batched)
+    n_unique = singles[0].calls  # one call per doc (prompts may repeat)
+    assert batches[0].calls <= -(-n_unique // 8) + 1
+    assert batches[0].calls < singles[0].calls
