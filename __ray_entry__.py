@@ -913,6 +913,33 @@ def oracle_sql() -> dict[str, str]:
                    total AS n_words
             FROM t
         """,
+        # KL(source || corpus) via the same distributive decomposition the
+        # Ray side uses; ln on identical integer counts, round-6
+        "doc_source_kl": f"""
+            WITH wc AS (
+              SELECT source, word, count(*) AS n FROM (
+                SELECT source,
+                       unnest(string_split({_NORM}, ' ')) AS word
+                FROM documents
+              ) WHERE word <> '' GROUP BY source, word
+            ), gw AS (
+              SELECT word, sum(n) AS gn FROM wc GROUP BY word
+            ), s AS (
+              SELECT source,
+                     sum(CAST(n AS DOUBLE)
+                         * (ln(CAST(n AS DOUBLE)) - ln(CAST(gn AS DOUBLE))))
+                       AS t,
+                     CAST(sum(n) AS BIGINT) AS ns
+              FROM wc JOIN gw USING (word) GROUP BY source
+            ), tot AS (
+              SELECT CAST(sum(ns) AS BIGINT) AS n FROM s
+            )
+            SELECT source,
+                   round(t / CAST(ns AS DOUBLE) - ln(CAST(ns AS DOUBLE))
+                         + ln(CAST(n AS DOUBLE)), 6) AS kl,
+                   ns AS n_words
+            FROM s, tot
+        """,
         # tokenizer build+encode: same rank rule (count desc, word asc,
         # ids from 1, 0=OOV), MAP lookup per word, ' '-joined id strings
         "doc_vocab_encode": f"""

@@ -1227,6 +1227,70 @@ def doc_source_word_entropy(sf_dir: str):
     return agg.map_batches(finish, batch_format="pandas")
 
 
+def doc_source_kl(sf_dir: str):
+    """Domain-shift diagnostics: KL(source word distribution || corpus
+    word distribution) per source. Decomposed distributively:
+    KL_s = Σ_w n_sw·(ln n_sw − ln n_w)/N_s − ln N_s + ln N, so after ONE
+    word-keyed bucketed merge decorates each (source, word) count with
+    its global count, everything reduces through per-batch partials and
+    a tiny source groupby; the ≤|sources| final rows finish driver-side
+    (N = Σ N_s needs all of them). Round-6 parity as in the entropy
+    twin."""
+    from .relational import bucketed_group_merge
+    from .functions import text as T
+
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def wc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        groups, words = [], []
+        for g, t in zip(df["source"].tolist(), df["text"].tolist()):
+            for w in T.normalize_text(t).split(" "):
+                if w:
+                    groups.append(g)
+                    words.append(w)
+        out = pd.DataFrame({"source": groups, "word": words})
+        return (
+            out.groupby(["source", "word"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    def decorate(df: pd.DataFrame) -> pd.DataFrame:
+        # one bucket holds every row of its words: global count per word,
+        # then per-(source,word) rows carry it
+        df = df.groupby(["source", "word"], sort=False).agg(n=("n", "sum")).reset_index()
+        gn = df.groupby("word", sort=False)["n"].transform("sum")
+        return df.assign(gn=gn)
+
+    counts = bucketed_group_merge(
+        docs.map_batches(wc_partial, batch_format="pandas"), ["word"], decorate
+    )
+
+    def kl_partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(dtype=np.float64)
+        gn = df["gn"].to_numpy(dtype=np.float64)
+        d = pd.DataFrame(
+            {"source": df["source"], "t": n * (np.log(n) - np.log(gn)), "ns": df["n"]}
+        )
+        return d.groupby("source", sort=False).sum().reset_index()
+
+    agg = (
+        counts.map_batches(kl_partial, batch_format="pandas")
+        .groupby("source")
+        .aggregate(Sum("t", alias_name="t"), Sum("ns", alias_name="ns"))
+    )
+    adf = agg.to_pandas()  # <= one row per source
+    ns = adf["ns"].to_numpy(dtype=np.float64)
+    big_n = float(ns.sum())
+    kl = np.round(adf["t"].to_numpy() / ns - np.log(ns) + np.log(big_n), 6)
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {"source": adf["source"], "kl": kl, "n_words": adf["ns"].astype("int64")}
+        )
+    )
+
+
 def doc_top_terms(sf_dir: str):
     """Top-5 most frequent normalized words per source."""
     from .stages import curation as C
@@ -2091,6 +2155,7 @@ QUERIES = {
     "doc_train_split": doc_train_split,
     "doc_vocab_encode": doc_vocab_encode,
     "doc_source_word_entropy": doc_source_word_entropy,
+    "doc_source_kl": doc_source_kl,
     "curation_pipeline": curation_pipeline,
     "doc_token_counts": doc_token_counts,
     "doc_token_totals_by_lang": doc_token_totals_by_lang,

@@ -128,6 +128,7 @@ def _to_pandas(res):
         "doc_train_split",
         "doc_vocab_encode",
         "doc_source_word_entropy",
+        "doc_source_kl",
         "doc_decontaminate",
         "doc_stratified_sample",
         "doc_top_terms",
