@@ -90,6 +90,11 @@ class _BlockParser(HTMLParser):
         self._items: list[str] = []
         self._item: list[str] | None = None
         self._lst_link_chars = 0
+        # <img> inside a table/list: the figure is HOISTED to just after
+        # the containing atomic block (media must not vanish — gallery
+        # tables are common crawl markup; the neighbor rule then treats
+        # it like any other figure)
+        self._pending_media: list[str] = []
 
     def _close_item(self):
         if self._item is not None:
@@ -112,6 +117,7 @@ class _BlockParser(HTMLParser):
             self.blocks.append(b)
         self._items = []
         self._lst_link_chars = 0
+        self._emit_pending_media()
 
     def _close_cell(self):
         if self._cell is not None:
@@ -136,6 +142,12 @@ class _BlockParser(HTMLParser):
             self.blocks.append(b)
         self._rows = []
         self._tbl_link_chars = 0
+        self._emit_pending_media()
+
+    def _emit_pending_media(self):
+        for src in self._pending_media:
+            self.blocks.append(Block(media_ref=src))
+        self._pending_media = []
 
     def _flush(self):
         text = " ".join("".join(self._buf).split())
@@ -166,11 +178,17 @@ class _BlockParser(HTMLParser):
             if tag == "tr":
                 self._close_cell()
                 self._rows.append([])
-            elif tag in ("td", "th"):
+            elif tag in ("td", "th", "caption"):
                 self._close_cell()
+                if not self._rows:  # implied row: <td> with no <tr> seen
+                    self._rows.append([])
                 self._cell = []
             elif tag == "a":
                 self._in_anchor += 1
+            elif tag == "img":
+                src = dict(attrs).get("src") or ""
+                if src:
+                    self._pending_media.append(src)
             return
         if tag in ("ul", "ol"):
             if self._list_depth == 0:
@@ -183,6 +201,10 @@ class _BlockParser(HTMLParser):
                 self._item = []
             elif tag == "a":
                 self._in_anchor += 1
+            elif tag == "img":
+                src = dict(attrs).get("src") or ""
+                if src:
+                    self._pending_media.append(src)
             return
         if tag == "img":
             # media span at its DOM position: flush the text run, emit a

@@ -111,13 +111,23 @@ def bloom_build(items, bits_per_item: int = 64) -> tuple[np.ndarray, int, int]:
     m = n * bits_per_item
     k = max(1, int(round(0.6931 * bits_per_item)))
     bits = np.zeros((m + 7) // 8, dtype=np.uint8)
-    if len(items):
-        h1, h2 = _hash_u64_pair(items)
-        for i in range(k):
-            idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
-            np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64),
-                             np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+    bloom_set(bits, m, k, items)
     return bits, m, k
+
+
+def bloom_set(bits: np.ndarray, m: int, k: int, items) -> None:
+    """Set ``items``' probe bits in an EXISTING filter (in place) — the
+    single definition of the double-hash scatter, shared by
+    ``bloom_build`` and distributed partial-bloom builders (e.g.
+    relational.semi_join_bloom) so the probe arithmetic can never
+    drift between them."""
+    if not len(items):
+        return
+    h1, h2 = _hash_u64_pair(items)
+    for i in range(k):
+        idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
+        np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64),
+                         np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
 
 
 def bloom_contains(bits: np.ndarray, m: int, k: int, items) -> np.ndarray:

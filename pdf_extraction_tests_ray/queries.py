@@ -272,7 +272,8 @@ def q_events_gapfill(sf_dir: str, smooth_window: int | None = None):
         lambda df: df.groupby(["event_type", "_h"], sort=False)
         .agg(n=("n", "sum"))
         .reset_index(),
-    )
+    ).materialize()  # tiny (types x hours); both passes below reuse it —
+    # without this the span collect re-executes the whole count lineage
     span = counts.map_batches(
         lambda df: pd.DataFrame({"lo": [df["_h"].min()], "hi": [df["_h"].max()]}),
         batch_format="pandas",
@@ -1162,6 +1163,24 @@ def doc_vocab_encode(sf_dir: str):
     return C.encode_docs(docs, vocab)
 
 
+def _source_word_counts(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch (source, word) count combiner shared by the entropy and
+    KL diagnostics — ONE definition so both stay in lockstep with their
+    'ln on the same integer counts' oracle contracts."""
+    from .functions import text as T
+
+    groups, words = [], []
+    for g, t in zip(df["source"].tolist(), df["text"].tolist()):
+        for w in T.normalize_text(t).split(" "):
+            if w:
+                groups.append(g)
+                words.append(w)
+    out = pd.DataFrame({"source": groups, "word": words})
+    return (
+        out.groupby(["source", "word"], sort=False).size().rename("n").reset_index()
+    )
+
+
 def doc_source_word_entropy(sf_dir: str):
     """Corpus diagnostics for data mixing: Shannon entropy (nats) of each
     source's word distribution. Per-batch (source, word) count partials →
@@ -1174,21 +1193,7 @@ def doc_source_word_entropy(sf_dir: str):
     from .functions import text as T
 
     docs = _read(sf_dir, "documents", columns=["source", "text"])
-
-    def wc_partial(df: pd.DataFrame) -> pd.DataFrame:
-        groups, words = [], []
-        for g, t in zip(df["source"].tolist(), df["text"].tolist()):
-            for w in T.normalize_text(t).split(" "):
-                if w:
-                    groups.append(g)
-                    words.append(w)
-        out = pd.DataFrame({"source": groups, "word": words})
-        return (
-            out.groupby(["source", "word"], sort=False)
-            .size()
-            .rename("n")
-            .reset_index()
-        )
+    wc_partial = _source_word_counts
 
     counts = bucketed_group_merge(
         docs.map_batches(wc_partial, batch_format="pandas"),
@@ -1240,21 +1245,7 @@ def doc_source_kl(sf_dir: str):
     from .functions import text as T
 
     docs = _read(sf_dir, "documents", columns=["source", "text"])
-
-    def wc_partial(df: pd.DataFrame) -> pd.DataFrame:
-        groups, words = [], []
-        for g, t in zip(df["source"].tolist(), df["text"].tolist()):
-            for w in T.normalize_text(t).split(" "):
-                if w:
-                    groups.append(g)
-                    words.append(w)
-        out = pd.DataFrame({"source": groups, "word": words})
-        return (
-            out.groupby(["source", "word"], sort=False)
-            .size()
-            .rename("n")
-            .reset_index()
-        )
+    wc_partial = _source_word_counts
 
     def decorate(df: pd.DataFrame) -> pd.DataFrame:
         # one bucket holds every row of its words: global count per word,

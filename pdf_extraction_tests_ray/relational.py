@@ -186,19 +186,25 @@ def semi_join_bloom(
       DIRECTLY, bypassing the shuffle; only positives take the exact
       check.
 
-    Build: the filter's size is fixed up front from ``right.count()``
-    (parquet metadata, no scan) at ``bits_per_key`` bits per right row
-    (fpr ~0.6185^bits ~ 1e-7 at 32); each right batch sets bits into a
-    PARTIAL bloom over its distinct keys and the driver OR-merges the
-    fixed-size partials streamingly — the driver never holds the key set,
-    only ``count * bits_per_key / 8`` bytes (4 bytes/key at the default:
-    the middle regime where the distinct-key frozenset is too big to
+    Build: the RIGHT side is materialized once (its lineage otherwise
+    re-executes three times: the size count, the bloom-build pass, and
+    semi_join's distinct-key pass — right sides of membership filters
+    are the smaller table by construction, and Ray's object store spills
+    if not). The filter's size is then fixed from the metadata-served
+    ``count()`` at ``bits_per_key`` bits per right row (fpr ~0.6185^bits
+    ~ 1e-7 at 32); each right batch sets bits into a PARTIAL bloom over
+    its distinct keys (``sketches.bloom_set`` — the one definition of the
+    probe scatter) and the driver OR-merges the fixed-size partials
+    streamingly — the driver never holds the key set, only
+    ``count * bits_per_key / 8`` bytes (4 bytes/key at the default: the
+    middle regime where the distinct-key frozenset is too big to
     broadcast but a compact filter is not; beyond that, fall back to
     plain ``semi_join``). Keys are hashed from their Python values on
     both sides, so int64/string keys compare consistently."""
     from .functions import sketches as SK
 
     right_on = right_on or on
+    right = right.materialize()
     n = max(1, int(right.count()))
     m = n * bits_per_key
     k = max(1, int(round(0.6931 * bits_per_key)))
@@ -206,15 +212,7 @@ def semi_join_bloom(
     def partial_bloom(df: pd.DataFrame) -> pd.DataFrame:
         keys = df[right_on].drop_duplicates().tolist()
         bits = np.zeros((m + 7) // 8, dtype=np.uint8)
-        if keys:
-            h1, h2 = SK._hash_u64_pair(keys)
-            for i in range(k):
-                idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
-                np.bitwise_or.at(
-                    bits,
-                    (idx >> np.uint64(3)).astype(np.int64),
-                    np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8),
-                )
+        SK.bloom_set(bits, m, k, keys)
         return pd.DataFrame({"_bloom": [bits.tobytes()]})
 
     merged = np.zeros((m + 7) // 8, dtype=np.uint8)

@@ -309,3 +309,43 @@ def test_big_list_is_content_on_its_own_mass():
     items = "".join(f"<li>item number {i} words</li>" for i in range(4))
     html = f"<body><ul>{items}</ul></body>"
     assert [s["kind"] for s in extract_main_html(html)] == ["list"]
+
+
+def test_img_inside_table_hoists_as_figure():
+    """Media inside an atomic table/list must not vanish — the figure is
+    hoisted just after the containing block."""
+    from pdf_extraction_tests_ray.doclogic.htmlx import extract_main_html
+
+    html = (
+        "<body>" + CONTENT
+        + '<table><tr><td>a picture</td><td><img src="img://x/1"></td></tr></table>'
+        + CONTENT + "</body>"
+    )
+    spans = extract_main_html(html)
+    assert [s["kind"] for s in spans] == ["text", "table", "figure", "text"]
+    assert spans[2]["media_ref"] == "img://x/1"
+    html2 = (
+        "<body>" + CONTENT
+        + '<ul><li>one item</li><li><img src="img://x/2"></li></ul>'
+        + CONTENT + "</body>"
+    )
+    spans2 = extract_main_html(html2)
+    assert ("figure", "img://x/2") in [
+        (s["kind"], s["media_ref"]) for s in spans2
+    ]
+
+
+def test_table_with_implied_row_and_caption():
+    """<td> without <tr> (browsers imply the row) and <caption> text must
+    not drop the table."""
+    from pdf_extraction_tests_ray.doclogic.htmlx import extract_main_html
+
+    html = (
+        "<body>" + CONTENT
+        + "<table><td>cellA</td><td>cellB</td></table>"
+        + "<table><caption>the caption</caption><tr><td>x1</td></tr></table>"
+        + CONTENT + "</body>"
+    )
+    tables = [s["text"] for s in extract_main_html(html) if s["kind"] == "table"]
+    assert "cellA | cellB" in tables
+    assert "the caption || x1" in tables  # caption = its own implied row
