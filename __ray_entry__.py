@@ -1462,7 +1462,9 @@ def oracle_sql() -> dict[str, str]:
         # dedup_semantic (k-means cell boundaries; keep rule + ground-truth
         # containment vs the ORACLED dedup_embedding_pairs pinned in tests),
         # dedup_minhash / dedup_simhash (seeded hash-permutation /
-        # blake2b-based signatures), knn_lsh / knn_ivf / knn_ivf_indexed
+        # blake2b-based signatures), knn_lsh / knn_lsh_indexed (persisted
+        # bucket-partitioned index, in-memory equality pinned in tests) /
+        # knn_ivf / knn_ivf_indexed
         # (seeded-RNG approximate probing; the indexed variant's parity
         # with the prebuilt one is pinned in tests), doc_pack_sequences (greedy stateful scan —
         # its token/doc conservation IS oracled via doc_pack_group_totals),

@@ -1750,6 +1750,37 @@ def knn_lsh(sf_dir: str):
     return S.knn_lsh(emb, _query_vec(sf_dir), k=10, exclude_vec_id=0)
 
 
+def knn_lsh_indexed(sf_dir: str):
+    """ANN over the PERSISTED (table, bucket)-partitioned LSH index
+    (build-once, query-many): planes reconstruct from a 3-int sidecar,
+    and the query reads ONLY its probed buckets' files (rows-only:
+    seeded projections; result-set equality with the in-memory knn_lsh
+    is pinned in tests)."""
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = f"/tmp/graft_lsh_index_{tag}"
+    src = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(src)
+    stamp = f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}"
+    marker = idx + "/.done"
+    fresh = False
+    try:
+        with open(marker) as f:
+            fresh = f.read() == stamp
+    except OSError:
+        pass
+    if not fresh:
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
+        emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        S.build_lsh_index(emb, idx, n_tables=4)
+        with open(marker, "w") as f:
+            f.write(stamp)
+    return S.knn_lsh_index(idx, _query_vec(sf_dir), k=10, exclude_vec_id=0, probes=3)
+
+
 def knn_ivf_indexed(sf_dir: str):
     """ANN over the PERSISTED cell-partitioned IVF index (build-once,
     query-many): builds the index under /tmp on first use per sf, then
@@ -2175,6 +2206,7 @@ QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_multi": knn_multi,
     "knn_lsh": knn_lsh,
+    "knn_lsh_indexed": knn_lsh_indexed,
     "knn_ivf_indexed": knn_ivf_indexed,
     "knn_ivf": knn_ivf,
     "extract_flagship": extract_flagship,

@@ -223,6 +223,157 @@ def knn_lsh(
     )
 
 
+def build_lsh_index(
+    emb: "ray.data.Dataset",
+    index_dir: str,
+    n_tables: int = 4,
+    n_planes: int | None = None,
+) -> dict:
+    """PERSIST the multi-table LSH index: every vector is written once
+    per table, partitioned by ``(table, bucket)`` — one directory per
+    hash bucket, ×``n_tables`` storage (the standard LSH space/recall
+    trade). The sidecar ``_meta.parquet`` is three ints (dim, n_planes,
+    n_tables): plane matrices are seed-derived from (dim, table), so the
+    index needs no matrix storage and any reader reconstructs the exact
+    hash. Build once, serve many queries via :func:`knn_lsh_index` with
+    file-level pruned reads of only the probed buckets."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if n_planes is None:
+        n_planes = _adaptive_n_planes(emb.count())
+    head = emb.limit(1).to_pandas()
+    dim = int(len(np.asarray(head["embedding"].iloc[0])))
+    planes_by_t = [_table_planes(dim, t, n_planes) for t in range(n_tables)]
+    pref = ray.put(planes_by_t)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"vec_id": [], "embedding": [], "table": [], "bucket": []}
+            )
+        m = _norm_rows(_as_matrix(df["embedding"]))
+        outs = []
+        for t, planes in enumerate(ray.get(pref)):
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": df["vec_id"].to_numpy(),
+                        "embedding": df["embedding"].to_numpy(),
+                        "table": np.full(len(df), t, dtype=np.int16),
+                        "bucket": _signature(m, planes).astype("int64"),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    emb.map_batches(explode, batch_format="pandas").write_parquet(
+        index_dir, partition_cols=["table", "bucket"]
+    )
+    pq.write_table(
+        pa.table({"dim": [dim], "n_planes": [n_planes], "n_tables": [n_tables]}),
+        os.path.join(index_dir, "_meta.parquet"),
+    )
+    return {"dim": dim, "n_planes": n_planes, "n_tables": n_tables}
+
+
+def _table_planes(dim: int, t: int, n_planes: int) -> np.ndarray:
+    """The (dim, table)-seeded hyperplanes — the SAME derivation
+    :func:`knn_lsh` uses, so in-memory and persisted probing hash
+    identically."""
+    rng = np.random.default_rng(np.random.SeedSequence([777, dim, t]))
+    return rng.standard_normal((n_planes, dim))
+
+
+def knn_lsh_index(
+    index_dir: str,
+    query_vec,
+    k: int = 10,
+    exclude_vec_id=None,
+    probes: int = 3,
+) -> "ray.data.Dataset":
+    """ANN over a PERSISTED (table, bucket)-partitioned LSH index
+    (:func:`build_lsh_index` output): reconstruct each table's planes
+    from the 3-int sidecar, probe the query's bucket plus its ``probes``
+    lowest-margin single-bit flips per table, and read ONLY those
+    buckets' partition directories — query cost scales with the probed
+    buckets' share of the corpus. Candidates dedupe by vec_id (a vector
+    probed in several tables must not occupy two top-k slots) before the
+    exact-cosine final top-k; the result set equals :func:`knn_lsh` with
+    the same knobs (pinned in tests)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    meta = pq.read_table(os.path.join(index_dir, "_meta.parquet")).to_pydict()
+    dim, n_planes, n_tables = (
+        int(meta["dim"][0]),
+        int(meta["n_planes"][0]),
+        int(meta["n_tables"][0]),
+    )
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    paths = []
+    for t in range(n_tables):
+        planes = _table_planes(dim, t, n_planes)
+        q_sig = int(_signature(qn[None, :], planes)[0])
+        probe_set = {q_sig}
+        margins = np.abs(qn @ planes.T)
+        for b in np.argsort(margins)[:probes]:
+            probe_set.add(q_sig ^ (1 << int(b)))
+        for s in sorted(probe_set):
+            paths.extend(
+                sorted(
+                    glob.glob(
+                        os.path.join(index_dir, f"table={t}", f"bucket={s}", "*.parquet")
+                    )
+                )
+            )
+    if not paths:  # every probed bucket empty
+        return ray.data.from_pandas(
+            pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                          "cos_sim": pd.Series([], dtype="float64")})
+        )
+    cand = ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
+    ref = ray.put(qn)
+
+    class TopK:
+        def __init__(self, ref, k, exclude):
+            self.q = ray.get(ref)
+            self.k, self.exclude = k, exclude
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if self.exclude is not None:
+                df = df[df["vec_id"] != self.exclude]
+            df = df.drop_duplicates("vec_id")
+            if df.empty:
+                return pd.DataFrame({"vec_id": [], "cos_sim": []})
+            m = _norm_rows(_as_matrix(df["embedding"]))
+            sims = m @ self.q
+            ids = df["vec_id"].to_numpy()
+            order = np.lexsort((ids, -sims))[: self.k]
+            return pd.DataFrame({"vec_id": ids[order], "cos_sim": sims[order]})
+
+    local = cand.map_batches(
+        TopK,
+        fn_constructor_kwargs={"ref": ref, "k": k, "exclude": exclude_vec_id},
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, pool_max()),
+    )
+    # cross-table dedupe: <= k rows per batch reach this tiny shuffle
+    deduped = local.groupby("vec_id").map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+    top = deduped.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
+    return top.map_batches(
+        lambda df: df.assign(cos_sim=np.round(df["cos_sim"], 6)), batch_format="pandas"
+    )
+
+
 def _train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10) -> np.ndarray:
     """Deterministic SPHERICAL k-means on a driver-side sample: seeded
     greedy farthest-point init, fixed iteration count, no RNG in the loop.

@@ -1416,3 +1416,49 @@ def test_llm_batched_prompts_identical_to_per_doc(golden_corpus):
     n_unique = singles[0].calls  # one call per doc (prompts may repeat)
     assert batches[0].calls <= -(-n_unique // 8) + 1
     assert batches[0].calls < singles[0].calls
+
+
+def test_lsh_index_matches_inmemory_and_prunes(tmp_path):
+    """Persisted-LSH answers equal the in-memory knn_lsh (same planes —
+    seed-derived from the 3-int sidecar), and the probe reads only a
+    strict subset of the index's bucket directories."""
+    import glob
+    import os
+
+    import ray
+
+    from pdf_extraction_tests_ray.stages.similarity import (
+        build_lsh_index,
+        knn_lsh,
+        knn_lsh_index,
+    )
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+
+    def load():
+        return ray.data.read_parquet(src, columns=["vec_id", "embedding"])
+
+    import pyarrow.parquet as pq
+
+    qvec = np.asarray(
+        pq.read_table(src).to_pandas().sort_values("vec_id")["embedding"].iloc[0],
+        dtype=np.float64,
+    )
+    idx = str(tmp_path / "lsh")
+    meta = build_lsh_index(load(), idx, n_tables=4)
+
+    a = (
+        knn_lsh(load(), qvec, k=10, exclude_vec_id=0)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    b = (
+        knn_lsh_index(idx, qvec, k=10, exclude_vec_id=0, probes=3)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert len(b) == 10
+
+    # pruning: probed buckets are a strict subset of the index
+    all_buckets = glob.glob(os.path.join(idx, "table=*", "bucket=*"))
+    n_probe_max = meta["n_tables"] * 4  # bucket + 3 flips per table
+    assert len(all_buckets) > n_probe_max
