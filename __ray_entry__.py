@@ -1321,6 +1321,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT v AS doc_id, CAST(min(m) AS BIGINT) AS cluster_id
             FROM reach GROUP BY v
         """,
+        # end-to-end near-dup apply: same recursive components as
+        # dedup_jaccard_clusters, then anti-join the non-keeper members
+        "dedup_jaccard_apply": f"""
+            WITH RECURSIVE d AS (
+              SELECT doc_id, source, list_distinct(string_split({_NORM}, ' ')) AS w
+              FROM documents
+            ), p AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+              WHERE CAST(length(list_intersect(a.w, b.w)) AS DOUBLE)
+                    / (length(a.w) + length(b.w) - length(list_intersect(a.w, b.w)))
+                    >= 0.8
+            ), edges AS (
+              SELECT a, b FROM p UNION ALL SELECT b, a FROM p
+            ), reach(v, m) AS (
+              SELECT DISTINCT a, a FROM edges
+              UNION
+              SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.v
+            ), dropped AS (
+              SELECT v AS doc_id FROM reach GROUP BY v HAVING v <> min(m)
+            )
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        """,
         # word-3-gram sets via a list comprehension over the split words;
         # empty-vs-empty sets define jaccard = 1.0 (functions.text.jaccard)
         "dedup_ngram3_jaccard_pairs": f"""
@@ -1462,7 +1486,11 @@ def oracle_sql() -> dict[str, str]:
         # dedup_semantic (k-means cell boundaries; keep rule + ground-truth
         # containment vs the ORACLED dedup_embedding_pairs pinned in tests),
         # dedup_minhash / dedup_simhash (seeded hash-permutation /
-        # blake2b-based signatures), knn_lsh / knn_lsh_indexed (persisted
+        # blake2b-based signatures), dedup_minhash_apply (end-to-end
+        # minhash removal — drop-set consistency with an independent BFS
+        # over the pair list is pinned in tests, and the same apply stage
+        # IS oracled end-to-end via dedup_jaccard_apply's exact pairs),
+        # knn_lsh / knn_lsh_indexed (persisted
         # bucket-partitioned index, in-memory equality pinned in tests) /
         # knn_ivf / knn_ivf_indexed
         # (seeded-RNG approximate probing; the indexed variant's parity

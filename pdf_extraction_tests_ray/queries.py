@@ -1661,6 +1661,35 @@ def dedup_jaccard_clusters(sf_dir: str):
     return D.duplicate_clusters(pairs)
 
 
+def dedup_jaccard_apply(sf_dir: str):
+    """Near-dup removal END-TO-END with a full SQL oracle: exact
+    word-Jaccard>=0.8 pairs (within source blocks) -> connected
+    components (min-id labels) -> drop every component member except the
+    keeper; returns the surviving corpus rows. The oracle recomputes the
+    components with the recursive min-label CTE and anti-joins the drop
+    set."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars", "text"])
+    pairs = D.ngram_jaccard_pairs(docs, n=1, threshold=0.8).select_columns(
+        ["doc_a", "doc_b"]
+    )
+    return D.apply_neardup_dedup(docs, pairs).select_columns(
+        ["doc_id", "source", "n_chars"]
+    )
+
+
+def dedup_minhash_apply(sf_dir: str):
+    """FineWeb-style near-dup removal END-TO-END: MinHash+LSH verified
+    pairs -> connected components -> keep min doc_id per cluster
+    (rows-only: minhash banding is approximate; drop-set consistency with
+    an independent BFS over the pair list and layout invariance are
+    pinned in tests)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars", "text"])
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.6).select_columns(["doc_a", "doc_b"])
+    return D.apply_neardup_dedup(docs, pairs).select_columns(
+        ["doc_id", "source", "n_chars"]
+    )
+
+
 def dedup_minhash(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return D.minhash_lsh_pairs(ds, threshold=0.6)
@@ -2194,6 +2223,8 @@ QUERIES = {
     "dedup_incremental": dedup_incremental,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,
     "dedup_jaccard_clusters": dedup_jaccard_clusters,
+    "dedup_jaccard_apply": dedup_jaccard_apply,
+    "dedup_minhash_apply": dedup_minhash_apply,
     "dedup_ngram3_jaccard_pairs": dedup_ngram3_jaccard_pairs,
     "extract_html_main": extract_html_main,
     "dedup_shared_ngrams": dedup_shared_ngrams,

@@ -345,6 +345,54 @@ def apply_exact_dedup(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+def apply_neardup_dedup(
+    docs: "ray.data.Dataset",
+    pairs: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    distributed_clusters: bool = False,
+) -> "ray.data.Dataset":
+    """NEAR-duplicate corpus hygiene end-to-end (the FineWeb/RefinedWeb
+    shape): given a verified near-duplicate PAIR list (from
+    :func:`minhash_lsh_pairs`, :func:`ngram_jaccard_pairs`,
+    :func:`simhash_pairs`, ...), keep exactly one document — the min
+    ``id_col`` of each connected component — and every unpaired document.
+
+    Scale contract mirrors :func:`apply_exact_dedup`: the broadcast side
+    is the DROP set (component members minus the keeper), O(#near-dup
+    docs) — empty for a dup-free corpus, never O(corpus). Components
+    come from driver union-find over the (small, verified) pair list by
+    default; pass ``distributed_clusters=True`` to route through
+    :func:`duplicate_clusters_distributed` (iterated min-label
+    propagation, same output contract) when the pair list itself
+    outgrows one machine."""
+    clusters = (
+        duplicate_clusters_distributed(pairs)
+        if distributed_clusters
+        else duplicate_clusters(pairs)
+    )
+    drop_df = clusters.map_batches(
+        lambda df: df.loc[df["doc_id"] != df["cluster_id"], ["doc_id"]],
+        batch_format="pandas",
+    ).to_pandas()
+    drop_ref = ray.put(frozenset(drop_df["doc_id"].tolist()))
+
+    class DropNearDuplicates:
+        def __init__(self, ref):
+            self.drop = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if not self.drop:
+                return df
+            return df[~df[id_col].isin(self.drop)]
+
+    return docs.map_batches(
+        DropNearDuplicates,
+        fn_constructor_kwargs={"ref": drop_ref},
+        batch_format="pandas",
+        concurrency=(1, pool_max()),
+    )
+
+
 # --------------------------------------------------------------------------
 # line-level (sub-document) dedup — C4-style
 

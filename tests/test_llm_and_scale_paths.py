@@ -527,6 +527,84 @@ def test_distributed_label_propagation_matches_union_find():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_apply_neardup_dedup_keeps_one_per_component():
+    """End-to-end near-dup apply: survivors = every unpaired doc + the
+    min-id member of each connected component, on both the driver
+    union-find and the distributed label-propagation cluster paths."""
+    import ray
+
+    from pdf_extraction_tests_ray.stages.dedup import apply_neardup_dedup
+
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": f"t{i}"} for i in range(12)]
+    ).repartition(3)
+    pairs = ray.data.from_items(
+        [
+            {"doc_a": 5, "doc_b": 9},
+            {"doc_a": 9, "doc_b": 2},  # {2,5,9}: keep 2
+            {"doc_a": 7, "doc_b": 11},  # {7,11}: keep 7
+        ]
+    )
+    want = sorted(set(range(12)) - {5, 9, 11})
+    for dist in (False, True):
+        got = sorted(
+            apply_neardup_dedup(docs, pairs, distributed_clusters=dist)
+            .to_pandas()["doc_id"]
+            .tolist()
+        )
+        assert got == want, f"distributed_clusters={dist}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_minhash_apply_consistent_with_pair_bfs():
+    """dedup_minhash_apply's drop set must equal an independent BFS over
+    the dedup_minhash pair list (component members minus min-id keeper),
+    and survivors must be invariant to input block layout."""
+    from collections import deque
+
+    from pdf_extraction_tests_ray.queries import (
+        QUERIES,
+        _read,
+    )
+    from pdf_extraction_tests_ray.stages import dedup as D
+
+    sf = "/root/testdata/sf0.001"
+    pairs = QUERIES["dedup_minhash"](sf).to_pandas()
+    adj: dict = {}
+    for a, b in zip(pairs["doc_a"].tolist(), pairs["doc_b"].tolist()):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    drops = set()
+    seen: set = set()
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        comp, q = set(), deque([start])
+        while q:
+            v = q.popleft()
+            if v in comp:
+                continue
+            comp.add(v)
+            q.extend(adj[v] - comp)
+        seen |= comp
+        drops |= comp - {min(comp)}
+
+    all_ids = set(_read(sf, "documents", columns=["doc_id"]).to_pandas()["doc_id"])
+    got = set(QUERIES["dedup_minhash_apply"](sf).to_pandas()["doc_id"])
+    assert got == all_ids - drops
+
+    # layout invariance: a different block structure changes nothing
+    docs = _read(sf, "documents", columns=["doc_id", "source", "n_chars", "text"])
+    p2 = D.minhash_lsh_pairs(docs.repartition(7), threshold=0.6).select_columns(
+        ["doc_a", "doc_b"]
+    )
+    got2 = set(
+        D.apply_neardup_dedup(docs.repartition(5), p2).to_pandas()["doc_id"]
+    )
+    assert got2 == got
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_weighted_mix_tokens_budget_rule():
     """Per-source running token total respects the half-open prefix rule:
     the first doc that would cross the quota is excluded."""

@@ -86,6 +86,7 @@ def _to_pandas(res):
         "dedup_incremental",
         "dedup_shared_ngrams",
         "dedup_jaccard_clusters",
+        "dedup_jaccard_apply",
         "extract_html_main",
         "dedup_jaccard_pairs",
         "dedup_fuzzy_names",
@@ -169,6 +170,7 @@ def test_query_matches_oracle(name, duck):
     "name",
     [
         "dedup_minhash",
+        "dedup_minhash_apply",
         "dedup_simhash",
         "dedup_semantic",
         "emb_pca_project",
