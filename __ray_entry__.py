@@ -1098,6 +1098,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_tokens FROM c WHERE cum <= quota
         """,
         "doc_top_terms": _TOP_TERMS_SQL,
+        # PMI shares the exact float expression with curation.bigram_pmi:
+        # ln((n_ab * U * U) / (B * n_a * n_b)), doubles, left-to-right
+        "doc_bigram_pmi": f"""
+            WITH w AS (
+              SELECT list_filter(string_split({_NORM}, ' '),
+                                 x -> x <> '') AS ws
+              FROM documents
+            ), uni AS (
+              SELECT unnest(ws) AS word FROM w
+            ), u AS (
+              SELECT word, count(*) AS n FROM uni GROUP BY word
+            ), big AS (
+              SELECT unnest(list_transform(
+                       range(1, greatest(length(ws), 1)),
+                       i -> ws[i] || ' ' || ws[i+1])) AS bigram
+              FROM w WHERE length(ws) >= 2
+            ), b AS (
+              SELECT bigram, count(*) AS n FROM big GROUP BY bigram
+              HAVING count(*) >= 5
+            ), tot AS (
+              SELECT (SELECT count(*) FROM uni) AS tu,
+                     (SELECT count(*) FROM big) AS tb
+            ), scored AS (
+              SELECT b.bigram, CAST(b.n AS BIGINT) AS n,
+                     round(ln((CAST(b.n AS DOUBLE) * t.tu * t.tu)
+                              / (CAST(t.tb AS DOUBLE) * ua.n * ub.n)),
+                           6) AS pmi
+              FROM b
+              CROSS JOIN tot t
+              JOIN u ua ON ua.word = string_split(b.bigram, ' ')[1]
+              JOIN u ub ON ub.word = string_split(b.bigram, ' ')[2]
+            )
+            SELECT bigram, n, pmi FROM (
+              SELECT bigram, n, pmi,
+                     row_number() OVER (ORDER BY pmi DESC, bigram) AS rn
+              FROM scored
+            ) WHERE rn <= 20
+        """,
         # the Misra-Gries path runs at capacity >= vocabulary, where the
         # sketch is provably exact -> it must reproduce the exact
         # operator's answer bit-for-bit (trimmed regime is pinned in

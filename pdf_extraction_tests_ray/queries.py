@@ -1301,6 +1301,17 @@ def doc_top_terms_approx(sf_dir: str):
     return C.top_terms_approx(docs, group="source", k=5)
 
 
+def doc_bigram_pmi(sf_dir: str):
+    """Top-20 adjacent-word bigram collocations by PMI (count >= 5) —
+    the phrase-mining statistic of tokenizer/vocab construction. One
+    combiner pass + one bucketed merge; see stages.curation.bigram_pmi
+    for the shared-float-expression parity contract with the oracle."""
+    from .stages import curation as C
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return C.bigram_pmi(docs, min_count=5, k=20)
+
+
 def doc_token_deciles(sf_dir: str):
     """FineWeb-style global-distribution bucketing: corpus-wide EXACT token
     deciles, then every doc labeled with its decile — the 'filter to the
@@ -2202,6 +2213,7 @@ QUERIES = {
     "doc_pack_sequences": doc_pack_sequences,
     "doc_pack_group_totals": doc_pack_group_totals,
     "doc_token_deciles": doc_token_deciles,
+    "doc_bigram_pmi": doc_bigram_pmi,
     "doc_shuffle_order": doc_shuffle_order,
     "doc_train_split": doc_train_split,
     "doc_vocab_encode": doc_vocab_encode,

@@ -357,6 +357,103 @@ def top_terms(
     )
 
 
+def bigram_pmi(
+    docs: "ray.data.Dataset", min_count: int = 5, k: int = 20
+) -> "ray.data.Dataset":
+    """Corpus-level collocation mining: top-``k`` adjacent-word bigrams by
+    pointwise mutual information (the phrase-detection primitive of
+    tokenizer/vocabulary construction, Mikolov et al. 2013's phrase-score
+    shape) with ``PMI = ln((c_ab/B) / ((c_a/U) * (c_b/U)))``.
+
+    Shuffle shape: ONE map_batches pass emits tagged partial-count rows
+    (kind 'u' unigram / 'b' bigram / 'tu','tb' per-batch totals — repeated
+    terms never leave the task) -> ONE bucketed merge on the
+    high-cardinality (kind, term) key, which also applies the
+    ``min_count`` floor to bigrams (each term's global count lives in one
+    bucket, so the floor is exact). The merged survivors are
+    vocabulary-bounded — the same small-side contract as
+    :func:`build_vocab` — so totals, the PMI arithmetic and the final
+    top-k finish driver-side on O(vocab) rows.
+
+    Float parity: PMI is computed as ``ln((n_ab * U * U) / (B * n_a *
+    n_b))`` with the numerator/denominator each accumulated
+    left-to-right in double — the identical IEEE expression the SQL
+    oracle uses — then rounded to 6 places, which is also the
+    (pmi desc, bigram) tie-break key."""
+    from collections import Counter
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        uc: Counter = Counter()
+        bc: Counter = Counter()
+        total_u = 0
+        total_b = 0
+        for t in df["text"].tolist():
+            ws = [w for w in T.normalize_text(t).split(" ") if w]
+            total_u += len(ws)
+            uc.update(ws)
+            if len(ws) >= 2:
+                total_b += len(ws) - 1
+                bc.update(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+        kinds = ["u"] * len(uc) + ["b"] * len(bc) + ["tu", "tb"]
+        terms = list(uc) + list(bc) + ["", ""]
+        ns = list(uc.values()) + list(bc.values()) + [total_u, total_b]
+        return pd.DataFrame(
+            {"kind": kinds, "term": terms, "n": pd.Series(ns, dtype="int64")}
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            df.groupby(["kind", "term"], sort=False)
+            .agg(n=("n", "sum"))
+            .reset_index()
+        )
+        return agg[(agg["kind"] != "b") | (agg["n"] >= min_count)]
+
+    pdf = bucketed_group_merge(
+        docs.map_batches(partial, batch_format="pandas"), ["kind", "term"], merge
+    ).to_pandas()
+
+    big_u = float(int(pdf.loc[pdf["kind"] == "tu", "n"].sum()))
+    big_b = float(int(pdf.loc[pdf["kind"] == "tb", "n"].sum()))
+    u = dict(
+        zip(pdf.loc[pdf["kind"] == "u", "term"], pdf.loc[pdf["kind"] == "u", "n"])
+    )
+    b = pdf.loc[pdf["kind"] == "b", ["term", "n"]]
+    if b.empty or big_b == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "bigram": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype="int64"),
+                    "pmi": pd.Series([], dtype="float64"),
+                }
+            )
+        )
+    pmis = []
+    for term, n_ab in zip(b["term"].tolist(), b["n"].tolist()):
+        wa, wb = term.split(" ")
+        pmis.append(
+            round(
+                float(
+                    np.log(
+                        (float(n_ab) * big_u * big_u)
+                        / (big_b * int(u[wa]) * int(u[wb]))
+                    )
+                ),
+                6,
+            )
+        )
+    out = pd.DataFrame(
+        {"bigram": b["term"].to_numpy(), "n": b["n"].astype("int64").to_numpy(), "pmi": pmis}
+    )
+    out = (
+        out.sort_values(["pmi", "bigram"], ascending=[False, True], kind="stable")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return ray.data.from_pandas(out)
+
+
 def build_vocab(docs: "ray.data.Dataset", size: int = 1000) -> pd.DataFrame:
     """Corpus-wide top-``size`` vocabulary with STABLE integer ids —
     the tokenizer-building primitive. Rank by (count desc, word asc),

@@ -669,6 +669,54 @@ def test_misra_gries_trim_bound():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_bigram_pmi_matches_independent_recount():
+    """PMI collocations vs a from-scratch Counter recount (independent of
+    both the stage code and the SQL oracle), plus layout invariance and
+    the min_count floor."""
+    import math
+    from collections import Counter
+
+    import ray
+
+    from pdf_extraction_tests_ray.functions.text import normalize_text
+    from pdf_extraction_tests_ray.stages.curation import bigram_pmi
+
+    texts = (
+        ["new york is a big city"] * 7
+        + ["san francisco and new york"] * 5
+        + ["the city of san francisco"] * 4
+        + ["a big dog", "dog and city", "big new day"]
+    )
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+
+    uc: Counter = Counter()
+    bc: Counter = Counter()
+    total_u = total_b = 0
+    for t in texts:
+        ws = [w for w in normalize_text(t).split(" ") if w]
+        uc.update(ws)
+        total_u += len(ws)
+        bc.update(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+        total_b += max(len(ws) - 1, 0)
+    want = []
+    for term, n in bc.items():
+        if n < 3:
+            continue
+        a, b = term.split(" ")
+        pmi = round(
+            math.log((float(n) * total_u * total_u) / (float(total_b) * uc[a] * uc[b])),
+            6,
+        )
+        want.append((term, n, pmi))
+    want = sorted(want, key=lambda r: (-r[2], r[0]))[:5]
+
+    for parts in (2, 7):
+        ds = ray.data.from_items(rows).repartition(parts)
+        got = bigram_pmi(ds, min_count=3, k=5).to_pandas()
+        assert list(map(tuple, got.values.tolist())) == want, f"parts={parts}"
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_top_terms_approx_exact_regime_and_trimmed_regime():
     """capacity >= vocabulary -> bit-for-bit equal to the exact operator;
     tiny capacity -> heavy hitter survives with bounded undercount."""

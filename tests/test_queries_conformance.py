@@ -125,6 +125,7 @@ def _to_pandas(res):
         "curation_pipeline",
         "doc_length_quantiles",
         "doc_token_deciles",
+        "doc_bigram_pmi",
         "doc_shuffle_order",
         "doc_train_split",
         "doc_vocab_encode",
