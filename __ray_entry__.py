@@ -1098,6 +1098,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_tokens FROM c WHERE cum <= quota
         """,
         "doc_top_terms": _TOP_TERMS_SQL,
+        # avg/std derive from the SAME integer sums with the SAME
+        # left-to-right double expression as text_analysis.corpus_stats
+        "doc_corpus_stats": f"""
+            WITH s AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(length({_WORDS})) AS BIGINT) AS n_tokens,
+                     CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                     CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                     CAST(min(n_chars) AS BIGINT) AS min_chars,
+                     CAST(max(n_chars) AS BIGINT) AS max_chars,
+                     CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sc,
+                     sum(CAST(n_chars AS BIGINT) * n_chars) AS ssq
+              FROM documents
+            )
+            SELECT n_docs, n_tokens, n_langs, n_sources, min_chars,
+                   max_chars,
+                   round(CAST(sc AS DOUBLE) / n_docs, 6) AS avg_chars,
+                   round(sqrt((CAST(ssq AS DOUBLE)
+                               - CAST(sc AS DOUBLE) * sc / n_docs)
+                              / n_docs), 6) AS std_chars
+            FROM s
+        """,
         # PMI shares the exact float expression with curation.bigram_pmi:
         # ln((n_ab * U * U) / (B * n_a * n_b)), doubles, left-to-right
         "doc_bigram_pmi": f"""

@@ -1301,6 +1301,17 @@ def doc_top_terms_approx(sf_dir: str):
     return C.top_terms_approx(docs, group="source", k=5)
 
 
+def doc_corpus_stats(sf_dir: str):
+    """Whole-corpus profile in ONE streaming pass (docs, tokens, distinct
+    langs/sources, char min/max/avg/std) — the 'analyze' job that
+    precedes curation decisions. See stages.text_analysis.corpus_stats
+    for the integer-moments float-parity contract."""
+    from .stages import text_analysis as TA
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "source", "n_chars", "text"])
+    return TA.corpus_stats(docs)
+
+
 def doc_bigram_pmi(sf_dir: str):
     """Top-20 adjacent-word bigram collocations by PMI (count >= 5) —
     the phrase-mining statistic of tokenizer/vocab construction. One
@@ -2214,6 +2225,7 @@ QUERIES = {
     "doc_pack_group_totals": doc_pack_group_totals,
     "doc_token_deciles": doc_token_deciles,
     "doc_bigram_pmi": doc_bigram_pmi,
+    "doc_corpus_stats": doc_corpus_stats,
     "doc_shuffle_order": doc_shuffle_order,
     "doc_train_split": doc_train_split,
     "doc_vocab_encode": doc_vocab_encode,

@@ -117,6 +117,68 @@ def fingerprint_batch(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def corpus_stats(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Single-pass corpus profile (the Dolma-style 'analyze' job): ONE
+    streaming execution reduces the corpus to per-batch partial moments —
+    doc/token counts, char sums and sum-of-squares (exact Python ints, no
+    overflow), min/max, and the distinct lang/source label sets (bounded:
+    ISO codes / source registries are O(100) at any corpus scale). The
+    O(#batches) tiny partial rows merge driver-side; the float columns
+    (avg/std of chars) are derived from the INTEGER sums with the exact
+    left-to-right double expression the SQL oracle uses, so the round-6
+    value hash agrees."""
+    import ray.data
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].tolist()
+        chars = [int(c) for c in df["n_chars"].tolist()]
+        return pd.DataFrame(
+            {
+                "n_docs": pd.Series([len(df)], dtype="int64"),
+                "n_tokens": pd.Series(
+                    [sum(T.whitespace_token_count(t) for t in texts)], dtype="int64"
+                ),
+                "sum_chars": pd.Series([sum(chars)], dtype="int64"),
+                # python-int squares: exact at any magnitude
+                "sumsq_chars": pd.Series([sum(c * c for c in chars)], dtype="int64"),
+                "min_chars": pd.Series([min(chars)], dtype="int64"),
+                "max_chars": pd.Series([max(chars)], dtype="int64"),
+                "langs": [",".join(sorted(set(df["lang"].tolist())))],
+                "sources": [",".join(sorted(set(df["source"].tolist())))],
+            }
+        )
+
+    p = docs.map_batches(partial, batch_format="pandas").to_pandas()
+    n = int(p["n_docs"].sum())
+    sc = int(p["sum_chars"].sum())
+    # python-int accumulation: the corpus-wide sum of squares can exceed
+    # int64 even when every per-batch partial fits
+    ssq = sum(int(x) for x in p["sumsq_chars"].tolist())
+    langs: set = set()
+    sources: set = set()
+    for ls in p["langs"].tolist():
+        langs.update(x for x in ls.split(",") if x)
+    for ss in p["sources"].tolist():
+        sources.update(x for x in ss.split(",") if x)
+    import numpy as np
+
+    avg_chars = round(float(sc) / n, 6)
+    std_chars = round(float(np.sqrt((float(ssq) - float(sc) * sc / n) / n)), 6)
+    out = pd.DataFrame(
+        {
+            "n_docs": pd.Series([n], dtype="int64"),
+            "n_tokens": pd.Series([int(p["n_tokens"].sum())], dtype="int64"),
+            "n_langs": pd.Series([len(langs)], dtype="int64"),
+            "n_sources": pd.Series([len(sources)], dtype="int64"),
+            "min_chars": pd.Series([int(p["min_chars"].min())], dtype="int64"),
+            "max_chars": pd.Series([int(p["max_chars"].max())], dtype="int64"),
+            "avg_chars": pd.Series([avg_chars], dtype="float64"),
+            "std_chars": pd.Series([std_chars], dtype="float64"),
+        }
+    )
+    return ray.data.from_pandas(out)
+
+
 def pack_sequences(
     docs: "ray.data.Dataset",
     max_tokens: int = 2048,

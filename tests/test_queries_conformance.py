@@ -126,6 +126,7 @@ def _to_pandas(res):
         "doc_length_quantiles",
         "doc_token_deciles",
         "doc_bigram_pmi",
+        "doc_corpus_stats",
         "doc_shuffle_order",
         "doc_train_split",
         "doc_vocab_encode",
