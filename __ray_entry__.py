@@ -1556,6 +1556,8 @@ def oracle_sql() -> dict[str, str]:
         # (seeded-RNG approximate probing; the indexed variant's parity
         # with the prebuilt one is pinned in tests), doc_pack_sequences (greedy stateful scan —
         # its token/doc conservation IS oracled via doc_pack_group_totals),
+        # doc_bpe_encode (iterative merge training — hand-computed
+        # Sennrich merges + concat round-trip pinned in tests),
         # media_features / media_ocr_regions (binary payloads + fake
         # decode/OCR backends — the plumbing is real, the codecs are the
         # documented environmental stubs),

@@ -1301,6 +1301,20 @@ def doc_top_terms_approx(sf_dir: str):
     return C.top_terms_approx(docs, group="source", k=5)
 
 
+def doc_bpe_encode(sf_dir: str):
+    """Train a 60-merge BPE tokenizer on the corpus word-count dictionary
+    (distributed count pass; merge learning on the O(vocab) dict) and
+    encode every document with it (rows-only: iterative merge training is
+    not SQL-expressible; the hand-computed Sennrich example, the
+    concatenation round-trip and layout invariance are pinned in
+    tests)."""
+    from .stages import curation as C
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = C.train_bpe(docs, num_merges=60)
+    return C.bpe_encode(docs, merges)
+
+
 def doc_corpus_stats(sf_dir: str):
     """Whole-corpus profile in ONE streaming pass (docs, tokens, distinct
     langs/sources, char min/max/avg/std) — the 'analyze' job that
@@ -2226,6 +2240,7 @@ QUERIES = {
     "doc_token_deciles": doc_token_deciles,
     "doc_bigram_pmi": doc_bigram_pmi,
     "doc_corpus_stats": doc_corpus_stats,
+    "doc_bpe_encode": doc_bpe_encode,
     "doc_shuffle_order": doc_shuffle_order,
     "doc_train_split": doc_train_split,
     "doc_vocab_encode": doc_vocab_encode,

@@ -500,6 +500,149 @@ def build_vocab(docs: "ray.data.Dataset", size: int = 1000) -> pd.DataFrame:
     return vdf[["word", "n", "token_id"]]
 
 
+def word_count_dict(docs: "ray.data.Dataset") -> pd.DataFrame:
+    """Corpus-wide ``(word, n)`` count dictionary via per-batch combiner
+    counts + one bucketed merge — the vocabulary-bounded reduction that
+    BPE training (and any tokenizer learner) runs on. Same small-side
+    contract as :func:`build_vocab`: a word dictionary is O(vocab) at any
+    corpus scale, so collecting it driver-side is legitimate."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in df["text"].tolist():
+            c.update(w for w in T.normalize_text(t).split(" ") if w)
+        return pd.DataFrame(
+            {"word": list(c), "n": pd.Series(list(c.values()), dtype="int64")}
+        )
+
+    return (
+        bucketed_group_merge(
+            docs.map_batches(partial, batch_format="pandas"),
+            ["word"],
+            lambda df: df.groupby("word", sort=False).agg(n=("n", "sum")).reset_index(),
+        )
+        .to_pandas()
+        .sort_values("word", kind="stable")
+        .reset_index(drop=True)
+    )
+
+
+_EOW = "</w>"  # Sennrich et al. 2016 end-of-word marker
+
+
+def train_bpe(docs: "ray.data.Dataset", num_merges: int = 100) -> list:
+    """Learn a BPE merge table (Sennrich et al. 2016) the way production
+    tokenizer trainers do at corpus scale: the CORPUS pass is the
+    distributed word-count dictionary (:func:`word_count_dict` — one
+    combiner pass + one bucketed merge); the merge-learning loop then
+    runs driver-side over that O(vocab) dictionary, never touching the
+    corpus again. Deterministic: pair selection ties break (count desc,
+    pair lexicographic asc).
+
+    Returns the ordered merge list ``[(left, right), ...]``. Words are
+    char sequences with a trailing ``</w>`` symbol."""
+    wc = word_count_dict(docs)
+    words = {
+        tuple(list(w) + [_EOW]): int(n)
+        for w, n in zip(wc["word"].tolist(), wc["n"].tolist())
+    }
+    merges: list = []
+    for _ in range(num_merges):
+        from collections import Counter
+
+        pairs: Counter = Counter()
+        for sym, n in words.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_words: dict = {}
+        for sym, n in words.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == best[0] and sym[i + 1] == best[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_words[tuple(out)] = new_words.get(tuple(out), 0) + n
+        words = new_words
+    return merges
+
+
+def _bpe_word(word: str, ranks: dict, memo: dict) -> list:
+    """Encode one word with the learned merge ranks (lowest rank first),
+    memoized per worker — the warm state that justifies the actor pool."""
+    got = memo.get(word)
+    if got is not None:
+        return got
+    sym = list(word) + [_EOW]
+    while len(sym) >= 2:
+        ranked = [(ranks[p], p) for p in zip(sym, sym[1:]) if p in ranks]
+        if not ranked:
+            break
+        _, (a, b) = min(ranked)
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    memo[word] = sym
+    return sym
+
+
+def bpe_encode(
+    docs: "ray.data.Dataset", merges: list, max_tokens_out: int = 30
+) -> "ray.data.Dataset":
+    """Apply a learned BPE merge table, streaming: the merge table is
+    broadcast once via ``ray.put``; each actor holds a word->tokens memo
+    (genuinely warm state — web text is Zipfian, so the memo hit rate
+    approaches 1). Output per doc: (doc_id, n_bpe, toks_str) with
+    toks_str the ' '-joined token sequence truncated to
+    ``max_tokens_out`` (bounded output column; full sequences belong in
+    a sink, not a result table)."""
+    ref = ray.put({tuple(m): i for i, m in enumerate(merges)})
+
+    class BpeEncode:
+        def __init__(self, r):
+            self.ranks = ray.get(r)
+            self.memo: dict = {}
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            n_bpe, toks_strs = [], []
+            for t in df["text"].tolist():
+                toks: list = []
+                for w in T.normalize_text(t).split(" "):
+                    if w:
+                        toks.extend(_bpe_word(w, self.ranks, self.memo))
+                n_bpe.append(len(toks))
+                toks_strs.append(" ".join(toks[:max_tokens_out]))
+            return pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].to_numpy(),
+                    "n_bpe": pd.Series(n_bpe, dtype="int64"),
+                    "toks_str": pd.Series(toks_strs, dtype=object),
+                }
+            )
+
+    return docs.map_batches(
+        BpeEncode,
+        fn_constructor_kwargs={"r": ref},
+        batch_format="pandas",
+        concurrency=(1, pool_max()),
+    )
+
+
 def encode_docs(
     docs: "ray.data.Dataset", vocab: pd.DataFrame
 ) -> "ray.data.Dataset":

@@ -669,6 +669,48 @@ def test_misra_gries_trim_bound():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_bpe_train_and_encode():
+    """BPE on the classic Sennrich corpus: the first merges are the
+    hand-derivable ones; encoding round-trips (concatenation minus </w>
+    reproduces the normalized words); merges and encodings are invariant
+    to block layout."""
+    import ray
+
+    from pdf_extraction_tests_ray.functions.text import normalize_text
+    from pdf_extraction_tests_ray.stages.curation import bpe_encode, train_bpe
+
+    # Sennrich et al. 2016 example: low x5, lower x2, newest x6, widest x3
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    rows = [{"doc_id": i, "text": w} for i, w in enumerate(words)]
+    ds = ray.data.from_items(rows).repartition(4)
+
+    merges = train_bpe(ds, num_merges=4)
+    # counts: ('e','s') 9, ('s','t') 9, ('t','</w>') 9 ... tie-break is
+    # lexicographic: ('e','s') first, then ('es','t'), then ('est','</w>'),
+    # then ('l','o') (7)
+    assert merges == [("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o")]
+
+    enc = bpe_encode(ds, merges).to_pandas().sort_values("doc_id")
+    by_doc = dict(zip(enc["doc_id"], enc["toks_str"]))
+    assert by_doc[0] == "lo w </w>"          # low
+    assert by_doc[5] == "lo w e r </w>"      # lower
+    assert by_doc[7] == "n e w est</w>"      # newest
+    assert by_doc[13] == "w i d est</w>"     # widest
+
+    # round-trip + layout invariance on a richer corpus
+    texts = [f"token{i % 7} shared words here token{i % 3}" for i in range(30)]
+    rows2 = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    m1 = train_bpe(ray.data.from_items(rows2).repartition(2), num_merges=25)
+    m2 = train_bpe(ray.data.from_items(rows2).repartition(9), num_merges=25)
+    assert m1 == m2
+    out = bpe_encode(ray.data.from_items(rows2), m1, max_tokens_out=500).to_pandas()
+    for i, t in enumerate(texts):
+        toks = out.loc[out["doc_id"] == i, "toks_str"].iloc[0].split(" ")
+        joined = "".join(toks).replace("</w>", "")
+        assert joined == normalize_text(t).replace(" ", "")
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_bigram_pmi_matches_independent_recount():
     """PMI collocations vs a from-scratch Counter recount (independent of
     both the stage code and the SQL oracle), plus layout invariance and

@@ -180,6 +180,7 @@ def test_query_matches_oracle(name, duck):
         "knn_lsh_indexed",
         "knn_ivf",
         "doc_pack_sequences",
+        "doc_bpe_encode",
         "q_events_approx_distinct_users",
         "q_price_quantiles_tdigest",
         "knn_ivf_indexed",
