@@ -1558,6 +1558,8 @@ def oracle_sql() -> dict[str, str]:
         # its token/doc conservation IS oracled via doc_pack_group_totals),
         # doc_bpe_encode (iterative merge training — hand-computed
         # Sennrich merges + concat round-trip pinned in tests),
+        # doc_quality_scorer (6x6 matrix solve — closed-form equality
+        # with numpy + bitwise layout invariance pinned in tests),
         # media_features / media_ocr_regions (binary payloads + fake
         # decode/OCR backends — the plumbing is real, the codecs are the
         # documented environmental stubs),

@@ -66,6 +66,14 @@ def quality_features(s: str) -> tuple[int, float, float, float]:
     return n_words, punct_ratio, avg_word_len, stopword_ratio
 
 
+def stopword_count(s: str) -> int:
+    """Count of (lowercased) English stopwords among the \\s+-split words
+    of the trimmed text — the integer numerator of stopword_ratio."""
+    t = s.strip()
+    words = _WS_RE.split(t) if t else [""]
+    return sum(1 for w in words if w.lower() in _EN_STOP)
+
+
 def is_quality(n_words, punct_ratio, avg_word_len) -> bool:
     """Simple trainability gate: enough words, sane punctuation density,
     plausible word lengths (C4-style heuristics)."""

@@ -1315,6 +1315,24 @@ def doc_bpe_encode(sf_dir: str):
     return C.bpe_encode(docs, merges)
 
 
+def doc_quality_scorer(sf_dir: str):
+    """Train a linear quality scorer on a weak label (lang == 'en') via
+    exact integer-moment ridge regression and score every document
+    (rows-only: the matrix solve is not SQL-expressible; closed-form
+    equality with numpy on the collected features, bitwise layout
+    invariance and perfect separation on a separable corpus are pinned
+    in tests)."""
+    from .stages import curation as C
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    labeled = docs.map_batches(
+        lambda df: df.assign(label=(df["lang"] == "en").astype("int64")),
+        batch_format="pandas",
+    )
+    w = C.fit_ridge_scorer(labeled)
+    return C.score_docs(docs, w)
+
+
 def doc_corpus_stats(sf_dir: str):
     """Whole-corpus profile in ONE streaming pass (docs, tokens, distinct
     langs/sources, char min/max/avg/std) — the 'analyze' job that
@@ -2241,6 +2259,7 @@ QUERIES = {
     "doc_bigram_pmi": doc_bigram_pmi,
     "doc_corpus_stats": doc_corpus_stats,
     "doc_bpe_encode": doc_bpe_encode,
+    "doc_quality_scorer": doc_quality_scorer,
     "doc_shuffle_order": doc_shuffle_order,
     "doc_train_split": doc_train_split,
     "doc_vocab_encode": doc_vocab_encode,

@@ -500,6 +500,94 @@ def build_vocab(docs: "ray.data.Dataset", size: int = 1000) -> pd.DataFrame:
     return vdf[["word", "n", "token_id"]]
 
 
+_SCORER_DIM = 6
+
+
+def _scorer_features(text: str) -> list:
+    """Integer feature vector [bias, n_tokens, n_punct, n_nonspace,
+    n_stopwords, n_chars] — all exact counts, so moment sums are
+    order-independent python ints and training is EXACTLY invariant to
+    block layout / cluster size (the same determinism argument as the
+    repo's other integer-moment operators)."""
+    t = text.strip()
+    return [
+        1,
+        T.whitespace_token_count(text),
+        T.punct_char_count(t),
+        T.nonspace_char_count(t),
+        T.stopword_count(text),
+        len(t),
+    ]
+
+
+def fit_ridge_scorer(
+    docs: "ray.data.Dataset", label_col: str = "label", lam: float = 1.0
+) -> "np.ndarray":
+    """Train a linear quality scorer (the CCNet/FineWeb-Edu curation
+    primitive: a cheap learned model ranking documents for filtering)
+    as closed-form ridge regression over INTEGER feature moments.
+
+    The corpus pass is one map_batches combiner emitting each batch's
+    exact-integer X^T X (d*d) and X^T y (d) partials; the driver sums
+    the python-int partials (no float order-dependence, no overflow) and
+    solves the d*d system once. d = {bias, token/punct/nonspace/stopword/
+    char counts} = 6 — driver state is 36 ints regardless of corpus
+    size."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        xtx = [[0] * _SCORER_DIM for _ in range(_SCORER_DIM)]
+        xty = [0] * _SCORER_DIM
+        for t, y in zip(df["text"].tolist(), df[label_col].tolist()):
+            x = _scorer_features(t)
+            yi = int(y)
+            for i in range(_SCORER_DIM):
+                xi = x[i]
+                row = xtx[i]
+                for j in range(i, _SCORER_DIM):
+                    row[j] += xi * x[j]
+                xty[i] += xi * yi
+        flat = {f"m{i}_{j}": [xtx[i][j]] for i in range(_SCORER_DIM) for j in range(i, _SCORER_DIM)}
+        flat.update({f"v{i}": [xty[i]] for i in range(_SCORER_DIM)})
+        return pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in flat.items()})
+
+    p = docs.map_batches(partial, batch_format="pandas").to_pandas()
+    xtx = np.zeros((_SCORER_DIM, _SCORER_DIM))
+    xty = np.zeros(_SCORER_DIM)
+    for i in range(_SCORER_DIM):
+        for j in range(i, _SCORER_DIM):
+            s = sum(int(x) for x in p[f"m{i}_{j}"].tolist())  # exact
+            xtx[i][j] = xtx[j][i] = float(s)
+        xty[i] = float(sum(int(x) for x in p[f"v{i}"].tolist()))
+    reg = lam * np.eye(_SCORER_DIM)
+    reg[0, 0] = 0.0  # never shrink the bias
+    return np.linalg.solve(xtx + reg, xty)
+
+
+def score_docs(docs: "ray.data.Dataset", weights: "np.ndarray") -> "ray.data.Dataset":
+    """Apply a fitted linear scorer, streaming: weights broadcast once;
+    output (doc_id, score) with score = w . x rounded to 6 places
+    (deterministic: exact integer features, fixed-order dot)."""
+    ref = ray.put([float(w) for w in weights])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        w = ray.get(ref)
+        scores = []
+        for t in df["text"].tolist():
+            x = _scorer_features(t)
+            acc = 0.0
+            for wi, xi in zip(w, x):
+                acc += wi * xi
+            scores.append(round(acc, 6))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "score": pd.Series(scores, dtype="float64"),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
 def word_count_dict(docs: "ray.data.Dataset") -> pd.DataFrame:
     """Corpus-wide ``(word, n)`` count dictionary via per-batch combiner
     counts + one bucketed merge — the vocabulary-bounded reduction that

@@ -669,6 +669,46 @@ def test_misra_gries_trim_bound():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_ridge_scorer_closed_form_layout_invariance_and_separation():
+    """fit_ridge_scorer must equal the numpy closed form on the collected
+    feature matrix (integer moments are exact), be BITWISE invariant to
+    block layout, and perfectly separate a linearly separable corpus."""
+    import numpy as np
+    import ray
+
+    from pdf_extraction_tests_ray.stages.curation import (
+        _scorer_features,
+        fit_ridge_scorer,
+        score_docs,
+    )
+
+    # label = long doc (token count drives it) -> linearly separable
+    rows = []
+    for i in range(60):
+        long = i % 2 == 0
+        words = ["w%d" % (j % 9) for j in range((40 if long else 5) + i % 4)]
+        txt = " ".join(words) + (". the and of" if long else "")
+        rows.append({"doc_id": i, "text": txt, "label": 1 if long else 0})
+
+    w1 = fit_ridge_scorer(ray.data.from_items(rows).repartition(3))
+    w2 = fit_ridge_scorer(ray.data.from_items(rows).repartition(11))
+    assert w1.tolist() == w2.tolist()  # bitwise layout invariance
+
+    X = np.array([_scorer_features(r["text"]) for r in rows], dtype="float64")
+    y = np.array([r["label"] for r in rows], dtype="float64")
+    reg = np.eye(X.shape[1])
+    reg[0, 0] = 0.0
+    w_ref = np.linalg.solve(X.T @ X + reg, X.T @ y)
+    assert np.allclose(w1, w_ref, rtol=1e-12, atol=1e-12)
+
+    scored = score_docs(ray.data.from_items(rows), w1).to_pandas()
+    s = dict(zip(scored["doc_id"], scored["score"]))
+    pos = [s[r["doc_id"]] for r in rows if r["label"] == 1]
+    neg = [s[r["doc_id"]] for r in rows if r["label"] == 0]
+    assert min(pos) > max(neg)  # perfect separation
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_bpe_train_and_encode():
     """BPE on the classic Sennrich corpus: the first merges are the
     hand-derivable ones; encoding round-trips (concatenation minus </w>

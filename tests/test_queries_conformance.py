@@ -181,6 +181,7 @@ def test_query_matches_oracle(name, duck):
         "knn_ivf",
         "doc_pack_sequences",
         "doc_bpe_encode",
+        "doc_quality_scorer",
         "q_events_approx_distinct_users",
         "q_price_quantiles_tdigest",
         "knn_ivf_indexed",
