@@ -1430,6 +1430,26 @@ def oracle_sql() -> dict[str, str]:
             FROM p
             WHERE CASE WHEN u = 0 THEN 1.0 ELSE CAST(i AS DOUBLE) / u END >= 0.5
         """,
+        # every float op mirrors similarity.quantize_int8 verbatim:
+        # double upcast, 127/amax, floor(x*scale + 0.5)
+        "emb_quantize_int8": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), m AS (
+              SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) AS amax
+              FROM e
+            ), s AS (
+              SELECT vec_id, v,
+                     CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END AS sc
+              FROM m
+            )
+            SELECT vec_id, round(sc, 6) AS scale,
+                   array_to_string(list_transform(
+                     v, x -> CAST(CAST(floor(x * sc + 0.5) AS BIGINT)
+                                  AS VARCHAR)), ' ') AS q_str
+            FROM s
+        """,
         "dedup_embedding_pairs": """
             WITH e AS (
               SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -1763,6 +1763,16 @@ def dedup_fuzzy_names(sf_dir: str):
     return D.fuzzy_pairs(ds, block="p_type", name="p_name", max_dist=1)
 
 
+def emb_quantize_int8(sf_dir: str):
+    """Symmetric int8 quantization of every embedding vector (scale +
+    ' '-joined codes) — SQL-checked bit-for-bit via the shared float
+    expression (stages.similarity.quantize_int8)."""
+    from .stages.similarity import quantize_int8
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return quantize_int8(emb)
+
+
 def emb_pca_project(sf_dir: str):
     """Distributed PCA (fit via mergeable covariance moments, one combiner
     pass; 64x64 eigendecomposition driver-side) + streaming projection to
@@ -2291,6 +2301,7 @@ QUERIES = {
     "dedup_embedding_pairs": dedup_embedding_pairs,
     "dedup_semantic": dedup_semantic,
     "emb_pca_project": emb_pca_project,
+    "emb_quantize_int8": emb_quantize_int8,
     "dedup_fuzzy_names": dedup_fuzzy_names,
     "knn_bruteforce": knn_bruteforce,
     "knn_multi": knn_multi,

@@ -33,6 +33,33 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def quantize_int8(emb: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Symmetric int8 vector quantization (the ANN-index / embedding-store
+    compression path: 4x smaller than float32, 8x than float64): per
+    vector, scale = 127/max|v| and q_i = floor(v_i * scale + 0.5) —
+    a pure per-row map, no shuffle, streaming at any scale.
+
+    Output (vec_id, scale, q_str) with q_str the ' '-joined int codes
+    (string-typed so the driver's value hash is exact); every float op
+    (double upcast, 127/amax, floor(x*scale+0.5)) is mirrored verbatim
+    by the SQL oracle."""
+
+    def q(df: pd.DataFrame) -> pd.DataFrame:
+        m = _as_matrix(df["embedding"])
+        amax = np.abs(m).max(axis=1)
+        scale = np.where(amax > 0, 127.0 / np.where(amax > 0, amax, 1.0), 0.0)
+        codes = np.floor(m * scale[:, None] + 0.5).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy(),
+                "scale": np.round(scale, 6),
+                "q_str": [" ".join(map(str, row)) for row in codes],
+            }
+        )
+
+    return emb.map_batches(q, batch_format="pandas")
+
+
 def knn_bruteforce(
     emb: "ray.data.Dataset", query_vec, k: int = 10, exclude_vec_id=None
 ) -> "ray.data.Dataset":

@@ -92,6 +92,7 @@ def _to_pandas(res):
         "dedup_fuzzy_names",
         "dedup_ngram3_jaccard_pairs",
         "dedup_embedding_pairs",
+        "emb_quantize_int8",
         "knn_bruteforce",
         "knn_multi",
         "q_supplier_nation_balance",
