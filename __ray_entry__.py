@@ -1581,8 +1581,10 @@ def oracle_sql() -> dict[str, str]:
         # doc_quality_scorer (6x6 matrix solve — closed-form equality
         # with numpy + bitwise layout invariance pinned in tests),
         # media_features / media_ocr_regions (binary payloads + fake
-        # decode/OCR backends — the plumbing is real, the codecs are the
-        # documented environmental stubs),
+        # decode/OCR backends — the plumbing is real, compressed codecs
+        # are the documented environmental stubs), media_decode_real
+        # (REAL pure-numpy PGM/PPM/WAV parsing — hand-computed
+        # dimensions/energies pinned in tests),
         # q_events_approx_distinct_users (blake2b HLL sketch — its <5%
         # error bound vs the ORACLED exact q_events_distinct_users is
         # pinned in tests), q_price_quantiles_tdigest (t-digest estimates

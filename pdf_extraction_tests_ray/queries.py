@@ -1624,6 +1624,32 @@ def media_features(sf_dir: str):
     )
 
 
+def media_decode_real(sf_dir: str):
+    """REAL media decode end-to-end (rows-only: binary parsing is not
+    SQL-expressible): deterministic PGM/PPM gradients and PCM16 WAV tones
+    are synthesized per selected doc_id, then ``DecodeMedia(fake=False)``
+    genuinely parses headers + sample buffers (pure numpy, no codec libs)
+    through the same decode -> resize -> frame-sample actor pipeline.
+    Hand-computed dimensions/energies are pinned in tests."""
+    import pyarrow.parquet as pq
+
+    from .stages import media as M
+
+    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]).column(
+        "doc_id"
+    ).to_pylist()
+    sel = [d for d in ids if d % 5 == 0]
+    t = M.synth_media_table(
+        [str(d) for d in sel],
+        [f"m://{d}" for d in sel],
+        ["audio" if d % 3 == 0 else "image" for d in sel],
+        codec="real",
+    )
+    return M.decode_pipeline(ray.data.from_arrow(t), fake=False).select_columns(
+        ["doc_id", "media_ref", "media_type", "width", "height", "n_frames"]
+    )
+
+
 def media_ocr_regions(sf_dir: str):
     """Per-ROI OCR over synthesized page payloads (rows-only: fake
     deterministic backend — pytesseract/cv2 absent here; the per-actor
@@ -2287,6 +2313,7 @@ QUERIES = {
     "dedup_exact_apply": dedup_exact_apply,
     "dedup_lines": dedup_lines,
     "media_features": media_features,
+    "media_decode_real": media_decode_real,
     "media_ocr_regions": media_ocr_regions,
     "dedup_incremental": dedup_incremental,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,

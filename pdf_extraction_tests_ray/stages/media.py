@@ -1,13 +1,16 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Media travel as ``binary`` columns with metadata; decode / feature-extract
-/ resize / frame-sample run as actor-pool ``map_batches`` stages. The
-actual codec work is STUBBED (image/audio libraries are not in this
-container): ``DecodeMedia`` raises ``NotImplementedError`` unless
-``fake=True``, in which case a deterministic fake decoder (seeded by the
-payload hash) produces plausible shapes — the Ray-side plumbing (schema,
-batch sizing for fat rows, actor signature, output layout) is real and
-tested, and a real codec drops into ``_decode_real``.
+/ resize / frame-sample run as actor-pool ``map_batches`` stages.
+``DecodeMedia(fake=False)`` REALLY decodes the uncompressed formats that
+need no codec library — binary PGM (P5) / PPM (P6) images (the format the
+repo's own layout-overlay sink emits, stages/render.py) and PCM16 WAV
+audio — pure numpy header+buffer parsing, with a pooled feature vector
+(4x4 grid of mean intensities for images, segment RMS energies for
+audio). Compressed codecs (JPEG/PNG/MP3/H.264) still need external
+libraries absent from this container: those payloads raise a ``ValueError``
+naming the sniffed magic, and the deterministic ``fake=True`` decoder
+remains for plumbing tests/benches over arbitrary bytes.
 
 Media table schema::
 
@@ -46,13 +49,54 @@ DECODED_SCHEMA = pa.schema(
 )
 
 
-def synth_media_table(doc_ids, refs, types, seed: int = 99) -> pa.Table:
-    """Deterministic fake payloads for tests/bench (seeded by ref)."""
+def synth_media_table(doc_ids, refs, types, seed: int = 99, codec: str = "fake") -> pa.Table:
+    """Deterministic payloads for tests/bench (seeded by ref).
+
+    ``codec='fake'`` emits opaque random bytes (plumbing-only path);
+    ``codec='real'`` emits genuinely decodable payloads — binary PGM/PPM
+    gradients for image/video rows, PCM16 WAV tones for audio rows — so
+    ``DecodeMedia(fake=False)`` exercises the real parser end-to-end."""
     payloads, metas = [], []
     for r, t in zip(refs, types):
         rng = np.random.default_rng(
             np.random.SeedSequence([seed, int.from_bytes(hashlib.md5(r.encode()).digest()[:4], "big")])
         )
+        if codec == "real":
+            if t == "audio":
+                n = int(rng.integers(200, 2000))
+                rate = int(rng.choice([8000, 16000]))
+                pcm = (
+                    (np.sin(np.arange(n) * float(rng.uniform(0.05, 0.5))) * 12000)
+                    .astype("<i2")
+                    .tobytes()
+                )
+                hdr = (
+                    b"RIFF" + (36 + len(pcm)).to_bytes(4, "little") + b"WAVE"
+                    + b"fmt " + (16).to_bytes(4, "little")
+                    + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+                    + rate.to_bytes(4, "little")
+                    + (rate * 2).to_bytes(4, "little")
+                    + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+                    + b"data" + len(pcm).to_bytes(4, "little")
+                )
+                payloads.append(hdr + pcm)
+                metas.append(json.dumps({"codec": "wav", "type": t}))
+            else:
+                w, h = int(rng.integers(16, 64)), int(rng.integers(16, 64))
+                color = bool(rng.integers(0, 2))
+                grad = (
+                    (np.arange(h)[:, None] + np.arange(w)[None, :]) % 256
+                ).astype(np.uint8)
+                if color:
+                    img = np.stack([grad, 255 - grad, grad // 2], axis=-1)
+                    head = b"P6\n%d %d\n255\n" % (w, h)
+                    payloads.append(head + img.tobytes())
+                    metas.append(json.dumps({"codec": "ppm", "type": t}))
+                else:
+                    head = b"P5\n%d %d\n255\n" % (w, h)
+                    payloads.append(head + grad.tobytes())
+                    metas.append(json.dumps({"codec": "pgm", "type": t}))
+            continue
         payloads.append(rng.integers(0, 256, size=int(rng.integers(256, 2048)), dtype=np.uint8).tobytes())
         metas.append(json.dumps({"codec": "fake", "type": t}))
     return pa.Table.from_arrays(
@@ -79,10 +123,102 @@ class DecodeMedia:
         # self.cv2 = importlib.import_module("cv2")
 
     def _decode_real(self, payload: bytes, media_type: str):
-        raise NotImplementedError(
-            "real media decode requires image/audio libs not present in this "
-            "environment; construct DecodeMedia(fake=True) for the plumbing path"
+        """Pure-numpy decode of codec-free formats; see module docstring."""
+        if payload[:2] in (b"P5", b"P6"):
+            return self._decode_pnm(payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return self._decode_wav(payload)
+        raise ValueError(
+            f"cannot decode media payload with magic {payload[:4]!r}: only "
+            "codec-free formats (binary PGM/PPM, PCM WAV) decode without "
+            "external libraries in this environment; route compressed "
+            "codecs through a real codec build of _decode_real"
         )
+
+    def _pooled_grid(self, gray: np.ndarray) -> np.ndarray:
+        """4x4 grid of mean intensities in [0,1] -> 16-dim feature (padded/
+        truncated to feature_dim)."""
+        h, w = gray.shape
+        ys = np.linspace(0, h, 5).astype(int)
+        xs = np.linspace(0, w, 5).astype(int)
+        feat = np.empty(16, dtype=np.float32)
+        k = 0
+        for i in range(4):
+            for j in range(4):
+                cell = gray[ys[i]: max(ys[i + 1], ys[i] + 1),
+                            xs[j]: max(xs[j + 1], xs[j] + 1)]
+                feat[k] = float(cell.mean()) / 255.0
+                k += 1
+        out = np.zeros(self.feature_dim, dtype=np.float32)
+        out[: min(16, self.feature_dim)] = feat[: self.feature_dim]
+        return out
+
+    def _decode_pnm(self, payload: bytes):
+        """Binary PGM (P5) / PPM (P6): header tokens (with '#' comments),
+        then the raw sample buffer. Matches the P5 files the repo's
+        layout-overlay sink writes (stages/render.py)."""
+        toks, i, n = [], 2, len(payload)
+        while len(toks) < 3 and i < n:
+            c = payload[i]
+            if c in b" \t\r\n":
+                i += 1
+            elif c == ord("#"):
+                while i < n and payload[i] not in b"\r\n":
+                    i += 1
+            else:
+                j = i
+                while j < n and payload[j] not in b" \t\r\n":
+                    j += 1
+                toks.append(int(payload[i:j]))
+                i = j
+        i += 1  # single whitespace byte after maxval
+        w, h, maxval = toks
+        if maxval > 255:
+            raise ValueError("16-bit PNM samples not supported")
+        ch = 3 if payload[:2] == b"P6" else 1
+        buf = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=i)
+        img = buf.reshape(h, w, ch).astype(np.float32)
+        gray = img.mean(axis=2)  # P5: identity; P6: unweighted RGB mean
+        return w, h, 1, self._pooled_grid(gray)
+
+    def _decode_wav(self, payload: bytes):
+        """PCM16 WAV: walk RIFF chunks for fmt/data; n_frames = samples per
+        channel; (width, height) carry (channels, sample_rate); feature =
+        RMS energy of 16 equal segments, normalized to [0,1]."""
+        pos, n = 12, len(payload)
+        channels = rate = bits = None
+        data = None
+        while pos + 8 <= n:
+            cid = payload[pos: pos + 4]
+            size = int.from_bytes(payload[pos + 4: pos + 8], "little")
+            body = payload[pos + 8: pos + 8 + size]
+            if cid == b"fmt ":
+                channels = int.from_bytes(body[2:4], "little")
+                rate = int.from_bytes(body[4:8], "little")
+                bits = int.from_bytes(body[14:16], "little")
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if channels is None or data is None:
+            raise ValueError("WAV payload missing fmt/data chunks")
+        if bits != 16:
+            raise ValueError(f"only PCM16 WAV supported, got {bits}-bit")
+        samples = np.frombuffer(data, dtype="<i2")
+        frames = len(samples) // channels
+        mono = (
+            samples[: frames * channels]
+            .reshape(frames, channels)
+            .astype(np.float32)
+            .mean(axis=1)
+        )
+        seg = np.array_split(mono, 16) if frames else [np.zeros(1, np.float32)] * 16
+        feat16 = np.array(
+            [float(np.sqrt(np.mean(s * s))) / 32768.0 if len(s) else 0.0 for s in seg],
+            dtype=np.float32,
+        )
+        out = np.zeros(self.feature_dim, dtype=np.float32)
+        out[: min(16, self.feature_dim)] = feat16[: self.feature_dim]
+        return channels, rate, frames, out
 
     def _decode_fake(self, payload: bytes, media_type: str):
         h = hashlib.blake2b(payload, digest_size=16).digest()

@@ -187,6 +187,7 @@ def test_query_matches_oracle(name, duck):
         "q_price_quantiles_tdigest",
         "knn_ivf_indexed",
         "media_features",
+        "media_decode_real",
         "media_ocr_regions",
     ],
 )

@@ -130,11 +130,83 @@ def test_media_decode_pipeline():
     assert f1 == f2
 
 
-def test_media_real_decode_is_explicit_stub():
+def test_media_real_decode_pgm_ppm_wav_hand_computed():
+    """DecodeMedia(fake=False) genuinely parses codec-free payloads:
+    binary PGM/PPM and PCM16 WAV, against hand-computed values; unknown
+    magic raises (compressed codecs need external libs)."""
+    import numpy as np
+
     from pdf_extraction_tests_ray.stages.media import DecodeMedia
 
-    with pytest.raises(NotImplementedError):
-        DecodeMedia(fake=False)._decode_real(b"x", "image")
+    d = DecodeMedia(fake=False)
+
+    # PGM, the exact byte layout stages/render.py emits: 8x4 ramp 0..31
+    pgm = b"P5\n8 4\n255\n" + bytes(range(32))
+    w, h, nf, feat = d._decode_real(pgm, "image")
+    assert (w, h, nf) == (8, 4, 1)
+    grid = np.arange(32, dtype=np.float32).reshape(4, 8)
+    # 4x4 pooling over a 4-row image: each cell is one row x 2 cols
+    want = [grid[i, 2 * j: 2 * j + 2].mean() / 255.0 for i in range(4) for j in range(4)]
+    assert np.allclose(feat, np.array(want, dtype=np.float32))
+
+    # PPM with a comment line in the header; gray = unweighted RGB mean
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]], dtype=np.uint8
+    )
+    ppm = b"P6\n# comment\n2 2\n255\n" + px.tobytes()
+    w, h, nf, feat = d._decode_real(ppm, "image")
+    assert (w, h, nf) == (2, 2, 1)
+    gray = px.astype(np.float32).mean(axis=2)
+    # 2x2 image under a 4x4 grid: cells collapse to single pixels
+    assert abs(feat[0] - gray[0, 0] / 255.0) < 1e-6
+    assert abs(feat[15] - gray[1, 1] / 255.0) < 1e-6
+
+    # PCM16 WAV: 1 channel, 8000 Hz, 32 constant samples of 1000
+    pcm = (np.ones(32, dtype="<i2") * 1000).tobytes()
+    wav = (
+        b"RIFF" + (36 + len(pcm)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + len(pcm).to_bytes(4, "little") + pcm
+    )
+    ch, rate, frames, feat = d._decode_real(wav, "audio")
+    assert (ch, rate, frames) == (1, 8000, 32)
+    assert np.allclose(feat, np.full(16, 1000.0 / 32768.0, dtype=np.float32))
+
+    with pytest.raises(ValueError, match="magic"):
+        d._decode_real(b"\x89PNG\r\n", "image")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_real_decode_pipeline_end_to_end():
+    """synth_media_table(codec='real') payloads flow through the REAL
+    decode -> resize -> frame-sample pipeline."""
+    import json
+
+    import ray.data
+
+    from pdf_extraction_tests_ray.stages.media import decode_pipeline, synth_media_table
+
+    types = ["audio" if i % 3 == 0 else "image" for i in range(15)]
+    t = synth_media_table(
+        [f"doc-{i}" for i in range(15)],
+        [f"m://doc-{i}" for i in range(15)],
+        types,
+        codec="real",
+    )
+    out = decode_pipeline(ray.data.from_arrow(t), fake=False).to_pandas()
+    assert len(out) == 15
+    metas = {json.loads(m)["codec"] for m in t.column("meta").to_pylist()}
+    assert metas & {"pgm", "ppm"} and "wav" in metas
+    imgs = out[out["media_type"] == "image"]
+    assert ((imgs["width"] >= 16) & (imgs["width"] < 64)).all()
+    assert (imgs["n_frames"] == 1).all()
+    aud = out[out["media_type"] == "audio"]
+    assert set(aud["height"]) <= {8000, 16000}  # sample rate rides height
+    assert (aud["n_frames"] >= 200).all()
+    assert all(len(f) == 16 for f in out["feature"])
 
 
 # ---------------------------------------------------------------------------
