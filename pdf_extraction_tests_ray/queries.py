@@ -1666,6 +1666,23 @@ def media_ocr_regions(sf_dir: str):
     return ocr_pipeline(ray.data.from_arrow(t), fake=True)
 
 
+def media_ocr_glyph(sf_dir: str):
+    """REAL OCR end-to-end (rows-only: glyph matching over binary rasters
+    is not SQL-expressible): deterministic pages are RENDERED in the 5x7
+    bitmap font, and the warm-template glyph backend optically RECOVERS
+    the text — exact round-trip equality is pinned in tests."""
+    import pyarrow.parquet as pq
+
+    from .stages.ocr import ocr_pipeline, synth_glyph_ocr_table
+
+    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]).column(
+        "doc_id"
+    ).to_pylist()
+    sel = [d for d in ids if d % 7 == 0]
+    t, _ = synth_glyph_ocr_table([f"doc-{d}" for d in sel], [f"page://{d}" for d in sel])
+    return ocr_pipeline(ray.data.from_arrow(t), backend="glyph")
+
+
 def dedup_incremental(sf_dir: str):
     """Cross-job incremental dedup: the corpus arrives as two sequential
     crawl shards (doc_id below / at-or-above the midpoint), each deduped
@@ -2314,6 +2331,7 @@ QUERIES = {
     "dedup_lines": dedup_lines,
     "media_features": media_features,
     "media_decode_real": media_decode_real,
+    "media_ocr_glyph": media_ocr_glyph,
     "media_ocr_regions": media_ocr_regions,
     "dedup_incremental": dedup_incremental,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,

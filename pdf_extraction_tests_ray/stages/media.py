@@ -111,6 +111,35 @@ def synth_media_table(doc_ids, refs, types, seed: int = 99, codec: str = "fake")
     )
 
 
+def decode_pnm_gray(payload: bytes) -> np.ndarray:
+    """Binary PGM (P5) / PPM (P6) -> float32 grayscale array (h, w):
+    header tokens (with '#' comments), then the raw sample buffer.
+    Matches the P5 files the repo's layout-overlay sink writes
+    (stages/render.py); P6 grays as the unweighted RGB mean. Shared by
+    DecodeMedia and the glyph OCR backend (stages/ocr.py)."""
+    toks, i, n = [], 2, len(payload)
+    while len(toks) < 3 and i < n:
+        c = payload[i]
+        if c in b" \t\r\n":
+            i += 1
+        elif c == ord("#"):
+            while i < n and payload[i] not in b"\r\n":
+                i += 1
+        else:
+            j = i
+            while j < n and payload[j] not in b" \t\r\n":
+                j += 1
+            toks.append(int(payload[i:j]))
+            i = j
+    i += 1  # single whitespace byte after maxval
+    w, h, maxval = toks
+    if maxval > 255:
+        raise ValueError("16-bit PNM samples not supported")
+    ch = 3 if payload[:2] == b"P6" else 1
+    buf = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=i)
+    return buf.reshape(h, w, ch).astype(np.float32).mean(axis=2)
+
+
 class DecodeMedia:
     """Actor-pool decode stage. Small ``batch_size`` is mandatory: payload
     rows are megabytes at real scale — batch bytes, not row count, bound
@@ -154,31 +183,8 @@ class DecodeMedia:
         return out
 
     def _decode_pnm(self, payload: bytes):
-        """Binary PGM (P5) / PPM (P6): header tokens (with '#' comments),
-        then the raw sample buffer. Matches the P5 files the repo's
-        layout-overlay sink writes (stages/render.py)."""
-        toks, i, n = [], 2, len(payload)
-        while len(toks) < 3 and i < n:
-            c = payload[i]
-            if c in b" \t\r\n":
-                i += 1
-            elif c == ord("#"):
-                while i < n and payload[i] not in b"\r\n":
-                    i += 1
-            else:
-                j = i
-                while j < n and payload[j] not in b" \t\r\n":
-                    j += 1
-                toks.append(int(payload[i:j]))
-                i = j
-        i += 1  # single whitespace byte after maxval
-        w, h, maxval = toks
-        if maxval > 255:
-            raise ValueError("16-bit PNM samples not supported")
-        ch = 3 if payload[:2] == b"P6" else 1
-        buf = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=i)
-        img = buf.reshape(h, w, ch).astype(np.float32)
-        gray = img.mean(axis=2)  # P5: identity; P6: unweighted RGB mean
+        gray = decode_pnm_gray(payload)
+        h, w = gray.shape
         return w, h, 1, self._pooled_grid(gray)
 
     def _decode_wav(self, payload: bytes):

@@ -9,12 +9,14 @@ image-preprocessing module are per-actor state loaded ONCE in
 ``__init__``; ``__call__`` runs the per-ROI loop over a batch of
 (payload, boxes) rows.
 
-Neither tesseract nor cv2 exists in this container, so the engine import
-is gated: ``OcrRegions(fake=False)`` raises a clear error at construction
-(never mid-batch), and ``fake=True`` substitutes a deterministic
-payload+box-hash transcription — the plumbing (Arrow box-list decode,
-per-ROI loop, output layout, batch sizing for fat binary rows) is real and
-tested, and a real engine drops into ``_ocr_real``.
+Three backends: ``backend='glyph'`` is a REAL optical recognizer (pure
+numpy) for pages rendered in the module's 5x7 bitmap font — render +
+recognize round-trip exactly, pinned in tests; ``backend='tesseract'``
+is the arbitrary-raster path (pytesseract+cv2 absent in this container,
+so construction raises a clear error — never mid-batch); ``fake=True``
+substitutes a deterministic payload+box-hash transcription for
+plumbing-only tests. The plumbing (Arrow box-list decode, per-ROI loop,
+output layout, batch sizing for fat binary rows) is shared by all three.
 
 Input table schema::
 
@@ -58,6 +60,74 @@ OCR_OUTPUT_SCHEMA = pa.schema(
     ]
 )
 
+# --------------------------------------------------------------------------
+# 5x7 bitmap font + glyph OCR backend — a REAL optical recognizer for
+# pages rendered with this font (pure numpy, no engine libraries):
+# rendering writes glyph bitmaps into a PGM page, recognition crops the
+# ROI, segments the fixed 6x8 cell grid and matches each 5x7 cell
+# pattern against the font table. Round-trip exactness is pinned in
+# tests; tesseract remains the documented path for arbitrary rasters.
+
+_FONT_5X7 = {
+    "A": "01110 10001 10001 11111 10001 10001 10001",
+    "B": "11110 10001 10001 11110 10001 10001 11110",
+    "C": "01110 10001 10000 10000 10000 10001 01110",
+    "D": "11110 10001 10001 10001 10001 10001 11110",
+    "E": "11111 10000 10000 11110 10000 10000 11111",
+    "F": "11111 10000 10000 11110 10000 10000 10000",
+    "G": "01110 10001 10000 10111 10001 10001 01111",
+    "H": "10001 10001 10001 11111 10001 10001 10001",
+    "I": "01110 00100 00100 00100 00100 00100 01110",
+    "J": "00111 00010 00010 00010 00010 10010 01100",
+    "K": "10001 10010 10100 11000 10100 10010 10001",
+    "L": "10000 10000 10000 10000 10000 10000 11111",
+    "M": "10001 11011 10101 10101 10001 10001 10001",
+    "N": "10001 11001 10101 10011 10001 10001 10001",
+    "O": "01110 10001 10001 10001 10001 10001 01110",
+    "P": "11110 10001 10001 11110 10000 10000 10000",
+    "Q": "01110 10001 10001 10001 10101 10010 01101",
+    "R": "11110 10001 10001 11110 10100 10010 10001",
+    "S": "01111 10000 10000 01110 00001 00001 11110",
+    "T": "11111 00100 00100 00100 00100 00100 00100",
+    "U": "10001 10001 10001 10001 10001 10001 01110",
+    "V": "10001 10001 10001 10001 10001 01010 00100",
+    "W": "10001 10001 10001 10101 10101 11011 10001",
+    "X": "10001 01010 00100 00100 00100 01010 10001",
+    "Y": "10001 01010 00100 00100 00100 00100 00100",
+    "Z": "11111 00001 00010 00100 01000 10000 11111",
+    " ": "00000 00000 00000 00000 00000 00000 00000",
+}
+_CELL_W, _CELL_H = 6, 8  # 5x7 glyph + 1px spacing
+
+
+def _glyph_array(ch: str) -> np.ndarray:
+    rows = _FONT_5X7[ch].split(" ")
+    return np.array([[c == "1" for c in r] for r in rows], dtype=bool)
+
+
+def render_glyph_page(lines: list, pad: int = 4) -> tuple:
+    """Render text lines (A-Z + space) into a binary PGM page with the
+    5x7 font on a fixed 6x8 cell grid. Returns ``(pgm_bytes, boxes)``
+    with one pixel-exact box per line — the ground-truth layout a real
+    pipeline gets from its detector."""
+    lines = [ln.upper() for ln in lines]
+    w = pad * 2 + max((len(ln) for ln in lines), default=1) * _CELL_W
+    h = pad * 2 + len(lines) * (_CELL_H + 2)
+    img = np.zeros((h, w), dtype=np.uint8)
+    boxes = []
+    for li, ln in enumerate(lines):
+        y = pad + li * (_CELL_H + 2)
+        for ci, ch in enumerate(ln):
+            g = _glyph_array(ch if ch in _FONT_5X7 else " ")
+            x = pad + ci * _CELL_W
+            img[y: y + 7, x: x + 5][g] = 255
+        boxes.append(
+            {"x": pad, "y": y, "w": len(ln) * _CELL_W, "h": _CELL_H}
+        )
+    payload = b"P5\n%d %d\n255\n" % (w, h) + img.tobytes()
+    return payload, boxes
+
+
 _FAKE_VOCAB = (
     "signal sample region layer phase spectrum matrix vector charge beam "
     "probe sensor metric bound error noise control batch trial dose rate"
@@ -94,6 +164,42 @@ def synth_ocr_table(doc_ids, refs, boxes_per_page=3, seed: int = 17) -> pa.Table
     )
 
 
+def synth_glyph_ocr_table(doc_ids, refs, lines_per_page: int = 3, seed: int = 23):
+    """Deterministic 5x7-font pages: returns ``(ocr_jobs table, expected)``
+    where ``expected[(doc_id, box_index)]`` is the ground-truth line text
+    (uppercase) — the glyph backend must recover it EXACTLY."""
+    payloads, box_lists = [], []
+    expected = {}
+    for did, r in zip(doc_ids, refs):
+        rng = np.random.default_rng(
+            np.random.SeedSequence(
+                [seed, int.from_bytes(hashlib.md5(r.encode()).digest()[:4], "big")]
+            )
+        )
+        lines = [
+            " ".join(
+                _FAKE_VOCAB[i]
+                for i in rng.integers(0, len(_FAKE_VOCAB), int(rng.integers(2, 5)))
+            ).upper()
+            for _ in range(lines_per_page)
+        ]
+        payload, boxes = render_glyph_page(lines)
+        payloads.append(payload)
+        box_lists.append(boxes)
+        for i, ln in enumerate(lines):
+            expected[(did, i)] = ln
+    t = pa.Table.from_arrays(
+        [
+            pa.array(list(doc_ids), pa.string()),
+            pa.array(list(refs), pa.string()),
+            pa.array(payloads, pa.binary()),
+            pa.array(box_lists, pa.list_(_BOX_STRUCT)),
+        ],
+        schema=OCR_INPUT_SCHEMA,
+    )
+    return t, expected
+
+
 class OcrRegions:
     """Per-ROI OCR actor: engine + preprocessing loaded once per actor.
 
@@ -103,18 +209,25 @@ class OcrRegions:
     batch-bytes rule as stages.media.DecodeMedia).
     """
 
-    def __init__(self, fake: bool = False, lang: str = "eng"):
+    def __init__(self, fake: bool = False, lang: str = "eng", backend: str = None):
         self.fake = fake
         self.lang = lang
-        if not fake:
+        self.backend = backend or ("fake" if fake else "tesseract")
+        if self.backend == "glyph":
+            # per-actor warm engine: the compiled pattern->char table
+            # (real recognition for pages in the repo's 5x7 font)
+            self._templates = {
+                _glyph_array(ch).tobytes(): ch for ch in _FONT_5X7
+            }
+        elif self.backend == "tesseract":
             try:  # per-actor warm engine — the A2/A3 fix for v10A.R:20-31
                 import cv2  # noqa: F401
                 import pytesseract
             except ImportError as e:  # fail at construction, never mid-batch
                 raise NotImplementedError(
-                    "real OCR requires pytesseract+cv2, absent in this "
-                    "environment; construct OcrRegions(fake=True) for the "
-                    "plumbing path"
+                    "tesseract OCR requires pytesseract+cv2, absent in this "
+                    "environment; use backend='glyph' for real recognition "
+                    "of 5x7-font pages, or fake=True for the plumbing path"
                 ) from e
             self._engine = pytesseract
 
@@ -135,6 +248,23 @@ class OcrRegions:
         gray = cv2.cvtColor(roi, cv2.COLOR_BGR2GRAY)
         return self._engine.image_to_string(gray, lang=self.lang).strip()
 
+    def _ocr_glyph(self, payload: bytes, box: dict) -> str:
+        """REAL recognition for 5x7-font PGM pages: crop the ROI, walk the
+        6x8 cell grid, exact-match each 5x7 pattern against the font
+        table ('?' for unknown ink)."""
+        from .media import decode_pnm_gray
+
+        gray = decode_pnm_gray(payload)
+        x, y = int(box["x"]), int(box["y"])
+        roi = gray[y: y + int(box["h"]), x: x + int(box["w"])]
+        chars = []
+        for c in range(int(box["w"]) // _CELL_W):
+            cell = roi[0:7, c * _CELL_W: c * _CELL_W + 5] > 127
+            if cell.shape != (7, 5):
+                break
+            chars.append(self._templates.get(cell.tobytes(), "?"))
+        return "".join(chars).strip()
+
     def _ocr_fake(self, payload: bytes, box: dict) -> str:
         h = hashlib.blake2b(
             payload + bytes(str(sorted(box.items())), "utf-8"), digest_size=8
@@ -144,7 +274,11 @@ class OcrRegions:
         return " ".join(_FAKE_VOCAB[i] for i in rng.integers(0, len(_FAKE_VOCAB), n))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ocr = self._ocr_fake if self.fake else self._ocr_real
+        ocr = {
+            "fake": self._ocr_fake,
+            "glyph": self._ocr_glyph,
+            "tesseract": self._ocr_real,
+        }[self.backend]
         out = {k: [] for k in ("doc_id", "media_ref", "box_index", "x", "y", "w", "h", "text")}
         boxes_col = batch.column("boxes").to_pylist()
         for did, ref, payload, boxes in zip(
@@ -165,11 +299,14 @@ class OcrRegions:
         return pa.Table.from_pydict(out, schema=OCR_OUTPUT_SCHEMA)
 
 
-def ocr_pipeline(jobs_ds, fake: bool = True, concurrency=(1, 4), batch_size: int = 16):
+def ocr_pipeline(
+    jobs_ds, fake: bool = True, concurrency=(1, 4), batch_size: int = 16,
+    backend: str = None,
+):
     """ocr_jobs table -> one text row per (page, box)."""
     return jobs_ds.map_batches(
         OcrRegions,
-        fn_constructor_kwargs={"fake": fake},
+        fn_constructor_kwargs={"fake": fake, "backend": backend},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -1175,6 +1175,35 @@ def test_ocr_pipeline_fake_backend():
     )
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_ocr_glyph_backend_exact_roundtrip():
+    """The glyph backend is a REAL recognizer: pages rendered in the 5x7
+    font are optically recovered EXACTLY, per ROI, through the actor
+    pipeline; a hand-rendered single line checks the unit path."""
+    import ray
+
+    from pdf_extraction_tests_ray.stages.ocr import (
+        OcrRegions,
+        ocr_pipeline,
+        render_glyph_page,
+        synth_glyph_ocr_table,
+    )
+
+    # unit: render one line, recognize it back
+    payload, boxes = render_glyph_page(["HELLO WORLD"])
+    eng = OcrRegions(backend="glyph")
+    assert eng._ocr_glyph(payload, boxes[0]) == "HELLO WORLD"
+
+    # pipeline: every synthesized line recovered exactly
+    ids = [f"doc-{i}" for i in range(10)]
+    t, expected = synth_glyph_ocr_table(ids, [f"page://{i}" for i in range(10)])
+    out = ocr_pipeline(ray.data.from_arrow(t), backend="glyph").to_pandas()
+    assert len(out) == len(expected)
+    for _, r in out.iterrows():
+        assert r["text"] == expected[(r["doc_id"], r["box_index"])]
+    assert "?" not in "".join(out["text"])  # every glyph matched
+
+
 def test_ocr_real_engine_is_construction_gated():
     from pdf_extraction_tests_ray.stages.ocr import OcrRegions
 

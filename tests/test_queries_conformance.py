@@ -189,6 +189,7 @@ def test_query_matches_oracle(name, duck):
         "media_features",
         "media_decode_real",
         "media_ocr_regions",
+        "media_ocr_glyph",
     ],
 )
 def test_rows_only_queries_run(name):
