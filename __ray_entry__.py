@@ -1586,7 +1586,9 @@ def oracle_sql() -> dict[str, str]:
         # (REAL pure-numpy PGM/PPM/WAV parsing — hand-computed
         # dimensions/energies pinned in tests), media_ocr_glyph (REAL
         # glyph recognition over rendered 5x7-font pages — exact
-        # round-trip pinned in tests),
+        # round-trip pinned in tests), extract_ocr_backfill (extract ->
+        # rasterize figures -> glyph OCR -> co-partitioned span join;
+        # exact per-figure text + lossless join pinned in tests),
         # q_events_approx_distinct_users (blake2b HLL sketch — its <5%
         # error bound vs the ORACLED exact q_events_distinct_users is
         # pinned in tests), q_price_quantiles_tdigest (t-digest estimates

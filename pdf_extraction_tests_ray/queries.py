@@ -1683,6 +1683,65 @@ def media_ocr_glyph(sf_dir: str):
     return ocr_pipeline(ray.data.from_arrow(t), backend="glyph")
 
 
+def extract_ocr_backfill(sf_dir: str):
+    """End-to-end interleaved-document OCR backfill (rows-only: glyph
+    recognition over binary rasters is not SQL-expressible): extract the
+    corpus, rasterize one deterministic 5x7-font page per FIGURE
+    media_ref, optically recover the text with the glyph backend, and
+    join it back into the span stream keyed on (doc_id, media_ref) —
+    text spans pass through with ocr_text=''. The figure-ref collect is
+    the small side (O(figures) refs; at production scale the raster
+    pages come from the corpus itself, not a synthesizer)."""
+    import hashlib as _hl
+
+    from .stages.ocr import (
+        OCR_INPUT_SCHEMA,
+        _FAKE_VOCAB,
+        backfill_ocr_text,
+        ocr_pipeline,
+        render_glyph_page,
+    )
+
+    # materialized once: both the figure-ref collect and the join consume
+    # it, and an unmaterialized lineage would re-run the extraction twice
+    spans = extract_spans_flat(sf_dir).materialize()
+    figs = (
+        spans.map_batches(
+            lambda df: df.loc[df["kind"] == "figure", ["doc_id", "media_ref"]],
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .drop_duplicates()
+    )
+    doc_ids, refs, payloads, box_lists = [], [], [], []
+    for did, ref in zip(figs["doc_id"].tolist(), figs["media_ref"].tolist()):
+        rng = np.random.default_rng(
+            np.random.SeedSequence(
+                [31, int.from_bytes(_hl.md5(ref.encode()).digest()[:4], "big")]
+            )
+        )
+        line = " ".join(
+            _FAKE_VOCAB[i]
+            for i in rng.integers(0, len(_FAKE_VOCAB), int(rng.integers(2, 5)))
+        ).upper()
+        payload, boxes = render_glyph_page([line])
+        doc_ids.append(did)
+        refs.append(ref)
+        payloads.append(payload)
+        box_lists.append(boxes)
+    jobs = pa.Table.from_arrays(
+        [
+            pa.array(doc_ids, pa.string()),
+            pa.array(refs, pa.string()),
+            pa.array(payloads, pa.binary()),
+            pa.array(box_lists, OCR_INPUT_SCHEMA.field("boxes").type),
+        ],
+        schema=OCR_INPUT_SCHEMA,
+    )
+    ocr = ocr_pipeline(ray.data.from_arrow(jobs), backend="glyph")
+    return backfill_ocr_text(spans, ocr)
+
+
 def dedup_incremental(sf_dir: str):
     """Cross-job incremental dedup: the corpus arrives as two sequential
     crawl shards (doc_id below / at-or-above the midpoint), each deduped
@@ -2332,6 +2391,7 @@ QUERIES = {
     "media_features": media_features,
     "media_decode_real": media_decode_real,
     "media_ocr_glyph": media_ocr_glyph,
+    "extract_ocr_backfill": extract_ocr_backfill,
     "media_ocr_regions": media_ocr_regions,
     "dedup_incremental": dedup_incremental,
     "dedup_jaccard_pairs": dedup_jaccard_pairs,

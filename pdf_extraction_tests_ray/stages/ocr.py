@@ -299,6 +299,90 @@ class OcrRegions:
         return pa.Table.from_pydict(out, schema=OCR_OUTPUT_SCHEMA)
 
 
+def backfill_ocr_text(
+    spans: "object", ocr: "object", num_buckets: int = 64
+) -> "object":
+    """Join OCR transcriptions back into the extracted span stream — the
+    reference feeds its per-box OCR text into the document record
+    (v10A.R:139-160); here it is ONE bucketed co-partitioning merge keyed
+    on (doc_id, media_ref). The OCR side concatenates its per-box texts
+    in box_index order; spans whose key has no OCR rows (all plain text
+    spans — media_ref '') pass through with ``ocr_text=''``. No hot key:
+    the bucket hash includes doc_id, so ref-less spans spread by
+    document."""
+    import pandas as pd
+
+    from ..relational import bucketed_group_merge
+
+    def tag_spans(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(str),
+                "media_ref": df["media_ref"].astype(str),
+                "span_order": df["span_order"].astype("int64"),
+                "kind": df["kind"].astype(str),
+                "text": df["text"].astype(str),
+                "box_index": pd.Series([-1] * len(df), dtype="int64"),
+                "side": "s",
+            }
+        )
+
+    def tag_ocr(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(str),
+                "media_ref": df["media_ref"].astype(str),
+                "span_order": pd.Series([-1] * len(df), dtype="int64"),
+                "kind": "",
+                "text": df["text"].astype(str),
+                "box_index": df["box_index"].astype("int64"),
+                "side": "o",
+            }
+        )
+
+    import ray.data  # noqa: F401
+
+    both = spans.map_batches(tag_spans, batch_format="pandas").union(
+        ocr.map_batches(tag_ocr, batch_format="pandas")
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, sub in g.groupby(["doc_id", "media_ref"], sort=False):
+            o = sub[sub["side"] == "o"].sort_values("box_index")
+            otext = " ".join(o["text"].tolist())
+            s = sub[sub["side"] == "s"]
+            if len(s):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": s["doc_id"],
+                            "span_order": s["span_order"],
+                            "kind": s["kind"],
+                            "media_ref": s["media_ref"],
+                            "text": s["text"],
+                            "ocr_text": otext,
+                        }
+                    )
+                )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=str),
+                    "span_order": pd.Series([], dtype="int64"),
+                    "kind": pd.Series([], dtype=str),
+                    "media_ref": pd.Series([], dtype=str),
+                    "text": pd.Series([], dtype=str),
+                    "ocr_text": pd.Series([], dtype=str),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_group_merge(
+        both, ["doc_id", "media_ref"], merge, num_buckets=num_buckets
+    )
+
+
 def ocr_pipeline(
     jobs_ds, fake: bool = True, concurrency=(1, 4), batch_size: int = 16,
     backend: str = None,

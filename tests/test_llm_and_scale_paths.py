@@ -1204,6 +1204,41 @@ def test_ocr_glyph_backend_exact_roundtrip():
     assert "?" not in "".join(out["text"])  # every glyph matched
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_extract_ocr_backfill_joins_exact_text():
+    """extract -> rasterize figures -> glyph OCR -> backfill join: every
+    figure span carries the exact recovered line for its media_ref,
+    every other span carries '', and no span is lost in the join."""
+    import hashlib
+
+    import numpy as np
+
+    from pdf_extraction_tests_ray.queries import QUERIES, extract_spans_flat
+    from pdf_extraction_tests_ray.stages.ocr import _FAKE_VOCAB
+
+    sf = "/root/testdata/sf0.001"
+    flat = extract_spans_flat(sf).to_pandas()
+    out = QUERIES["extract_ocr_backfill"](sf).to_pandas()
+    assert len(out) == len(flat)
+
+    def expected_line(ref: str) -> str:
+        rng = np.random.default_rng(
+            np.random.SeedSequence(
+                [31, int.from_bytes(hashlib.md5(ref.encode()).digest()[:4], "big")]
+            )
+        )
+        return " ".join(
+            _FAKE_VOCAB[i]
+            for i in rng.integers(0, len(_FAKE_VOCAB), int(rng.integers(2, 5)))
+        ).upper()
+
+    figs = out[out["kind"] == "figure"]
+    assert len(figs) > 0
+    for _, r in figs.iterrows():
+        assert r["ocr_text"] == expected_line(r["media_ref"]), r["media_ref"]
+    assert (out.loc[out["kind"] != "figure", "ocr_text"] == "").all()
+
+
 def test_ocr_real_engine_is_construction_gated():
     from pdf_extraction_tests_ray.stages.ocr import OcrRegions
 

@@ -190,6 +190,7 @@ def test_query_matches_oracle(name, duck):
         "media_decode_real",
         "media_ocr_regions",
         "media_ocr_glyph",
+        "extract_ocr_backfill",
     ],
 )
 def test_rows_only_queries_run(name):
