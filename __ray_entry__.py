@@ -1580,6 +1580,8 @@ def oracle_sql() -> dict[str, str]:
         # Sennrich merges + concat round-trip pinned in tests),
         # doc_quality_scorer (6x6 matrix solve — closed-form equality
         # with numpy + bitwise layout invariance pinned in tests),
+        # doc_lm_perplexity (log/exp over a broadcast count dict —
+        # independent recount + bitwise invariance pinned in tests),
         # media_features / media_ocr_regions (binary payloads + fake
         # decode/OCR backends — the plumbing is real, compressed codecs
         # are the documented environmental stubs), media_decode_real

@@ -1315,6 +1315,17 @@ def doc_bpe_encode(sf_dir: str):
     return C.bpe_encode(docs, merges)
 
 
+def doc_lm_perplexity(sf_dir: str):
+    """Per-document perplexity under a corpus-trained add-k unigram LM —
+    the CCNet quality-ranking signal (rows-only: log/exp arithmetic over
+    a broadcast count dictionary; an independent Counter-based recount
+    and bitwise layout invariance are pinned in tests)."""
+    from .stages import curation as C
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return C.lm_perplexity(docs)
+
+
 def doc_quality_scorer(sf_dir: str):
     """Train a linear quality scorer on a weak label (lang == 'en') via
     exact integer-moment ridge regression and score every document
@@ -2372,6 +2383,7 @@ QUERIES = {
     "doc_corpus_stats": doc_corpus_stats,
     "doc_bpe_encode": doc_bpe_encode,
     "doc_quality_scorer": doc_quality_scorer,
+    "doc_lm_perplexity": doc_lm_perplexity,
     "doc_shuffle_order": doc_shuffle_order,
     "doc_train_split": doc_train_split,
     "doc_vocab_encode": doc_vocab_encode,

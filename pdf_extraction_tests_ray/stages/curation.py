@@ -617,6 +617,55 @@ def word_count_dict(docs: "ray.data.Dataset") -> pd.DataFrame:
     )
 
 
+def lm_perplexity(docs: "ray.data.Dataset", add_k: float = 0.5) -> "ray.data.Dataset":
+    """CCNet-style language-model quality signal: per-document perplexity
+    under an add-k-smoothed unigram LM trained on the corpus itself
+    (Wenzek et al. 2020 rank web text by LM perplexity; the unigram LM is
+    the engine-shaped stand-in for KenLM).
+
+    Two passes, both bounded: pass 1 is the distributed word-count
+    reduction (:func:`word_count_dict`, vocabulary-bounded driver
+    artifact, broadcast once); pass 2 streams the corpus computing each
+    doc's cross-entropy H = -(1/n) * sum log2((c_w + k) / (U + k(V+1)))
+    with unseen words at c_w = 0, ppl = 2^H. Deterministic and
+    layout-invariant: the per-doc loop always runs in document word
+    order over the same broadcast integer counts."""
+    import math
+
+    wc = word_count_dict(docs)
+    total = int(wc["n"].sum())
+    vocab_n = len(wc)
+    ref = ray.put(dict(zip(wc["word"].tolist(), (int(x) for x in wc["n"].tolist()))))
+
+    denom = float(total) + add_k * (vocab_n + 1)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        counts = ray.get(ref)
+        ids, ns, ppls = [], [], []
+        for did, t in zip(df["doc_id"].tolist(), df["text"].tolist()):
+            ws = [w for w in T.normalize_text(t).split(" ") if w]
+            if not ws:
+                ids.append(did)
+                ns.append(0)
+                ppls.append(float("nan"))
+                continue
+            h = 0.0
+            for w in ws:
+                h -= math.log2((counts.get(w, 0) + add_k) / denom)
+            ids.append(did)
+            ns.append(len(ws))
+            ppls.append(round(2.0 ** (h / len(ws)), 6))
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_tokens": pd.Series(ns, dtype="int64"),
+                "ppl": pd.Series(ppls, dtype="float64"),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
 _EOW = "</w>"  # Sennrich et al. 2016 end-of-word marker
 
 

@@ -709,6 +709,44 @@ def test_ridge_scorer_closed_form_layout_invariance_and_separation():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_lm_perplexity_matches_independent_recount():
+    """Per-doc perplexity vs a from-scratch Counter recount; repeated
+    exact docs score identically; layout invariance is bitwise."""
+    import math
+    from collections import Counter
+
+    import ray
+
+    from pdf_extraction_tests_ray.functions.text import normalize_text
+    from pdf_extraction_tests_ray.stages.curation import lm_perplexity
+
+    texts = ["the cat sat", "the cat sat", "dog runs fast here", "the the the", "zebra"]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+
+    c: Counter = Counter()
+    for t in texts:
+        c.update(w for w in normalize_text(t).split(" ") if w)
+    U, V, k = sum(c.values()), len(c), 0.5
+    denom = float(U) + k * (V + 1)
+
+    def want(t):
+        ws = [w for w in normalize_text(t).split(" ") if w]
+        h = 0.0
+        for w in ws:
+            h -= math.log2((c.get(w, 0) + k) / denom)
+        return round(2.0 ** (h / len(ws)), 6)
+
+    for parts in (2, 5):
+        out = lm_perplexity(ray.data.from_items(rows).repartition(parts)).to_pandas()
+        got = dict(zip(out["doc_id"], out["ppl"]))
+        for i, t in enumerate(texts):
+            assert got[i] == want(t), (parts, i)
+    assert got[0] == got[1]  # identical docs -> identical ppl
+    # the common-word doc is less perplexing than the rare-word doc
+    assert got[3] < got[4]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_bpe_train_and_encode():
     """BPE on the classic Sennrich corpus: the first merges are the
     hand-derivable ones; encoding round-trips (concatenation minus </w>

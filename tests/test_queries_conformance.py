@@ -183,6 +183,7 @@ def test_query_matches_oracle(name, duck):
         "doc_pack_sequences",
         "doc_bpe_encode",
         "doc_quality_scorer",
+        "doc_lm_perplexity",
         "q_events_approx_distinct_users",
         "q_price_quantiles_tdigest",
         "knn_ivf_indexed",
