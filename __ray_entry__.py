@@ -1020,6 +1020,18 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(n_chars, 0.99) AS p99
             FROM documents GROUP BY lang
         """,
+        # all-integer quantile_disc cutoffs -> exact range filter
+        "doc_length_outliers": """
+            WITH c AS (
+              SELECT source,
+                     quantile_disc(n_chars, 0.05) AS lo,
+                     quantile_disc(n_chars, 0.95) AS hi
+              FROM documents GROUP BY source
+            )
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d JOIN c ON d.source = c.source
+            WHERE d.n_chars >= c.lo AND d.n_chars <= c.hi
+        """,
         # word-13-gram overlap vs the doc_id%20==7 benchmark slice; grams
         # via inclusive list slices (w[i:i+12] is 13 words in DuckDB)
         "doc_decontaminate": _DECONTAM_SQL,

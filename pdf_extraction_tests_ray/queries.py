@@ -1477,6 +1477,35 @@ def doc_length_quantiles(sf_dir: str):
     return grouped_quantiles(docs, group="lang", col="n_chars", qs=(0.5, 0.9, 0.99))
 
 
+def doc_length_outliers(sf_dir: str):
+    """Per-source length-outlier filter: keep documents whose n_chars
+    falls inside the source's EXACT [p5, p95] (quantile_disc cutoffs via
+    the mergeable-histogram operator — all-integer, so the filter is
+    bit-reproducible). The cutoff table is one row per source (bounded
+    registry), broadcast once; the corpus streams through the range
+    check with no second shuffle."""
+    from .relational import grouped_quantiles
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    cuts = grouped_quantiles(
+        docs, group="source", col="n_chars", qs=(0.05, 0.95)
+    ).to_pandas()
+    ref = ray.put(
+        {
+            s: (int(lo), int(hi))
+            for s, lo, hi in zip(cuts["source"], cuts["p5"], cuts["p95"])
+        }
+    )
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        cut = ray.get(ref)
+        lo = df["source"].map(lambda s: cut[s][0])
+        hi = df["source"].map(lambda s: cut[s][1])
+        return df[(df["n_chars"] >= lo) & (df["n_chars"] <= hi)]
+
+    return docs.map_batches(keep, batch_format="pandas")
+
+
 def curation_pipeline(sf_dir: str):
     """The full curation composite: hold out the doc_id%20==7 benchmark,
     then quality filter -> exact dedup (keep min doc_id among survivors)
@@ -2384,6 +2413,7 @@ QUERIES = {
     "doc_bpe_encode": doc_bpe_encode,
     "doc_quality_scorer": doc_quality_scorer,
     "doc_lm_perplexity": doc_lm_perplexity,
+    "doc_length_outliers": doc_length_outliers,
     "doc_shuffle_order": doc_shuffle_order,
     "doc_train_split": doc_train_split,
     "doc_vocab_encode": doc_vocab_encode,

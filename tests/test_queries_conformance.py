@@ -125,6 +125,7 @@ def _to_pandas(res):
         "doc_decontaminate_bloom",
         "curation_pipeline",
         "doc_length_quantiles",
+        "doc_length_outliers",
         "doc_token_deciles",
         "doc_bigram_pmi",
         "doc_corpus_stats",
