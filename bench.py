@@ -84,6 +84,16 @@ QUERY_SUITE = [
     "dedup_semantic",
     "dedup_fuzzy_names",
     "emb_pca_project",
+    # final round-2 session additions
+    "dedup_minhash_apply",
+    "doc_bigram_pmi",
+    "doc_corpus_stats",
+    "doc_bpe_encode",
+    "doc_quality_scorer",
+    "doc_lm_perplexity",
+    "doc_length_outliers",
+    "emb_quantize_int8",
+    "media_ocr_glyph",
 ]
 
 
