@@ -243,15 +243,30 @@ def run_bench() -> dict:
     return result
 
 
-def _host_tasks_per_sec(n_procs: int = 16, n_tasks: int = 32) -> float:
-    """Plain-multiprocessing regex throughput (no Ray): the
-    silicon-of-the-hour control for every timing in this output."""
+def _pool_tasks_elapsed(n_procs: int, n_tasks: int, timeout: float = 180.0):
+    """Time Pool-create + map of the control tasks (same semantics as the
+    historical control numbers). fork-based pools can deadlock sporadically
+    when a worker inherits a locked lock — observed once on this host, the
+    map never returns — so the wait is bounded and retried once; None
+    after two hangs (callers emit null rather than blocking the bench)."""
     import multiprocessing as mp
 
-    t0 = time.perf_counter()
-    with mp.Pool(n_procs) as p:
-        p.map(_control_task, range(n_tasks))
-    return round(n_tasks / (time.perf_counter() - t0), 1)
+    for _ in range(2):
+        t0 = time.perf_counter()
+        with mp.Pool(n_procs) as p:
+            try:
+                p.map_async(_control_task, range(n_tasks)).get(timeout=timeout)
+                return time.perf_counter() - t0
+            except mp.TimeoutError:
+                p.terminate()
+    return None
+
+
+def _host_tasks_per_sec(n_procs: int = 16, n_tasks: int = 32):
+    """Plain-multiprocessing regex throughput (no Ray): the
+    silicon-of-the-hour control for every timing in this output."""
+    el = _pool_tasks_elapsed(n_procs, n_tasks)
+    return round(n_tasks / el, 1) if el else None
 
 
 def _control_task(_):
@@ -285,21 +300,21 @@ def run_scaling():
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def host_control(lo: int, hi: int) -> float:
+    def host_control(lo: int, hi: int):
         """Raw-CPU lo->hi efficiency (plain multiprocessing regex work, no
         Ray) measured the SAME hour — the silicon ceiling this shared host
-        offers right now. Engine efficiency should be read against it."""
-        import multiprocessing as mp
-        import re as _re
+        offers right now. Engine efficiency should be read against it.
+        None if the (hang-guarded) control pools failed twice."""
 
-        def tput(n: int) -> float:
-            t0 = time.perf_counter()
-            with mp.Pool(n) as p:
-                p.map(_control_task, range(n * 2))
-            return (n * 2) / (time.perf_counter() - t0)
+        def tput(n: int):
+            el = _pool_tasks_elapsed(n, n * 2)
+            return (n * 2) / el if el else None
 
         tput(lo)  # warm the pool-fork path
-        return (tput(hi) / tput(lo)) / (hi / lo)
+        t_hi, t_lo = tput(hi), tput(lo)
+        if not t_hi or not t_lo:
+            return None
+        return (t_hi / t_lo) / (hi / lo)
 
     pair = os.environ.get("GRAFT_SCALING_PAIR", "4,16")
     lo, hi = (int(x) for x in pair.split(","))
@@ -327,7 +342,7 @@ def run_scaling():
                 f"docs_per_sec_{lo}": round(tput_lo, 2),
                 f"docs_per_sec_{hi}": round(tput_hi, 2),
                 "scaling_efficiency": round(eff, 3),
-                "host_control_efficiency": round(control, 3),
+                "host_control_efficiency": round(control, 3) if control else None,
                 "sf": SF_DIR,
             }
         )
