@@ -743,6 +743,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                        AS UBIGINT) % 20 = 0
         """,
+        # A-Res priority shares queries.doc_weighted_sample's exact double
+        # expression: u = (48-bit md5 prefix + 1)/2^48, pow(u, 1/max(w,1))
+        "doc_weighted_sample": """
+            SELECT doc_id, lang, n_chars FROM (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (
+                       ORDER BY pow(
+                         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                               AS UBIGINT) + 1) / 281474976710656.0,
+                         1.0 / greatest(n_chars, 1)) DESC,
+                       doc_id
+                     ) AS rn
+              FROM documents
+            ) WHERE rn <= 50
+        """,
         "doc_token_counts": f"""
             SELECT doc_id, length({_WORDS}) AS n_tokens_ws FROM documents
         """,

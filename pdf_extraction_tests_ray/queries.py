@@ -1538,6 +1538,41 @@ def doc_hash_sample(sf_dir: str):
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+def doc_weighted_sample(sf_dir: str):
+    """Weighted reservoir sample (Efraimidis-Spirakis A-Res) made
+    deterministic and engine-reproducible: the per-row uniform is derived
+    from md5(doc_id) (48-bit prefix, never 0), priority = u^(1/w) with
+    w = n_chars, keep the global top-50 priorities. Streaming shape: each
+    batch ships only its local top-50 (k rows per block), the driver
+    finishes on the bounded candidate set. The SQL oracle computes the
+    identical double expression, so selection and hash agree exactly."""
+    import hashlib
+
+    K = 50
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        u = np.array(
+            [
+                (int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16) + 1)
+                / 281474976710656.0
+                for i in df["doc_id"].tolist()
+            ]
+        )
+        w = np.maximum(df["n_chars"].to_numpy().astype(np.float64), 1.0)
+        df = df.assign(_key=u ** (1.0 / w))
+        return df.sort_values(["_key", "doc_id"], ascending=[False, True]).head(K)
+
+    cand = ds.map_batches(local_top, batch_format="pandas").to_pandas()
+    out = (
+        cand.sort_values(["_key", "doc_id"], ascending=[False, True], kind="stable")
+        .head(K)
+        .drop(columns=["_key"])
+        .reset_index(drop=True)
+    )
+    return ray.data.from_pandas(out)
+
+
 # --------------------------------------------------------------------------
 # documents: text analysis
 
@@ -2414,6 +2449,7 @@ QUERIES = {
     "doc_quality_scorer": doc_quality_scorer,
     "doc_lm_perplexity": doc_lm_perplexity,
     "doc_length_outliers": doc_length_outliers,
+    "doc_weighted_sample": doc_weighted_sample,
     "doc_shuffle_order": doc_shuffle_order,
     "doc_train_split": doc_train_split,
     "doc_vocab_encode": doc_vocab_encode,

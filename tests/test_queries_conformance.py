@@ -116,6 +116,7 @@ def _to_pandas(res):
         "q_customers_with_urgent_orders",
         "q_customers_with_urgent_orders_bloom",
         "doc_hash_sample",
+        "doc_weighted_sample",
         "doc_weighted_mix",
         "doc_weighted_mix_tokens",
         "doc_top_terms_approx",
