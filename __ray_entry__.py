@@ -1609,6 +1609,9 @@ def oracle_sql() -> dict[str, str]:
         # with numpy + bitwise layout invariance pinned in tests),
         # doc_lm_perplexity (log/exp over a broadcast count dict —
         # independent recount + bitwise invariance pinned in tests),
+        # doc_pagerank (iterative float propagation — numpy
+        # power-iteration oracle + distributed/local twin equality
+        # pinned in tests),
         # media_features / media_ocr_regions (binary payloads + fake
         # decode/OCR backends — the plumbing is real, compressed codecs
         # are the documented environmental stubs), media_decode_real

@@ -1921,6 +1921,22 @@ def dedup_minhash_apply(sf_dir: str):
     )
 
 
+def doc_pagerank(sf_dir: str):
+    """Document centrality in the near-duplicate overlap graph: PageRank
+    (10 power iterations) over the exact word-Jaccard>=0.8 pair list.
+    The pair list is the small side by the verified-dedup contract, so
+    the iteration runs driver-side (pagerank_local); the distributed
+    twin (stages.dedup.pagerank, 2 bucketed all-to-alls per iteration)
+    covers pair lists beyond one machine and is pinned equal in tests
+    (rows-only: iterative float propagation; an independent numpy power
+    iteration and layout invariance are also pinned)."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    pairs = D.ngram_jaccard_pairs(docs, n=1, threshold=0.8).select_columns(
+        ["doc_a", "doc_b"]
+    )
+    return D.pagerank_local(pairs, iters=10)
+
+
 def dedup_minhash(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return D.minhash_lsh_pairs(ds, threshold=0.6)
@@ -2450,6 +2466,7 @@ QUERIES = {
     "doc_lm_perplexity": doc_lm_perplexity,
     "doc_length_outliers": doc_length_outliers,
     "doc_weighted_sample": doc_weighted_sample,
+    "doc_pagerank": doc_pagerank,
     "doc_shuffle_order": doc_shuffle_order,
     "doc_train_split": doc_train_split,
     "doc_vocab_encode": doc_vocab_encode,

@@ -290,6 +290,178 @@ def duplicate_clusters_distributed(
     )
 
 
+def pagerank_local(
+    pairs: "ray.data.Dataset", damping: float = 0.85, iters: int = 10
+) -> "ray.data.Dataset":
+    """PageRank over an undirected pair list, iterated DRIVER-SIDE: the
+    pair list is the verified-dedup output — small by the same contract
+    as :func:`duplicate_clusters` — so the power iteration runs on a
+    driver adjacency structure (sparse accumulate per iteration). When
+    the pair list outgrows one machine, :func:`pagerank` is the
+    distributed twin with the identical output contract (equality is
+    pinned in tests). Output: (doc_id, rank round 6), sorted."""
+    pdf = pairs.to_pandas()
+    nodes = sorted(set(pdf["doc_a"]).union(pdf["doc_b"]))
+    if not nodes:
+        return ray.data.from_pandas(
+            pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "rank": pd.Series([], dtype="float64")})
+        )
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    src = np.array(
+        [idx[a] for a in pdf["doc_a"]] + [idx[b] for b in pdf["doc_b"]], dtype=np.int64
+    )
+    dst = np.array(
+        [idx[b] for b in pdf["doc_b"]] + [idx[a] for a in pdf["doc_a"]], dtype=np.int64
+    )
+    # canonical edge order: deterministic float accumulation
+    order = np.lexsort((src, dst))
+    src, dst = src[order], dst[order]
+    deg = np.bincount(src, minlength=n).astype(np.float64)
+    r = np.full(n, 1.0 / n)
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        contrib = r[src] / deg[src]
+        r = base + damping * np.bincount(dst, weights=contrib, minlength=n)
+    return ray.data.from_pandas(
+        pd.DataFrame({"doc_id": nodes, "rank": np.round(r, 6)})
+    )
+
+
+def pagerank(
+    pairs: "ray.data.Dataset",
+    damping: float = 0.85,
+    iters: int = 10,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Distributed PageRank over an undirected pair list (e.g. the
+    shared-ngram overlap graph): document centrality in the duplication/
+    overlap graph — the harmonic-centrality-style quality prior web
+    curation pipelines use. Fixed ``iters`` power iterations; each one is
+    ONE bucketed merge shipping rank/degree contributions along edges
+    (the same shuffle shape as :func:`duplicate_clusters_distributed`).
+    This is the PAIR-LIST-DOESN'T-FIT-ONE-MACHINE path; fixed per-shuffle
+    costs make :func:`pagerank_local` the right call at query scale
+    (same output, pinned equal in tests).
+
+    Deterministic across block layouts: every contribution sum runs over
+    rows canonically sorted by source node before the groupby (float
+    addition is order-dependent; the stable sort pins the order), so
+    results are bitwise reproducible. Nodes outside the pair list have
+    rank (1-d)/N trivially and are excluded by construction."""
+    from ..relational import bucketed_group_merge
+
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": pd.concat([df["doc_a"], df["doc_b"]], ignore_index=True),
+                "dst": pd.concat([df["doc_b"], df["doc_a"]], ignore_index=True),
+            }
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pandas").materialize()
+
+    # out-degrees (and the node set) — one bucketed count merge
+    deg = bucketed_group_merge(
+        edges.map_batches(
+            lambda df: df.groupby("src", sort=False).size().rename("deg").reset_index(),
+            batch_format="pandas",
+        ),
+        ["src"],
+        lambda df: df.groupby("src", sort=False).agg(deg=("deg", "sum")).reset_index(),
+        num_buckets=num_buckets,
+    ).materialize()
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "rank": pd.Series([], dtype="float64")})
+        )
+    base = (1.0 - damping) / n_nodes
+
+    # ranks start uniform; carry deg alongside to avoid a per-iter join
+    ranks = deg.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["src"], "rank": 1.0 / n_nodes, "deg": df["deg"]}
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    for _ in range(iters):
+        # tag rank rows and edge rows, co-locate by source node, emit
+        # (dst, contribution); then sum contributions per dst — both
+        # merges sort canonically before summing (bitwise determinism)
+        lab = ranks.map_batches(
+            lambda df: pd.DataFrame(
+                {"key": df["node"], "dst": df["node"], "val": df["rank"] / df["deg"],
+                 "is_edge": np.int8(0)}
+            ),
+            batch_format="pandas",
+        )
+        edg = edges.map_batches(
+            lambda df: pd.DataFrame(
+                {"key": df["src"], "dst": df["dst"], "val": -1.0,
+                 "is_edge": np.int8(1)}
+            ),
+            batch_format="pandas",
+        )
+
+        def scatter(g: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for key, sub in g.sort_values(["key", "dst"], kind="stable").groupby(
+                "key", sort=True
+            ):
+                contrib = sub.loc[sub["is_edge"] == 0, "val"]
+                if contrib.empty:
+                    continue
+                c = float(contrib.iloc[0])
+                targets = sub.loc[sub["is_edge"] == 1, "dst"]
+                out.append(
+                    pd.DataFrame({"dst": targets, "c": c, "src": key, "deg": -1})
+                )
+            if not out:
+                return pd.DataFrame({"dst": [], "c": [], "src": [], "deg": []})
+            return pd.concat(out, ignore_index=True)
+
+        contribs = bucketed_group_merge(
+            lab.union(edg), ["key"], scatter, num_buckets=num_buckets
+        )
+        # fold the deg/rank rebuild into the gather merge: deg rows ride
+        # the same shuffle (2 all-to-alls per iteration, not 3)
+        deg_rows = deg.map_batches(
+            lambda df: pd.DataFrame(
+                {"dst": df["src"], "c": 0.0, "src": -1, "deg": df["deg"]}
+            ),
+            batch_format="pandas",
+        )
+
+        def gather(g: pd.DataFrame) -> pd.DataFrame:
+            out = {"node": [], "rank": [], "deg": []}
+            for node, sub in g.sort_values(["dst", "src"], kind="stable").groupby(
+                "dst", sort=True
+            ):
+                d = sub.loc[sub["deg"] >= 0, "deg"]
+                if d.empty:
+                    continue
+                in_sum = float(sub.loc[sub["deg"] < 0, "c"].sum())  # canonical order
+                out["node"].append(node)
+                out["rank"].append(base + damping * in_sum)
+                out["deg"].append(int(d.iloc[0]))
+            return pd.DataFrame(out)
+
+        ranks = bucketed_group_merge(
+            contribs.union(deg_rows), ["dst"], gather, num_buckets=num_buckets
+        ).materialize()
+
+    return ranks.map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": df["node"], "rank": np.round(df["rank"], 6)}
+        ).sort_values("doc_id"),
+        batch_format="pandas",
+    )
+
+
 def duplicate_keep_map(docs: "ray.data.Dataset") -> dict:
     """``text_md5 -> keep_doc_id`` for texts with ``dup_count > 1`` ONLY.
 

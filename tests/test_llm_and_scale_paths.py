@@ -527,6 +527,55 @@ def test_distributed_label_propagation_matches_union_find():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_pagerank_matches_numpy_power_iteration():
+    """Distributed PageRank vs an independent dense numpy power iteration
+    on the same undirected graph; bitwise layout invariance; rank mass
+    conservation."""
+    import numpy as np
+    import ray
+
+    from pdf_extraction_tests_ray.stages.dedup import pagerank
+
+    # two components: a triangle-with-tail and an edge
+    E = [(0, 1), (1, 2), (2, 0), (2, 3), (10, 11)]
+    rows = [{"doc_a": a, "doc_b": b} for a, b in E]
+    nodes = sorted({x for e in E for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    adj = np.zeros((n, n))
+    for a, b in E:
+        adj[idx[a], idx[b]] = adj[idx[b], idx[a]] = 1.0
+    deg = adj.sum(axis=1)
+    d = 0.85
+    r = np.full(n, 1.0 / n)
+    for _ in range(5):
+        r = (1 - d) / n + d * (adj.T @ (r / deg))
+
+    got = (
+        pagerank(ray.data.from_items(rows).repartition(4), iters=5)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert got["doc_id"].tolist() == nodes
+    assert np.allclose(got["rank"], np.round(r, 6), atol=2e-6)
+    assert abs(got["rank"].sum() - 1.0) < 1e-4  # mass conserved (round-6)
+
+    # the driver-side twin must agree with the distributed path AND be
+    # layout-invariant (canonical edge order)
+    from pdf_extraction_tests_ray.stages.dedup import pagerank_local
+
+    loc = {}
+    for parts in (1, 5):
+        loc[parts] = (
+            pagerank_local(ray.data.from_items(rows).repartition(parts), iters=5)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert np.allclose(loc[parts]["rank"], got["rank"], atol=2e-6)
+    assert loc[1]["rank"].tolist() == loc[5]["rank"].tolist()  # bitwise
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_apply_neardup_dedup_keeps_one_per_component():
     """End-to-end near-dup apply: survivors = every unpaired doc + the
     min-id member of each connected component, on both the driver

@@ -184,6 +184,7 @@ def test_query_matches_oracle(name, duck):
         "knn_ivf",
         "doc_pack_sequences",
         "doc_bpe_encode",
+        "doc_pagerank",
         "doc_quality_scorer",
         "doc_lm_perplexity",
         "q_events_approx_distinct_users",
