@@ -61,8 +61,7 @@ def quality_features(s: str) -> tuple[int, float, float, float]:
     n_chars = len(t)
     punct_ratio = punct_char_count(t) / n_chars if n_chars else 0.0
     avg_word_len = nonspace_char_count(t) / n_words if n_words else 0.0
-    stop = sum(1 for w in words if w.lower() in _EN_STOP)
-    stopword_ratio = stop / n_words if n_words else 0.0
+    stopword_ratio = stopword_count(s) / n_words if n_words else 0.0
     return n_words, punct_ratio, avg_word_len, stopword_ratio
 
 

@@ -680,36 +680,55 @@ def train_bpe(docs: "ray.data.Dataset", num_merges: int = 100) -> list:
 
     Returns the ordered merge list ``[(left, right), ...]``. Words are
     char sequences with a trailing ``</w>`` symbol."""
+    from collections import Counter, defaultdict
+
     wc = word_count_dict(docs)
-    words = {
-        tuple(list(w) + [_EOW]): int(n)
-        for w, n in zip(wc["word"].tolist(), wc["n"].tolist())
-    }
+    # word table by id; incremental pair counts + pair -> word-id index so
+    # each merge touches only the words that CONTAIN the merged pair
+    # (full recounts would cost O(num_merges * vocab * word_len))
+    syms = [tuple(list(w) + [_EOW]) for w in wc["word"].tolist()]
+    cnts = [int(n) for n in wc["n"].tolist()]
+    pair_counts: Counter = Counter()
+    pair_words: dict = defaultdict(set)
+    for i, (sym, n) in enumerate(zip(syms, cnts)):
+        for p in zip(sym, sym[1:]):
+            pair_counts[p] += n
+            pair_words[p].add(i)
+
+    def merge_word(sym: tuple, a: str, b: str, merged: str) -> tuple:
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        return tuple(out)
+
     merges: list = []
     for _ in range(num_merges):
-        from collections import Counter
-
-        pairs: Counter = Counter()
-        for sym, n in words.items():
-            for a, b in zip(sym, sym[1:]):
-                pairs[(a, b)] += n
-        if not pairs:
+        if not pair_counts:
             break
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         merges.append(best)
         merged = best[0] + best[1]
-        new_words: dict = {}
-        for sym, n in words.items():
-            out, i = [], 0
-            while i < len(sym):
-                if i + 1 < len(sym) and sym[i] == best[0] and sym[i + 1] == best[1]:
-                    out.append(merged)
-                    i += 2
+        for i in list(pair_words[best]):
+            old, n = syms[i], cnts[i]
+            new = merge_word(old, best[0], best[1], merged)
+            for p in zip(old, old[1:]):
+                pair_counts[p] -= n
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+                    pair_words.pop(p, None)
                 else:
-                    out.append(sym[i])
-                    i += 1
-            new_words[tuple(out)] = new_words.get(tuple(out), 0) + n
-        words = new_words
+                    pw = pair_words.get(p)
+                    if pw is not None:
+                        pw.discard(i)
+            for p in zip(new, new[1:]):
+                pair_counts[p] += n
+                pair_words[p].add(i)
+            syms[i] = new
     return merges
 
 

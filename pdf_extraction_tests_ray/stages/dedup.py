@@ -147,6 +147,19 @@ def shared_ngram_pairs(
     )
 
 
+def _undirected_edges(
+    df: pd.DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> pd.DataFrame:
+    """Expand a (doc_a, doc_b) pair batch into both edge directions —
+    shared by the distributed components and PageRank passes."""
+    return pd.DataFrame(
+        {
+            src_col: pd.concat([df["doc_a"], df["doc_b"]], ignore_index=True),
+            dst_col: pd.concat([df["doc_b"], df["doc_a"]], ignore_index=True),
+        }
+    )
+
+
 def duplicate_clusters(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
     """Connected components over a near-duplicate PAIR list:
     (doc_id, cluster_id) with cluster_id = min doc_id in the component —
@@ -160,6 +173,15 @@ def duplicate_clusters(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
     iterated min-label-propagation joins; the output contract stays.
     Deterministic: min-id labels, sorted output."""
     pdf = pairs.to_pandas()
+    # Ray drops the schema of zero-row blocks: an empty pair list arrives
+    # as a column-less frame — the dup-free-corpus case, not an error
+    if pdf.empty or "doc_a" not in pdf.columns:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "cluster_id": pd.Series([], dtype="int64")}
+            )
+        )
     parent: dict = {}
 
     def find(x):
@@ -198,18 +220,21 @@ def duplicate_clusters_distributed(
     are shallow (dup groups, not social graphs), so this converges in a
     handful of rounds; ``max_iters`` guards pathological chains.
     """
+    import functools
+
     from ..relational import bucketed_group_merge
 
-    # undirected edge list, both directions: (v, u)
-    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "v": pd.concat([df["doc_a"], df["doc_b"]], ignore_index=True),
-                "u": pd.concat([df["doc_b"], df["doc_a"]], ignore_index=True),
-            }
+    edges = pairs.map_batches(
+        functools.partial(_undirected_edges, src_col="v", dst_col="u"),
+        batch_format="pandas",
+    ).materialize()
+    if edges.count() == 0:  # dup-free corpus: no components to label
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "cluster_id": pd.Series([], dtype="int64")}
+            )
         )
-
-    edges = pairs.map_batches(both_dirs, batch_format="pandas").materialize()
 
     # labels: every node starts as its own label
     labels = bucketed_group_merge(
@@ -298,10 +323,18 @@ def pagerank_local(
     as :func:`duplicate_clusters` — so the power iteration runs on a
     driver adjacency structure (sparse accumulate per iteration). When
     the pair list outgrows one machine, :func:`pagerank` is the
-    distributed twin with the identical output contract (equality is
-    pinned in tests). Output: (doc_id, rank round 6), sorted."""
+    distributed twin with the identical output contract (agreement
+    within float-summation tolerance — the two paths accumulate in
+    different orders — is pinned in tests). Output: (doc_id, rank round
+    6), sorted."""
     pdf = pairs.to_pandas()
-    nodes = sorted(set(pdf["doc_a"]).union(pdf["doc_b"]))
+    # zero-row blocks lose their schema: an empty pair list arrives
+    # column-less, so guard before touching doc_a/doc_b
+    nodes = (
+        []
+        if pdf.empty or "doc_a" not in pdf.columns
+        else sorted(set(pdf["doc_a"]).union(pdf["doc_b"]))
+    )
     if not nodes:
         return ray.data.from_pandas(
             pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
@@ -352,15 +385,7 @@ def pagerank(
     rank (1-d)/N trivially and are excluded by construction."""
     from ..relational import bucketed_group_merge
 
-    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "src": pd.concat([df["doc_a"], df["doc_b"]], ignore_index=True),
-                "dst": pd.concat([df["doc_b"], df["doc_a"]], ignore_index=True),
-            }
-        )
-
-    edges = pairs.map_batches(both_dirs, batch_format="pandas").materialize()
+    edges = pairs.map_batches(_undirected_edges, batch_format="pandas").materialize()
 
     # out-degrees (and the node set) — one bucketed count merge
     deg = bucketed_group_merge(
@@ -546,7 +571,13 @@ def apply_neardup_dedup(
         lambda df: df.loc[df["doc_id"] != df["cluster_id"], ["doc_id"]],
         batch_format="pandas",
     ).to_pandas()
-    drop_ref = ray.put(frozenset(drop_df["doc_id"].tolist()))
+    # empty drop set -> column-less frame (zero-row blocks lose schema)
+    drop = (
+        frozenset()
+        if drop_df.empty or "doc_id" not in drop_df.columns
+        else frozenset(drop_df["doc_id"].tolist())
+    )
+    drop_ref = ray.put(drop)
 
     class DropNearDuplicates:
         def __init__(self, ref):

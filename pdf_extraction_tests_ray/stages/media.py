@@ -192,13 +192,14 @@ class DecodeMedia:
         channel; (width, height) carry (channels, sample_rate); feature =
         RMS energy of 16 equal segments, normalized to [0,1]."""
         pos, n = 12, len(payload)
-        channels = rate = bits = None
+        channels = rate = bits = fmt_code = None
         data = None
         while pos + 8 <= n:
             cid = payload[pos: pos + 4]
             size = int.from_bytes(payload[pos + 4: pos + 8], "little")
             body = payload[pos + 8: pos + 8 + size]
             if cid == b"fmt ":
+                fmt_code = int.from_bytes(body[0:2], "little")
                 channels = int.from_bytes(body[2:4], "little")
                 rate = int.from_bytes(body[4:8], "little")
                 bits = int.from_bytes(body[14:16], "little")
@@ -207,6 +208,11 @@ class DecodeMedia:
             pos += 8 + size + (size & 1)  # chunks are word-aligned
         if channels is None or data is None:
             raise ValueError("WAV payload missing fmt/data chunks")
+        if fmt_code != 1:
+            # ADPCM/extensible/etc. data would silently misdecode as PCM
+            raise ValueError(
+                f"only WAVE_FORMAT_PCM (1) supported, got format {fmt_code}"
+            )
         if bits != 16:
             raise ValueError(f"only PCM16 WAV supported, got {bits}-bit")
         samples = np.frombuffer(data, dtype="<i2")

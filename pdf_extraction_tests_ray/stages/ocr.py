@@ -213,6 +213,13 @@ class OcrRegions:
         self.fake = fake
         self.lang = lang
         self.backend = backend or ("fake" if fake else "tesseract")
+        if self.backend not in ("fake", "glyph", "tesseract"):
+            # fail at construction, never mid-batch — same contract as
+            # the missing-engine gate below
+            raise ValueError(
+                f"unknown OCR backend {self.backend!r}: expected 'fake', "
+                "'glyph' or 'tesseract'"
+            )
         if self.backend == "glyph":
             # per-actor warm engine: the compiled pattern->char table
             # (real recognition for pages in the repo's 5x7 font)

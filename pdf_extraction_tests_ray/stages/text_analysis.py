@@ -143,8 +143,10 @@ def corpus_stats(docs: "ray.data.Dataset") -> "ray.data.Dataset":
                 "sumsq_chars": pd.Series([sum(c * c for c in chars)], dtype="int64"),
                 "min_chars": pd.Series([min(chars)], dtype="int64"),
                 "max_chars": pd.Series([max(chars)], dtype="int64"),
-                "langs": [",".join(sorted(set(df["lang"].tolist())))],
-                "sources": [",".join(sorted(set(df["source"].tolist())))],
+                # \x1f (unit separator) cannot appear in a label the way
+                # a comma can ('web,news' must stay one source)
+                "langs": ["\x1f".join(sorted(set(df["lang"].tolist())))],
+                "sources": ["\x1f".join(sorted(set(df["source"].tolist())))],
             }
         )
 
@@ -157,9 +159,9 @@ def corpus_stats(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     langs: set = set()
     sources: set = set()
     for ls in p["langs"].tolist():
-        langs.update(x for x in ls.split(",") if x)
+        langs.update(x for x in ls.split("\x1f") if x)
     for ss in p["sources"].tolist():
-        sources.update(x for x in ss.split(",") if x)
+        sources.update(x for x in ss.split("\x1f") if x)
     import numpy as np
 
     avg_chars = round(float(sc) / n, 6)

@@ -576,6 +576,62 @@ def test_pagerank_matches_numpy_power_iteration():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_empty_pair_list_paths_are_noops():
+    """Zero-row pair datasets lose their schema in Ray; the dup-free
+    corpus must flow through every consumer as a no-op, not a KeyError:
+    clusters (both paths), near-dup apply (both paths), pagerank twins."""
+    import ray
+
+    from pdf_extraction_tests_ray.stages.dedup import (
+        apply_neardup_dedup,
+        duplicate_clusters,
+        duplicate_clusters_distributed,
+        pagerank,
+        pagerank_local,
+    )
+
+    docs = ray.data.from_items([{"doc_id": i, "text": f"t{i}"} for i in range(6)])
+    empty = ray.data.from_items(
+        [{"doc_a": 0, "doc_b": 1}]
+    ).filter(lambda r: False)
+
+    assert duplicate_clusters(empty).count() == 0
+    assert duplicate_clusters_distributed(empty).count() == 0
+    for dist in (False, True):
+        kept = apply_neardup_dedup(docs, empty, distributed_clusters=dist)
+        assert sorted(kept.to_pandas()["doc_id"]) == list(range(6)), dist
+    assert pagerank_local(empty).count() == 0
+    assert pagerank(empty).count() == 0
+
+
+def test_ocr_unknown_backend_fails_at_construction():
+    from pdf_extraction_tests_ray.stages.ocr import OcrRegions
+
+    with pytest.raises(ValueError, match="glyphs"):
+        OcrRegions(backend="glyphs")  # typo must fail before any batch
+
+
+def test_wav_non_pcm_format_rejected():
+    """A 16-bit fmt chunk with a non-PCM format code must raise, not
+    misdecode the compressed data as raw PCM."""
+    import numpy as np
+
+    from pdf_extraction_tests_ray.stages.media import DecodeMedia
+
+    pcm = (np.ones(8, dtype="<i2") * 7).tobytes()
+    wav = (
+        b"RIFF" + (36 + len(pcm)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (1).to_bytes(2, "little")  # ADPCM
+        + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + len(pcm).to_bytes(4, "little") + pcm
+    )
+    with pytest.raises(ValueError, match="WAVE_FORMAT_PCM"):
+        DecodeMedia(fake=False)._decode_real(wav, "audio")
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_apply_neardup_dedup_keeps_one_per_component():
     """End-to-end near-dup apply: survivors = every unpaired doc + the
     min-id member of each connected component, on both the driver
