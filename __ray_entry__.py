@@ -1147,6 +1147,26 @@ def oracle_sql() -> dict[str, str]:
                               / n_docs), 6) AS std_chars
             FROM s
         """,
+        "doc_distinct_ngrams": f"""
+            WITH w AS (
+              SELECT list_filter(string_split({_NORM}, ' '),
+                                 x -> x <> '') AS ws
+              FROM documents
+            )
+            SELECT n, CAST(count(DISTINCT g) AS BIGINT) AS n_distinct
+            FROM (
+              SELECT 1 AS n, unnest(ws) AS g FROM w
+              UNION ALL
+              SELECT 2, unnest(list_transform(
+                range(1, greatest(length(ws), 1)),
+                i -> ws[i] || ' ' || ws[i+1])) FROM w WHERE length(ws) >= 2
+              UNION ALL
+              SELECT 3, unnest(list_transform(
+                range(1, greatest(length(ws) - 1, 1)),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+              FROM w WHERE length(ws) >= 3
+            ) GROUP BY n
+        """,
         # PMI shares the exact float expression with curation.bigram_pmi:
         # ln((n_ab * U * U) / (B * n_a * n_b)), doubles, left-to-right
         "doc_bigram_pmi": f"""

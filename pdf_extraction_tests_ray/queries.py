@@ -1355,6 +1355,41 @@ def doc_corpus_stats(sf_dir: str):
     return TA.corpus_stats(docs)
 
 
+def doc_distinct_ngrams(sf_dir: str):
+    """Corpus vocabulary-growth statistic: EXACT distinct word n-gram
+    counts for n = 1, 2, 3 (one row per n) — the number dedup/shingling
+    plans are sized from. Per-batch distinct grams (combiner) -> one
+    bucketed dedupe merge per n keyed on the gram -> metadata-only
+    count(); the shuffle moves each distinct gram once per batch it
+    appears in, never raw text."""
+    from .functions import text as T
+    from .relational import bucketed_group_merge
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    rows = []
+    for n in (1, 2, 3):
+
+        def partial(df: pd.DataFrame, n=n) -> pd.DataFrame:
+            grams: set = set()
+            for t in df["text"].tolist():
+                ws = [w for w in T.normalize_text(t).split(" ") if w]
+                grams.update(
+                    " ".join(ws[i: i + n]) for i in range(len(ws) - n + 1)
+                )
+            return pd.DataFrame({"g": sorted(grams)})
+
+        distinct = bucketed_group_merge(
+            docs.map_batches(partial, batch_format="pandas"),
+            ["g"],
+            lambda df: df.drop_duplicates("g"),
+        )
+        rows.append({"n": n, "n_distinct": int(distinct.count())})
+    return ray.data.from_pandas(
+        pd.DataFrame(rows).astype({"n": "int64", "n_distinct": "int64"})
+    )
+
+
 def doc_bigram_pmi(sf_dir: str):
     """Top-20 adjacent-word bigram collocations by PMI (count >= 5) —
     the phrase-mining statistic of tokenizer/vocab construction. One
@@ -2460,6 +2495,7 @@ QUERIES = {
     "doc_pack_group_totals": doc_pack_group_totals,
     "doc_token_deciles": doc_token_deciles,
     "doc_bigram_pmi": doc_bigram_pmi,
+    "doc_distinct_ngrams": doc_distinct_ngrams,
     "doc_corpus_stats": doc_corpus_stats,
     "doc_bpe_encode": doc_bpe_encode,
     "doc_quality_scorer": doc_quality_scorer,

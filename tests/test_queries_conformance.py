@@ -129,6 +129,7 @@ def _to_pandas(res):
         "doc_length_outliers",
         "doc_token_deciles",
         "doc_bigram_pmi",
+        "doc_distinct_ngrams",
         "doc_corpus_stats",
         "doc_shuffle_order",
         "doc_train_split",
