@@ -163,6 +163,88 @@ def run_partitioned(
     return summary
 
 
+def run_curation_partitioned(
+    input_path: str,
+    bench_path: str,
+    out_dir: str,
+    num_groups: int = 8,
+    resume: bool = True,
+    ngram_n: int = 13,
+):
+    """Resumable CURATION job (quality filter -> exact-dedup apply ->
+    benchmark decontamination), group-by-group with the same manifest /
+    atomic-rename / resume contract as :func:`run_partitioned`.
+
+    The partition key is the NORMALIZED-TEXT hash, not doc_id: all copies
+    of a text land in one group, so within-group keep-min-doc_id dedup IS
+    global dedup — the partition key is chosen to make per-partition work
+    globally correct (the job-level analog of bucketed_group_merge's key
+    co-location). Quality filtering and decontamination are per-document,
+    so they commute with any partitioning. The benchmark gram set is
+    computed ONCE (small side by the decontaminate contract) and reused
+    by every group. Pinned equal to the single-pass
+    ``pipelines.curation.curate_corpus`` in tests."""
+    from ..functions import text as T
+    from ..pipelines.curation import quality_filter
+    from ..stages import curation as C
+    from ..stages import dedup as D
+
+    os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)
+    done = completed_groups(out_dir) if resume else set()
+    summary = {"groups": num_groups, "skipped": sorted(done), "ran": []}
+
+    grams = None  # computed lazily: a fully-resumed run never pays for it
+    for g in range(num_groups):
+        if g in done:
+            continue
+        if grams is None:
+            grams = C.collect_benchmark_ngrams(
+                ray.data.read_parquet(bench_path), n=ngram_n
+            )
+        t0 = time.time()
+        ds = ray.data.read_parquet(input_path)
+
+        def pick(df, g=g):
+            keep = [
+                int.from_bytes(
+                    hashlib.md5(T.md5_fingerprint(t).encode()).digest()[:8], "big"
+                )
+                % num_groups
+                == g
+                for t in df["text"].tolist()
+            ]
+            import numpy as _np
+
+            return df[_np.asarray(keep, dtype=bool)]
+
+        ds_g = ds.map_batches(pick, batch_format="pandas")
+        out = C.decontaminate(
+            D.apply_exact_dedup(quality_filter(ds_g)), grams, n=ngram_n
+        )
+
+        part_tmp = os.path.join(out_dir, f"_tmp_part={g}")
+        part_final = os.path.join(out_dir, f"part={g}")
+        shutil.rmtree(part_tmp, ignore_errors=True)
+        shutil.rmtree(part_final, ignore_errors=True)
+        out.write_parquet(part_tmp)
+        os.rename(part_tmp, part_final)
+
+        n_rows = sum(1 for _ in _iter_doc_ids(part_final))
+        manifest = {
+            "group": g,
+            "num_groups": num_groups,
+            "input_path": os.path.abspath(input_path),
+            "bench_path": os.path.abspath(bench_path),
+            "rows_written": n_rows,
+            "elapsed_sec": round(time.time() - t0, 3),
+            "engine_version": __version__,
+        }
+        with open(os.path.join(out_dir, "manifest", f"part-{g}.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
+        summary["ran"].append(manifest)
+    return summary
+
+
 def _iter_doc_ids(part_dir: str):
     import pyarrow.parquet as pq
 

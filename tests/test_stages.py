@@ -214,6 +214,67 @@ def test_media_real_decode_pipeline_end_to_end():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_curation_job_matches_single_pass_and_resumes(tmp_path, ray_session):
+    """run_curation_partitioned over text-hash groups must equal the
+    single-pass curate_corpus on the same input (the partition key makes
+    within-group dedup globally correct), and resume must skip completed
+    groups while reproducing the identical final table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from pdf_extraction_tests_ray.pipelines.curation import curate_corpus
+    from pdf_extraction_tests_ray.queries import _read
+    from pdf_extraction_tests_ray.state.checkpoint import (
+        read_output,
+        run_curation_partitioned,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = _read(sf, "documents", columns=["doc_id", "lang", "n_chars", "text"])
+    bench_df = docs.map_batches(
+        lambda df: df[df["doc_id"] % 20 == 7], batch_format="pandas"
+    ).to_pandas()
+    train_df = docs.map_batches(
+        lambda df: df[df["doc_id"] % 20 != 7], batch_format="pandas"
+    ).to_pandas()
+    train_dir, bench_dir = tmp_path / "train", tmp_path / "bench"
+    train_dir.mkdir(), bench_dir.mkdir()
+    pq.write_table(pa.Table.from_pandas(train_df, preserve_index=False),
+                   str(train_dir / "t.parquet"))
+    pq.write_table(pa.Table.from_pandas(bench_df, preserve_index=False),
+                   str(bench_dir / "b.parquet"))
+
+    out = tmp_path / "curated"
+    s1 = run_curation_partitioned(str(train_dir), str(bench_dir), str(out), num_groups=3)
+    assert [m["group"] for m in s1["ran"]] == [0, 1, 2]
+
+    got = read_output(str(out)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = (
+        curate_corpus(
+            ray.data.from_pandas(train_df), ray.data.from_pandas(bench_df)
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+
+    # resume: drop one group's manifest+part, re-run -> only it re-runs,
+    # final table identical
+    import os
+    import shutil
+
+    os.remove(out / "manifest" / "part-1.json")
+    shutil.rmtree(out / "part=1")
+    s2 = run_curation_partitioned(str(train_dir), str(bench_dir), str(out), num_groups=3)
+    assert s2["skipped"] == [0, 2] and [m["group"] for m in s2["ran"]] == [1]
+    got2 = read_output(str(out)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got2["doc_id"].tolist() == got["doc_id"].tolist()
+
+
 def test_resume_skips_completed_groups(tmp_path, golden_corpus):
     import pyarrow.parquet as pq
 
