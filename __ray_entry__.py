@@ -1617,6 +1617,8 @@ def oracle_sql() -> dict[str, str]:
         # minhash removal — drop-set consistency with an independent BFS
         # over the pair list is pinned in tests, and the same apply stage
         # IS oracled end-to-end via dedup_jaccard_apply's exact pairs),
+        # dedup_minhash_cross_job (persisted band index probe — planted
+        # exact/near/novel docs pinned in tests),
         # knn_lsh / knn_lsh_indexed (persisted
         # bucket-partitioned index, in-memory equality pinned in tests) /
         # knn_ivf / knn_ivf_indexed

@@ -1972,6 +1972,48 @@ def doc_pagerank(sf_dir: str):
     return D.pagerank_local(pairs, iters=10)
 
 
+def dedup_minhash_cross_job(sf_dir: str):
+    """Cross-job near-dup dedup against a PERSISTED minhash band index
+    (the FineWeb cross-dump pattern): even-doc_id docs are indexed as
+    'yesterday's crawl' (bucket-partitioned parquet, build-once with a
+    freshness marker), odd-doc_id docs arrive as the new shard and are
+    deduped against the index (banding-only cross drops, file-pruned
+    probe) plus themselves (exact-verified within-shard). Rows-only:
+    seeded signatures; survivor semantics are pinned in tests with
+    planted exact/near/novel docs."""
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = f"/tmp/graft_minhash_index_{tag}"
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    stamp = f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}"
+    marker = idx + ".done"  # OUTSIDE the dir: read_parquet must not see it
+    fresh = False
+    try:
+        with open(marker) as f:
+            fresh = f.read() == stamp
+    except OSError:
+        pass
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars", "text"])
+    if not fresh:
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
+        indexed = docs.map_batches(
+            lambda df: df[df["doc_id"] % 2 == 0], batch_format="pandas"
+        )
+        D.build_minhash_index(indexed, idx)
+        with open(marker, "w") as f:
+            f.write(stamp)
+    new_shard = docs.map_batches(
+        lambda df: df[df["doc_id"] % 2 == 1], batch_format="pandas"
+    )
+    return D.dedup_minhash_incremental(new_shard, idx, threshold=0.6).select_columns(
+        ["doc_id", "source", "n_chars"]
+    )
+
+
 def dedup_minhash(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return D.minhash_lsh_pairs(ds, threshold=0.6)
@@ -2529,6 +2571,7 @@ QUERIES = {
     "dedup_jaccard_clusters": dedup_jaccard_clusters,
     "dedup_jaccard_apply": dedup_jaccard_apply,
     "dedup_minhash_apply": dedup_minhash_apply,
+    "dedup_minhash_cross_job": dedup_minhash_cross_job,
     "dedup_ngram3_jaccard_pairs": dedup_ngram3_jaccard_pairs,
     "extract_html_main": extract_html_main,
     "dedup_shared_ngrams": dedup_shared_ngrams,

@@ -978,6 +978,168 @@ def _verify_pairs_join(
 # SimHash near-dup
 
 
+def build_minhash_index(
+    docs: "ray.data.Dataset",
+    index_dir: str,
+    k: int = 5,
+    n_perm: int = 128,
+    n_bands: int = 21,
+) -> dict:
+    """PERSIST the text-MinHash band index for CROSS-JOB near-dup dedup
+    (the FineWeb cross-dump pattern: each new crawl dedupes against all
+    previously indexed crawls without re-reading their text). One row per
+    (band_key, doc_id), partitioned by ``bucket = band_key % 256`` (one
+    directory per bucket — probes read only the buckets they hash into).
+    The sidecar is three ints (k, n_perm, n_bands): signatures are
+    seed-derived, so any reader reproduces the exact banding."""
+    import functools
+    import os
+
+    import pyarrow.parquet as pq
+
+    docs.map_batches(
+        functools.partial(minhash_band_rows, k=k, n_perm=n_perm, n_bands=n_bands),
+        batch_format="pandas",
+    ).write_parquet(index_dir, partition_cols=["bucket"])
+    pq.write_table(
+        pa.table({"k": [k], "n_perm": [n_perm], "n_bands": [n_bands]}),
+        os.path.join(index_dir, "_meta.parquet"),
+    )
+    return {"k": k, "n_perm": n_perm, "n_bands": n_bands}
+
+
+def append_minhash_index(docs: "ray.data.Dataset", index_dir: str) -> None:
+    """Fold another shard's band rows into an existing index (new parquet
+    files land inside the same bucket directories; nothing is rewritten).
+    Banding knobs come from the sidecar so every shard hashes
+    identically."""
+    import functools
+    import os
+
+    import pyarrow.parquet as pq
+
+    meta = pq.read_table(os.path.join(index_dir, "_meta.parquet")).to_pydict()
+    docs.map_batches(
+        functools.partial(
+            minhash_band_rows,
+            k=int(meta["k"][0]),
+            n_perm=int(meta["n_perm"][0]),
+            n_bands=int(meta["n_bands"][0]),
+        ),
+        batch_format="pandas",
+    ).write_parquet(index_dir, partition_cols=["bucket"])
+
+
+def dedup_minhash_incremental(
+    new_docs: "ray.data.Dataset",
+    index_dir: str,
+    threshold: float = 0.6,
+) -> "ray.data.Dataset":
+    """Incremental near-dup dedup of a NEW shard against a persisted band
+    index plus itself: survivors are new docs that (1) are the min-doc_id
+    keeper of their within-shard verified near-dup cluster and (2) share
+    NO band with any indexed document.
+
+    Within-shard drops are exact-Jaccard VERIFIED (texts are at hand);
+    cross-job drops are banding-only — the index stores band keys, not
+    text, so a collision stands in for 'near-dup at the index threshold'
+    (the 21x6 default puts the S-curve midpoint at 0.6; the false-match
+    rate is the documented price of not persisting corpus text). The
+    probe is one bucketed co-location of new band rows with ONLY the
+    bucket directories the new shard hashes into (file-pruned read); the
+    cross-drop set is O(#matching docs), broadcast like every drop set."""
+    import functools
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..relational import bucketed_group_merge
+
+    meta = pq.read_table(os.path.join(index_dir, "_meta.parquet")).to_pydict()
+    kk, n_perm, n_bands = (
+        int(meta["k"][0]),
+        int(meta["n_perm"][0]),
+        int(meta["n_bands"][0]),
+    )
+
+    new_bands = new_docs.map_batches(
+        functools.partial(minhash_band_rows, k=kk, n_perm=n_perm, n_bands=n_bands),
+        batch_format="pandas",
+    ).materialize()
+
+    # file-pruned probe: only bucket dirs the new shard hashes into
+    present = sorted(
+        set(
+            new_bands.map_batches(
+                lambda df: df[["bucket"]].drop_duplicates(), batch_format="pandas"
+            ).to_pandas()["bucket"]
+        )
+    )
+    files = [
+        f
+        for b in present
+        for f in glob.glob(os.path.join(index_dir, f"bucket={b}", "*.parquet"))
+    ]
+    if files:
+        idx = ray.data.read_parquet(files, columns=["band_key", "doc_id"])
+        tagged_idx = idx.map_batches(
+            lambda df: pd.DataFrame(
+                {"band_key": df["band_key"], "doc_id": df["doc_id"], "side": np.int8(0)}
+            ),
+            batch_format="pandas",
+        )
+        tagged_new = new_bands.map_batches(
+            lambda df: pd.DataFrame(
+                {"band_key": df["band_key"], "doc_id": df["doc_id"], "side": np.int8(1)}
+            ),
+            batch_format="pandas",
+        )
+
+        def hits(g: pd.DataFrame) -> pd.DataFrame:
+            indexed = set(g.loc[g["side"] == 0, "band_key"].tolist())
+            if not indexed:
+                return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+            m = g.loc[
+                (g["side"] == 1) & g["band_key"].isin(indexed), ["doc_id"]
+            ].drop_duplicates()
+            return m
+
+        hit_df = bucketed_group_merge(
+            tagged_idx.union(tagged_new), ["band_key"], hits, num_buckets=64
+        ).to_pandas()
+        cross_drop = (
+            frozenset()
+            if hit_df.empty or "doc_id" not in hit_df.columns
+            else frozenset(hit_df["doc_id"].tolist())
+        )
+    else:  # nothing indexed in these buckets
+        cross_drop = frozenset()
+
+    # within-shard verified dedup (texts available), then the cross drop
+    pairs = minhash_lsh_pairs(
+        new_docs, threshold=threshold, k=kk, n_perm=n_perm, n_bands=n_bands
+    ).select_columns(["doc_a", "doc_b"])
+    kept = apply_neardup_dedup(new_docs, pairs)
+    ref = ray.put(cross_drop)
+
+    class DropIndexed:
+        def __init__(self, r):
+            self.drop = ray.get(r)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if not self.drop:
+                return df
+            return df[~df["doc_id"].isin(self.drop)]
+
+    return kept.map_batches(
+        DropIndexed,
+        fn_constructor_kwargs={"r": ref},
+        batch_format="pandas",
+        concurrency=(1, pool_max()),
+    )
+
+
 def simhash_pairs(docs: "ray.data.Dataset", max_hamming: int = 3) -> "ray.data.Dataset":
     """Pairs with SimHash hamming distance <= max_hamming (64-bit, word
     2-grams), blocked by 16-bit chunks (pigeonhole-complete for <=3)."""

@@ -576,6 +576,60 @@ def test_pagerank_matches_numpy_power_iteration():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_minhash_cross_job_dedup_with_planted_docs(tmp_path):
+    """Persisted band index + incremental dedup: a new shard's exact
+    copies and near-dups of INDEXED docs are dropped (banding hit),
+    within-shard duplicate groups keep min doc_id, and novel docs
+    survive; appending a shard to the index makes its docs drop in the
+    next job."""
+    import ray
+
+    from pdf_extraction_tests_ray.stages.dedup import (
+        append_minhash_index,
+        build_minhash_index,
+        dedup_minhash_incremental,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a long song about distributed systems and their failure modes "
+    ) * 3
+    novel1 = (
+        "entirely different content about oceanography and tides pulling "
+        "at the shoreline through the long winter months of the survey "
+    ) * 3
+    novel2 = (
+        "a third unrelated passage describing compiler optimization passes "
+        "and register allocation across basic blocks in modern backends "
+    ) * 3
+    crawl_a = [{"doc_id": 0, "text": base}, {"doc_id": 2, "text": novel2}]
+    idx = str(tmp_path / "mh_index")
+    build_minhash_index(ray.data.from_items(crawl_a), idx)
+
+    new_shard = [
+        {"doc_id": 101, "text": base},                     # exact copy of indexed
+        {"doc_id": 103, "text": base.replace("lazy", "sleepy", 1)},  # near-dup of indexed
+        {"doc_id": 105, "text": novel1},                   # novel, duplicated in-shard
+        {"doc_id": 107, "text": novel1},                   # in-shard dup -> drop (105 keeps)
+        {"doc_id": 109, "text": "tiny unique snippet of text here"},  # novel
+    ]
+    out = dedup_minhash_incremental(
+        ray.data.from_items(new_shard).repartition(2), idx
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == [105, 109]
+
+    # fold the survivors in; the SAME shard re-arriving now fully drops
+    # except in-shard keepers that were already indexed
+    append_minhash_index(
+        ray.data.from_items([r for r in new_shard if r["doc_id"] in (105, 109)]), idx
+    )
+    again = dedup_minhash_incremental(
+        ray.data.from_items(new_shard), idx
+    ).to_pandas()
+    assert len(again) == 0  # zero-row frames are column-less (schema loss)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_empty_pair_list_paths_are_noops():
     """Zero-row pair datasets lose their schema in Ray; the dup-free
     corpus must flow through every consumer as a no-op, not a KeyError:

@@ -177,6 +177,7 @@ def test_query_matches_oracle(name, duck):
     [
         "dedup_minhash",
         "dedup_minhash_apply",
+        "dedup_minhash_cross_job",
         "dedup_simhash",
         "dedup_semantic",
         "emb_pca_project",
