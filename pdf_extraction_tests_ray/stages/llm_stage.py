@@ -112,6 +112,57 @@ class FakeLLMClient:
         return self._one(prompt)
 
 
+class HttpLLMClient:
+    """REAL HTTP client for an Ollama-compatible completion endpoint
+    (``POST {url}/api/generate`` with ``{"model", "prompt", "stream":
+    false}``; the reply's ``response`` field is the completion — the wire
+    format the reference's R code speaks to its local llama3.1,
+    v10A.R:753-819). stdlib urllib only — no client dependency.
+
+    Built ONCE per actor (an HTTP client is exactly the warm state the
+    A4 pool exists for); ``complete`` retries ``retries`` times and
+    raises on final failure — the stage's ``_structure`` catch then
+    degrades that document to the deterministic fallback, mirroring the
+    reference's tryCatch (v10A.R:1030-1035). Exercised in tests against
+    a loopback fake server speaking the same wire format."""
+
+    def __init__(
+        self,
+        url: str = "http://127.0.0.1:11434",
+        model: str = "llama3.1",
+        timeout: float = 30.0,
+        retries: int = 1,
+    ):
+        self.url = url.rstrip("/") + "/api/generate"
+        self.model = model
+        self.timeout = timeout
+        self.retries = retries
+        self.calls = 0
+
+    def complete(self, prompt: str) -> str:
+        import json
+        import time
+        import urllib.request
+
+        body = json.dumps(
+            {"model": self.model, "prompt": prompt, "stream": False}
+        ).encode("utf-8")
+        last: Exception | None = None
+        for attempt in range(self.retries + 1):
+            try:
+                req = urllib.request.Request(
+                    self.url, data=body, headers={"Content-Type": "application/json"}
+                )
+                with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                    self.calls += 1
+                    return json.loads(r.read().decode("utf-8"))["response"]
+            except Exception as e:  # noqa: BLE001 — retried, then surfaced
+                last = e
+                if attempt < self.retries:
+                    time.sleep(0.1 * (attempt + 1))
+        raise last
+
+
 class ExtractDocumentsLLM:
     """Flagship extraction WITH the per-document A4 region-analysis call.
 

@@ -49,6 +49,77 @@ def test_llm_stage_fake_client_slices_labeled_abstract():
     assert abstract == raw[len("Abstract:") :].strip()
 
 
+def test_http_llm_client_against_loopback_server():
+    """HttpLLMClient speaks the real Ollama wire format: POST
+    /api/generate with (model, prompt, stream=false), completion read
+    from the reply's 'response'. A loopback fake server answers with
+    FakeLLMClient's deterministic labeling, so the HTTP path's extraction
+    output must be byte-identical to the in-process fake-client run —
+    and a dead endpoint degrades to the fallback, never a crash."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from pdf_extraction_tests_ray.fixtures import generate_doc
+    from pdf_extraction_tests_ray.schema import INPUT_SCHEMA
+    from pdf_extraction_tests_ray.stages.llm_stage import (
+        ExtractDocumentsLLM,
+        FakeLLMClient,
+        HttpLLMClient,
+    )
+
+    fake = FakeLLMClient()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            assert self.path == "/api/generate"
+            req = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            assert req["stream"] is False and req["model"] == "llama3.1"
+            body = json.dumps({"response": fake.complete(req["prompt"])}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        doc_id, spans = generate_doc("generic1", 3)
+        batch = pa.Table.from_pydict(
+            {"doc_id": [doc_id], "spans": [spans]}, schema=INPUT_SCHEMA
+        )
+        http_stage = ExtractDocumentsLLM(
+            cleaning_method="none",
+            client_factory=lambda: HttpLLMClient(url, retries=0),
+        )
+        out_http = http_stage(batch)
+        out_fake = ExtractDocumentsLLM(
+            cleaning_method="none", client_factory=FakeLLMClient
+        )(batch)
+        assert out_http.equals(out_fake)  # byte-identical through HTTP
+        assert http_stage.client.calls == 1
+
+        # dead endpoint: fallback, not a crash (reference's tryCatch)
+        dead = ExtractDocumentsLLM(
+            cleaning_method="none",
+            client_factory=lambda: HttpLLMClient(
+                "http://127.0.0.1:9", timeout=0.3, retries=0
+            ),
+        )
+        out_dead = dead(batch)
+        plain = ExtractDocumentsLLM(cleaning_method="none")(batch)
+        assert out_dead.equals(plain)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_llm_client_is_warm_actor_state(golden_corpus):
     """The client is built ONCE in __init__ and reused across batches —
     the A4 fix for the reference's per-document client re-creation
