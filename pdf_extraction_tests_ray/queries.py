@@ -2489,62 +2489,40 @@ def extract_doc_scalars(sf_dir: str):
     return spans_ds.map_batches(scalars_batch, batch_format="pyarrow")
 
 
+# Ordering contract (round-3 VERDICT #1/#2): the driver's CORRECTNESS pass
+# checks the FIRST 50 entries of this dict, so the window is spent entirely
+# on SQL-oracled entries, prioritized: (1) the extraction ladder (the
+# engine's core surface, v10A.R:224-511/1598-2489), (2) the dedup family,
+# (3) knn/embedding, (4) oracled doc/curation entries with no prior driver
+# row, (5) a regression spread of round-2 driver-green relational queries.
+# Rows-only (no-oracle) entries sit past the window; the repo conformance
+# harness (tests/test_queries_conformance.py) still runs everything.
+# tests/test_driver_surface.py pins first-50 ⊆ oracle_sql().
 QUERIES = {
-    "q1_pricing_summary": q1_pricing_summary,
-    "q3_top_revenue_orders": q3_top_revenue_orders,
-    "q_region_customer_balance": q_region_customer_balance,
-    "q_orders_priority": q_orders_priority,
-    "q_part_topk": q_part_topk,
-    "q_events_tumbling": q_events_tumbling,
-    "q_events_gapfill": q_events_gapfill,
-    "q_events_smoothed": lambda sf_dir: q_events_gapfill(sf_dir, smooth_window=7),
-    "q_customer_segment_orders": q_customer_segment_orders,
-    "q_supplier_nation_balance": q_supplier_nation_balance,
-    "q5_regional_revenue": q5_regional_revenue,
-    "q_corr_quantity_discount": q_corr_quantity_discount,
-    "q_part_price_zscore": q_part_price_zscore,
-    "q_customers_with_urgent_orders_bloom": q_customers_with_urgent_orders_bloom,
-    "q_order_lineitem_counts": q_order_lineitem_counts,
-    "q_pivot_priority_status": q_pivot_priority_status,
-    "q_order_gap_seconds": q_order_gap_seconds,
-    "q_order_price_rank": q_order_price_rank,
-    "q_user_sessions": q_user_sessions,
-    "q_asof_user_order": q_asof_user_order,
-    "q_events_sliding": q_events_sliding,
-    "q_topk_per_brand": q_topk_per_brand,
-    "q_quantity_range_buckets": q_quantity_range_buckets,
-    "q_events_distinct_users": q_events_distinct_users,
-    "q_lineitem_rollup": q_lineitem_rollup,
-    "q_order_running_total": q_order_running_total,
-    "q_customers_without_orders": q_customers_without_orders,
-    "q_customers_with_urgent_orders": q_customers_with_urgent_orders,
-    "q_price_quantiles": q_price_quantiles,
-    "q_price_quantiles_tdigest": q_price_quantiles_tdigest,
-    "q_events_approx_distinct_users": q_events_approx_distinct_users,
-    "doc_hash_sample": doc_hash_sample,
-    "doc_length_quantiles": doc_length_quantiles,
-    "doc_decontaminate": doc_decontaminate,
-    "doc_decontaminate_bloom": doc_decontaminate_bloom,
-    "doc_stratified_sample": doc_stratified_sample,
-    "doc_weighted_mix": doc_weighted_mix,
-    "doc_weighted_mix_tokens": doc_weighted_mix_tokens,
-    "doc_scrub_pii": doc_scrub_pii,
-    "doc_search_keywords": doc_search_keywords,
-    "doc_search_keywords_indexed": doc_search_keywords_indexed,
-    "doc_top_terms": doc_top_terms,
-    "doc_top_terms_approx": doc_top_terms_approx,
-    "doc_pack_sequences": doc_pack_sequences,
-    "doc_pack_group_totals": doc_pack_group_totals,
-    "doc_token_deciles": doc_token_deciles,
-    "doc_bigram_pmi": doc_bigram_pmi,
-    "doc_distinct_ngrams": doc_distinct_ngrams,
-    "doc_corpus_stats": doc_corpus_stats,
-    "doc_bpe_encode": doc_bpe_encode,
-    "doc_quality_scorer": doc_quality_scorer,
-    "doc_lm_perplexity": doc_lm_perplexity,
-    "doc_length_outliers": doc_length_outliers,
+    # -- extraction ladder (oracled) --
+    "extract_order_banded": extract_order_banded,
+    "extract_order_publisher": extract_order_publisher,
+    "extract_doc_scalars": extract_doc_scalars,
+    "extract_order_generic": extract_order_generic,
+    "extract_html_main": extract_html_main,
+    # -- dedup family (oracled) --
+    "dedup_exact": dedup_exact,
+    "dedup_exact_apply": dedup_exact_apply,
+    "dedup_lines": dedup_lines,
+    "dedup_jaccard_pairs": dedup_jaccard_pairs,
+    "dedup_jaccard_clusters": dedup_jaccard_clusters,
+    "dedup_jaccard_apply": dedup_jaccard_apply,
+    "dedup_ngram3_jaccard_pairs": dedup_ngram3_jaccard_pairs,
+    "dedup_shared_ngrams": dedup_shared_ngrams,
+    "dedup_incremental": dedup_incremental,
+    "dedup_embedding_pairs": dedup_embedding_pairs,
+    "dedup_fuzzy_names": dedup_fuzzy_names,
+    # -- similarity / embeddings (oracled) --
+    "knn_bruteforce": knn_bruteforce,
+    "knn_multi": knn_multi,
+    "emb_quantize_int8": emb_quantize_int8,
+    # -- oracled doc/curation entries with no round-2 driver row --
     "doc_weighted_sample": doc_weighted_sample,
-    "doc_pagerank": doc_pagerank,
     "doc_shuffle_order": doc_shuffle_order,
     "doc_train_split": doc_train_split,
     "doc_vocab_encode": doc_vocab_encode,
@@ -2558,40 +2536,78 @@ QUERIES = {
     "doc_chunks": doc_chunks,
     "doc_langid": doc_langid,
     "doc_fingerprint": doc_fingerprint,
-    "dedup_exact": dedup_exact,
-    "dedup_exact_apply": dedup_exact_apply,
-    "dedup_lines": dedup_lines,
+    # -- round-2 driver-green regression spread --
+    "q1_pricing_summary": q1_pricing_summary,
+    "q5_regional_revenue": q5_regional_revenue,
+    "q_order_lineitem_counts": q_order_lineitem_counts,
+    "q_asof_user_order": q_asof_user_order,
+    "q_user_sessions": q_user_sessions,
+    "q_events_sliding": q_events_sliding,
+    "q_lineitem_rollup": q_lineitem_rollup,
+    "q_topk_per_brand": q_topk_per_brand,
+    "q_price_quantiles": q_price_quantiles,
+    "q_customers_with_urgent_orders_bloom": q_customers_with_urgent_orders_bloom,
+    "doc_decontaminate": doc_decontaminate,
+    "doc_stratified_sample": doc_stratified_sample,
+    "doc_top_terms": doc_top_terms,
+    "doc_search_keywords": doc_search_keywords,
+    "q3_top_revenue_orders": q3_top_revenue_orders,
+    "q_region_customer_balance": q_region_customer_balance,
+    "doc_token_deciles": doc_token_deciles,
+    # ---- end of the driver's 50-entry correctness window ----
+    "q_orders_priority": q_orders_priority,
+    "q_part_topk": q_part_topk,
+    "q_events_tumbling": q_events_tumbling,
+    "q_events_gapfill": q_events_gapfill,
+    "q_events_smoothed": lambda sf_dir: q_events_gapfill(sf_dir, smooth_window=7),
+    "q_customer_segment_orders": q_customer_segment_orders,
+    "q_supplier_nation_balance": q_supplier_nation_balance,
+    "q_corr_quantity_discount": q_corr_quantity_discount,
+    "q_part_price_zscore": q_part_price_zscore,
+    "q_pivot_priority_status": q_pivot_priority_status,
+    "q_order_gap_seconds": q_order_gap_seconds,
+    "q_order_price_rank": q_order_price_rank,
+    "q_quantity_range_buckets": q_quantity_range_buckets,
+    "q_events_distinct_users": q_events_distinct_users,
+    "q_order_running_total": q_order_running_total,
+    "q_customers_without_orders": q_customers_without_orders,
+    "q_customers_with_urgent_orders": q_customers_with_urgent_orders,
+    "doc_hash_sample": doc_hash_sample,
+    "doc_length_quantiles": doc_length_quantiles,
+    "doc_decontaminate_bloom": doc_decontaminate_bloom,
+    "doc_weighted_mix": doc_weighted_mix,
+    "doc_weighted_mix_tokens": doc_weighted_mix_tokens,
+    "doc_scrub_pii": doc_scrub_pii,
+    "doc_search_keywords_indexed": doc_search_keywords_indexed,
+    "doc_top_terms_approx": doc_top_terms_approx,
+    "doc_pack_group_totals": doc_pack_group_totals,
+    "doc_bigram_pmi": doc_bigram_pmi,
+    "doc_distinct_ngrams": doc_distinct_ngrams,
+    "doc_corpus_stats": doc_corpus_stats,
+    "doc_length_outliers": doc_length_outliers,
+    # -- rows-only entries (genuinely non-SQL-expressible; past the window) --
+    "doc_pack_sequences": doc_pack_sequences,
+    "doc_bpe_encode": doc_bpe_encode,
+    "q_price_quantiles_tdigest": q_price_quantiles_tdigest,
+    "q_events_approx_distinct_users": q_events_approx_distinct_users,
+    "doc_quality_scorer": doc_quality_scorer,
+    "doc_lm_perplexity": doc_lm_perplexity,
+    "doc_pagerank": doc_pagerank,
     "media_features": media_features,
     "media_decode_real": media_decode_real,
     "media_ocr_glyph": media_ocr_glyph,
     "extract_ocr_backfill": extract_ocr_backfill,
     "media_ocr_regions": media_ocr_regions,
-    "dedup_incremental": dedup_incremental,
-    "dedup_jaccard_pairs": dedup_jaccard_pairs,
-    "dedup_jaccard_clusters": dedup_jaccard_clusters,
-    "dedup_jaccard_apply": dedup_jaccard_apply,
+    "dedup_minhash": dedup_minhash,
     "dedup_minhash_apply": dedup_minhash_apply,
     "dedup_minhash_cross_job": dedup_minhash_cross_job,
-    "dedup_ngram3_jaccard_pairs": dedup_ngram3_jaccard_pairs,
-    "extract_html_main": extract_html_main,
-    "dedup_shared_ngrams": dedup_shared_ngrams,
-    "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
-    "dedup_embedding_pairs": dedup_embedding_pairs,
     "dedup_semantic": dedup_semantic,
     "emb_pca_project": emb_pca_project,
-    "emb_quantize_int8": emb_quantize_int8,
-    "dedup_fuzzy_names": dedup_fuzzy_names,
-    "knn_bruteforce": knn_bruteforce,
-    "knn_multi": knn_multi,
     "knn_lsh": knn_lsh,
     "knn_lsh_indexed": knn_lsh_indexed,
     "knn_ivf_indexed": knn_ivf_indexed,
     "knn_ivf": knn_ivf,
     "extract_flagship": extract_flagship,
     "extract_spans_flat": extract_spans_flat,
-    "extract_order_generic": extract_order_generic,
-    "extract_order_banded": extract_order_banded,
-    "extract_order_publisher": extract_order_publisher,
-    "extract_doc_scalars": extract_doc_scalars,
 }
