@@ -1607,6 +1607,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id NOT IN (SELECT doc_id FROM probe)
             GROUP BY doc_id
         """,
+        # The reference's end-of-script golden transcript
+        # (v10A_ALTAIR.R:3740-3796): literal SELECT of the values the
+        # reference PRINTS for its demo Biochemistry article — title,
+        # the deterministic-branch authors line (the raw page-1 line; the
+        # reference's fallback scrub [°*†‡§¶#¹²³⁴⁵⁶⁷⁸⁹⁰"»] leaves it
+        # unchanged, v10A.R:1247-1259 — the semicolon-joined variant in the
+        # transcript is its LLM path), extraction_boundaries {15, 88},
+        # total_pages 9, total_text_regions 99, generic_academic. The Ray
+        # side runs the REAL flagship pipeline on the routed golden doc;
+        # nothing here is computed — pure reference constants.
+        "extract_golden_transcript": """
+            SELECT 'doc-00000073-r0' AS doc_id,
+                   'Altering the Neisseria gonorrhoeae pilE Guanine Quadruplex Loop Bases Affects Pilin Antigenic Variation' AS title,
+                   'Lauren L. Prister, Shaohui Yin, Laty A. Cahoon, and H Steven Seifert”' AS authors,
+                   'generic_academic' AS document_format,
+                   CAST(15 AS BIGINT) AS boundary_start,
+                   CAST(88 AS BIGINT) AS boundary_end,
+                   CAST(9 AS BIGINT) AS total_pages,
+                   CAST(99 AS BIGINT) AS total_text_regions
+        """,
         # Remaining rows-only entries, each genuinely non-SQL-expressible:
         # emb_pca_project (eigendecomposition; orthonormality/variance-
         # order/reconstruction/layout-agreement pinned in tests),

@@ -2489,6 +2489,62 @@ def extract_doc_scalars(sf_dir: str):
     return spans_ds.map_batches(scalars_batch, batch_format="pyarrow")
 
 
+def extract_golden_transcript(sf_dir: str):
+    """The reference's end-of-script golden transcript as a driver row.
+
+    The v10A_ALTAIR.R:3740-3796 demo prints the full extraction result for
+    one Biochemistry article; fixtures.GOLDEN_TRANSCRIPT_DOC_ID routes that
+    document (page-1 spans verbatim from the transcript's raw tibble) into
+    the driver corpus. This query runs the REAL flagship pipeline
+    (synthesis -> extract_dataset -> quarantine split) restricted to that
+    doc and emits the pinned scalars; the oracle is a literal SELECT of the
+    reference's printed values (title, deterministic-branch authors line,
+    boundaries {15, 88}, 9 pages, 99 regions, generic_academic) — fully
+    non-circular: constants from the reference, values from the pipeline.
+    """
+    from .fixtures import GOLDEN_TRANSCRIPT_DOC_ID, spans_from_flat_text
+    from .pipelines.extraction import extract_dataset, split_quarantine
+    from .schema import INPUT_SCHEMA
+
+    import pyarrow.compute as pc
+
+    # predicate pushed into the parquet scan: only matching row groups leave
+    # storage (at 100 TB this is a point lookup, not a corpus read)
+    docs = _read(
+        sf_dir,
+        "documents",
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id") == GOLDEN_TRANSCRIPT_DOC_ID,
+    )
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "doc_id": [f"doc-{i:08d}-r0" for i in ids],
+                "spans": [spans_from_flat_text(i, t) for i, t in zip(ids, texts)],
+            },
+            schema=INPUT_SCHEMA,
+        )
+
+    ok, _ = split_quarantine(
+        extract_dataset(docs.map_batches(synth, batch_format="pyarrow"), split_threshold=None)
+    )
+    return ok.select_columns(
+        [
+            "doc_id",
+            "title",
+            "authors",
+            "document_format",
+            "boundary_start",
+            "boundary_end",
+            "total_pages",
+            "total_text_regions",
+        ]
+    )
+
+
 # Ordering contract (round-3 VERDICT #1/#2): the driver's CORRECTNESS pass
 # checks the FIRST 50 entries of this dict, so the window is spent entirely
 # on SQL-oracled entries, prioritized: (1) the extraction ladder (the
@@ -2504,6 +2560,7 @@ QUERIES = {
     "extract_order_publisher": extract_order_publisher,
     "extract_doc_scalars": extract_doc_scalars,
     "extract_order_generic": extract_order_generic,
+    "extract_golden_transcript": extract_golden_transcript,
     "extract_html_main": extract_html_main,
     # -- dedup family (oracled) --
     "dedup_exact": dedup_exact,
@@ -2553,8 +2610,8 @@ QUERIES = {
     "doc_search_keywords": doc_search_keywords,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q_region_customer_balance": q_region_customer_balance,
-    "doc_token_deciles": doc_token_deciles,
     # ---- end of the driver's 50-entry correctness window ----
+    "doc_token_deciles": doc_token_deciles,
     "q_orders_priority": q_orders_priority,
     "q_part_topk": q_part_topk,
     "q_events_tumbling": q_events_tumbling,

@@ -303,3 +303,47 @@ def test_split_authors():
 
 def test_normalize_ws():
     assert normalize_ws("  a\n b\tc  ") == "a b c"
+
+
+# ---------------------------------------------------------------------------
+# golden-transcript DOCUMENT fixture (the driver-corpus routed doc): the
+# pipeline on fixtures.golden_transcript_spans() must reproduce the values
+# the reference PRINTS in its end-of-script demo (v10A_ALTAIR.R:3740-3796)
+
+
+def test_golden_transcript_document_matches_reference_pins():
+    from pdf_extraction_tests_ray.fixtures import golden_transcript_spans
+
+    spans = golden_transcript_spans()
+    assert len(spans) == 99
+    out = process_document(
+        [s["kind"] for s in spans],
+        [s["text"] for s in spans],
+        [s["media_ref"] for s in spans],
+        [s["offset"] for s in spans],
+    )
+    assert out["title"] == (
+        "Altering the Neisseria gonorrhoeae pilE Guanine Quadruplex Loop "
+        "Bases Affects Pilin Antigenic Variation"
+    )
+    # deterministic branch keeps the raw authors line (v10A.R:1247-1259's
+    # fallback scrub class leaves it unchanged); the transcript's
+    # semicolon-joined variant is the reference's LLM path
+    assert out["authors"] == (
+        "Lauren L. Prister, Shaohui Yin, Laty A. Cahoon, and H Steven Seifert”"
+    )
+    assert (out["boundary_start"], out["boundary_end"]) == (15, 88)
+    assert out["total_pages"] == 9
+    assert out["total_text_regions"] == 99
+    assert out["document_format"] == "generic_academic"
+
+
+def test_golden_transcript_routed_into_driver_corpus():
+    from pdf_extraction_tests_ray.fixtures import (
+        GOLDEN_TRANSCRIPT_DOC_ID,
+        golden_transcript_spans,
+        spans_from_flat_text,
+    )
+
+    routed = spans_from_flat_text(GOLDEN_TRANSCRIPT_DOC_ID, "any text ignored")
+    assert routed == golden_transcript_spans()
