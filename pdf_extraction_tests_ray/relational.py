@@ -77,6 +77,24 @@ def hash_join(
     )
 
 
+def _sentinel_for(arrow_type):
+    """Dtype-preserving filler value for tagged-union joins: 0 / False / ""
+    of the column's OWN type, so the union concat never promotes to
+    float64 (int64/uint64 payloads above 2^53 and narrow widths stay
+    exact). Filler rows are always dropped by the join filter — the value
+    is irrelevant, the dtype is not."""
+    t = str(arrow_type)
+    if t.startswith(("int", "uint")):
+        return np.zeros(1, dtype=t)[0]
+    if t in ("float", "double", "float32", "float64", "halffloat"):
+        return 0.0
+    if t == "bool":
+        return False
+    if t in ("string", "large_string", "utf8", "large_utf8"):
+        return ""
+    return None  # nested/other types: None round-trips as null
+
+
 def semi_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -105,20 +123,8 @@ def semi_join(
     lschema = left.schema()
     lcols = list(lschema.names)
 
-    def _sentinel(arrow_type):
-        t = str(arrow_type)
-        if t.startswith(("int", "uint")):
-            return np.zeros(1, dtype=t)[0]
-        if t in ("float", "double", "float32", "float64", "halffloat"):
-            return 0.0
-        if t == "bool":
-            return False
-        if t in ("string", "large_string", "utf8", "large_utf8"):
-            return ""
-        return None  # nested/other types: None round-trips as null
-
     fills = {
-        c: _sentinel(t)
+        c: _sentinel_for(t)
         for c, t in zip(lschema.names, lschema.types)
         if c != on
     }

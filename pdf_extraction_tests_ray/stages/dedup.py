@@ -487,6 +487,17 @@ def pagerank(
     )
 
 
+# Max drop-side rows the apply stages will ship as one ray.put broadcast.
+# Below it, a broadcast lookup beats a shuffle (one object-store read per
+# task, zero data movement of the corpus). Above it — the web-scale regime
+# where 30-50% of a crawl is duplicated and the drop side is O(corpus) —
+# the apply switches to a bucketed hash join so NEITHER side is ever
+# driver- or worker-resident in full. 1M int64/md5 entries ≈ 60-120 MB as
+# a Python set/dict: comfortably beneath a worker heap, well past anything
+# a small-dup-rate corpus produces.
+DROP_BROADCAST_BUDGET = 1_000_000
+
+
 def duplicate_keep_map(docs: "ray.data.Dataset") -> dict:
     """``text_md5 -> keep_doc_id`` for texts with ``dup_count > 1`` ONLY.
 
@@ -494,51 +505,142 @@ def duplicate_keep_map(docs: "ray.data.Dataset") -> dict:
     O(#duplicated texts), NOT O(#distinct texts): empty for a
     duplicate-free corpus and small whenever the duplicate rate is low
     (the common web-corpus case — broadcasting the *keep* list instead
-    would be O(corpus) for mostly-unique data). If even the duplicated
-    groups are too many to broadcast (pathological near-total
-    duplication), switch to a bucketed hash semi-join on ``text_md5``
-    (``relational.bucketed_group_merge`` shape) — the keep decision is
-    already per-hash, so the join needs no driver state."""
-    dup_df = (
-        exact_dedup(docs)
-        .map_batches(lambda df: df[df["dup_count"] > 1], batch_format="pandas")
-        .to_pandas()
-    )
+    would be O(corpus) for mostly-unique data)."""
+    dup_df = _duplicate_groups(docs).to_pandas()
     if dup_df.empty or "text_md5" not in dup_df.columns:  # duplicate-free corpus
         return {}
     return dict(zip(dup_df["text_md5"].tolist(), dup_df["keep_doc_id"].tolist()))
 
 
-def apply_exact_dedup(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+def _duplicate_groups(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(text_md5, keep_doc_id) for duplicated texts only, MATERIALIZED so
+    the follow-up count() is served from block metadata (no re-execution)
+    — the same metadata-count pattern as similarity.train_ivf_centroids."""
+    return (
+        exact_dedup(docs)
+        .map_batches(
+            lambda df: df.loc[df["dup_count"] > 1, ["text_md5", "keep_doc_id"]],
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+
+
+def apply_exact_dedup(
+    docs: "ray.data.Dataset", broadcast_budget: int | None = None
+) -> "ray.data.Dataset":
     """Corpus hygiene end-to-end: keep exactly one document (min doc_id)
     per distinct normalized text.
 
-    Broadcasts the DROP side, not the keep side: the map from
-    :func:`duplicate_keep_map` only names texts that actually have
-    duplicates. Each batch re-hashes its own texts (cheap md5 — no second
-    shuffle over the corpus) and drops rows whose hash is claimed by a
-    different keeper; rows with unduplicated texts pass through without a
-    lookup hit."""
-    dup_ref = ray.put(duplicate_keep_map(docs))
+    Two regimes, switched on the measured (metadata-count) size of the
+    duplicated-groups table — never on a guess:
 
-    class DropDuplicates:
-        def __init__(self, ref):
-            self.dup = ray.get(ref)
+    - ``<= broadcast_budget`` (default :data:`DROP_BROADCAST_BUDGET`):
+      broadcast the ``text_md5 -> keep_doc_id`` map; each batch re-hashes
+      its own texts (cheap md5 — no second shuffle over the corpus) and
+      drops rows whose hash is claimed by a different keeper.
+    - ``> broadcast_budget`` — web-scale dup rates where the drop side is
+      itself O(corpus): a bucketed hash join (semi_join shape,
+      relational.py) co-locates each text hash's doc rows with its single
+      keeper row; one bounded bucket shuffle, no driver materialization,
+      no broadcast. Output is IDENTICAL (pinned in
+      tests/test_llm_and_scale_paths.py::test_apply_exact_dedup_antijoin_path).
+    """
+    budget = DROP_BROADCAST_BUDGET if broadcast_budget is None else broadcast_budget
+    dup_ds = _duplicate_groups(docs)
+    if dup_ds.count() <= budget:
+        dup_df = dup_ds.to_pandas()
+        dup_map = (
+            {}
+            if dup_df.empty or "text_md5" not in dup_df.columns
+            else dict(zip(dup_df["text_md5"].tolist(), dup_df["keep_doc_id"].tolist()))
+        )
+        dup_ref = ray.put(dup_map)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            if not self.dup:
-                return df
-            keep = [
-                (k := self.dup.get(T.md5_fingerprint(t))) is None or k == d
-                for t, d in zip(df["text"].tolist(), df["doc_id"].tolist())
-            ]
-            return df[np.asarray(keep, dtype=bool)]
+        class DropDuplicates:
+            def __init__(self, ref):
+                self.dup = ray.get(ref)
 
-    return docs.map_batches(
-        DropDuplicates,
-        fn_constructor_kwargs={"ref": dup_ref},
-        batch_format="pandas",
-        concurrency=(1, pool_max()),
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                if not self.dup:
+                    return df
+                keep = [
+                    (k := self.dup.get(T.md5_fingerprint(t))) is None or k == d
+                    for t, d in zip(df["text"].tolist(), df["doc_id"].tolist())
+                ]
+                return df[np.asarray(keep, dtype=bool)]
+
+        return docs.map_batches(
+            DropDuplicates,
+            fn_constructor_kwargs={"ref": dup_ref},
+            batch_format="pandas",
+            concurrency=(1, pool_max()),
+        )
+    return _keeper_filter_join(docs, dup_ds)
+
+
+def _keeper_filter_join(
+    docs: "ray.data.Dataset", dup_ds: "ray.data.Dataset", num_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Scale path of :func:`apply_exact_dedup`: tagged-union bucketed hash
+    join on ``text_md5`` (the semi_join shape from relational.py, with a
+    keeper COMPARISON instead of pure membership). Doc rows ride the
+    bucket shuffle once; per bucket, a vectorized map lookup drops rows
+    whose hash names a different keeper."""
+    from ..relational import _bucket_of, _sentinel_for
+
+    dschema = docs.schema()
+    doc_cols = list(dschema.names)
+    fills = {c: _sentinel_for(t) for c, t in zip(dschema.names, dschema.types)}
+
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[doc_cols].copy()
+        out["_md5"] = [T.md5_fingerprint(t) for t in df["text"].tolist()]
+        out["_keep"] = out["doc_id"]  # dtype-preserving filler (right side wins)
+        out["_side"] = np.int8(1)
+        return out
+
+    def tag_dups(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"_md5": df["text_md5"], "_keep": df["keep_doc_id"]})
+        for c in doc_cols:
+            # dtype-preserving sentinel of the doc column's own type — these
+            # filler rows are dropped by the filter, value irrelevant
+            out[c] = pd.Series([fills[c]] * len(out), index=out.index)
+        out["_side"] = np.int8(0)
+        return out[doc_cols + ["_md5", "_keep", "_side"]]
+
+    cols = doc_cols + ["_md5", "_keep", "_side"]
+    tagged = (
+        docs.map_batches(tag_docs, batch_format="pandas")
+        .select_columns(cols)
+        .union(dup_ds.map_batches(tag_dups, batch_format="pandas").select_columns(cols))
+    )
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bucket"] = _bucket_of(df, ["_md5"], num_buckets)
+        return df
+
+    def filt(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["_side"].to_numpy()
+        keeper = dict(
+            zip(g.loc[side == 0, "_md5"].tolist(), g.loc[side == 0, "_keep"].tolist())
+        )
+        l = g[side == 1]
+        if not keeper:
+            return l.drop(columns=["_md5", "_keep", "_side", "_bucket"])
+        keep = [
+            (k := keeper.get(h)) is None or k == d
+            for h, d in zip(l["_md5"].tolist(), l["doc_id"].tolist())
+        ]
+        return l[np.asarray(keep, dtype=bool)].drop(
+            columns=["_md5", "_keep", "_side", "_bucket"]
+        )
+
+    return (
+        tagged.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(filt, batch_format="pandas")
     )
 
 
@@ -547,6 +649,7 @@ def apply_neardup_dedup(
     pairs: "ray.data.Dataset",
     id_col: str = "doc_id",
     distributed_clusters: bool = False,
+    broadcast_budget: int | None = None,
 ) -> "ray.data.Dataset":
     """NEAR-duplicate corpus hygiene end-to-end (the FineWeb/RefinedWeb
     shape): given a verified near-duplicate PAIR list (from
@@ -554,23 +657,35 @@ def apply_neardup_dedup(
     :func:`simhash_pairs`, ...), keep exactly one document — the min
     ``id_col`` of each connected component — and every unpaired document.
 
-    Scale contract mirrors :func:`apply_exact_dedup`: the broadcast side
-    is the DROP set (component members minus the keeper), O(#near-dup
-    docs) — empty for a dup-free corpus, never O(corpus). Components
-    come from driver union-find over the (small, verified) pair list by
-    default; pass ``distributed_clusters=True`` to route through
+    Scale contract mirrors :func:`apply_exact_dedup`, switched on the
+    MEASURED drop-set size (metadata count of the materialized drop rows):
+    within ``broadcast_budget`` (default :data:`DROP_BROADCAST_BUDGET`)
+    the drop ids ship as one ``ray.put`` frozenset — O(#near-dup docs),
+    empty for a dup-free corpus; past it (web-scale crawls run 30-50%
+    near-duplicate, making the drop set O(corpus) exactly when dedup
+    matters most) the filter routes through ``relational.anti_join`` — a
+    bucketed hash shuffle where neither side is ever driver- or
+    worker-resident in full. Components come from driver union-find over
+    the (small, verified) pair list by default; pass
+    ``distributed_clusters=True`` to route through
     :func:`duplicate_clusters_distributed` (iterated min-label
     propagation, same output contract) when the pair list itself
     outgrows one machine."""
+    budget = DROP_BROADCAST_BUDGET if broadcast_budget is None else broadcast_budget
     clusters = (
         duplicate_clusters_distributed(pairs)
         if distributed_clusters
         else duplicate_clusters(pairs)
     )
-    drop_df = clusters.map_batches(
+    drops = clusters.map_batches(
         lambda df: df.loc[df["doc_id"] != df["cluster_id"], ["doc_id"]],
         batch_format="pandas",
-    ).to_pandas()
+    ).materialize()
+    if drops.count() > budget:
+        from ..relational import anti_join
+
+        return anti_join(docs, drops, on=id_col, right_on="doc_id")
+    drop_df = drops.to_pandas()
     # empty drop set -> column-less frame (zero-row blocks lose schema)
     drop = (
         frozenset()

@@ -2002,3 +2002,59 @@ def test_lsh_index_matches_inmemory_and_prunes(tmp_path):
     all_buckets = glob.glob(os.path.join(idx, "table=*", "bucket=*"))
     n_probe_max = meta["n_tables"] * 4  # bucket + 3 flips per table
     assert len(all_buckets) > n_probe_max
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_apply_exact_dedup_antijoin_path():
+    """broadcast_budget=0 forces the bucketed keeper-join path (the
+    web-scale regime where the duplicated-groups table outgrows ray.put);
+    output must be IDENTICAL to the broadcast path, rows and values."""
+    import ray
+
+    from pdf_extraction_tests_ray.stages.dedup import apply_exact_dedup
+
+    docs, df, dup = _docs_with_dups(ray)
+    broadcast = apply_exact_dedup(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    joined = (
+        apply_exact_dedup(docs, broadcast_budget=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(joined[sorted(joined.columns)], broadcast[sorted(broadcast.columns)])
+    assert sorted(joined["doc_id"]) == sorted(df["doc_id"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_apply_neardup_dedup_antijoin_path():
+    """broadcast_budget=0 forces relational.anti_join for the near-dup drop
+    filter; survivors identical to the broadcast path on both cluster
+    backends, including the empty-pair-list corner."""
+    import ray
+
+    from pdf_extraction_tests_ray.stages.dedup import apply_neardup_dedup
+
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": f"t{i}"} for i in range(12)]
+    ).repartition(3)
+    pairs = ray.data.from_items(
+        [
+            {"doc_a": 5, "doc_b": 9},
+            {"doc_a": 9, "doc_b": 2},  # {2,5,9}: keep 2
+            {"doc_a": 7, "doc_b": 11},  # {7,11}: keep 7
+        ]
+    )
+    want = sorted(set(range(12)) - {5, 9, 11})
+    for dist in (False, True):
+        got = sorted(
+            apply_neardup_dedup(docs, pairs, distributed_clusters=dist, broadcast_budget=0)
+            .to_pandas()["doc_id"]
+            .tolist()
+        )
+        assert got == want, f"distributed_clusters={dist}"
+    # empty pair list: anti-join path degrades to pass-through
+    empty = ray.data.from_pandas(pd.DataFrame({"doc_a": [], "doc_b": []}))
+    got = sorted(
+        apply_neardup_dedup(docs, empty, broadcast_budget=0).to_pandas()["doc_id"].tolist()
+    )
+    assert got == sorted(range(12))
