@@ -42,40 +42,67 @@ def _term_frequencies(df: pd.DataFrame, terms: list) -> pd.DataFrame:
     )
 
 
+@ray.remote(num_cpus=0)
+class _DfAccumulator:
+    """Shared mutable per-term document-frequency accumulator — the one
+    piece the Dataset API can't express without a second pass over the hit
+    table: the hit tasks PUSH their tiny df partials here while the hit
+    pass materializes, so the driver never re-executes anything to learn
+    the term weights. Partials are keyed by a retry-stable batch
+    fingerprint (md5 of the batch's sorted doc_ids — a doc's rows live in
+    exactly one input batch, so fingerprints are unique across batches and
+    IDENTICAL across task retries): a re-executed task overwrites its own
+    entry instead of double-counting."""
+
+    def __init__(self):
+        self._parts: dict = {}
+
+    def add(self, key: str, df_map: dict) -> None:
+        self._parts[key] = df_map
+
+    def totals(self) -> dict:
+        out: dict = {}
+        for m in self._parts.values():
+            for t, c in m.items():
+                out[t] = out.get(t, 0) + c
+        return out
+
+
 def keyword_search(
     docs: "ray.data.Dataset", terms: list, k: int = 10
 ) -> "ray.data.Dataset":
     """Top-k docs by integer tf-idf score (ties broken by doc_id asc).
     Output: (doc_id, score: int64).
 
-    ONE corpus pass: each batch emits its (doc_id, term, tf) HIT rows
-    (bounded by query-term hits, a sliver of the corpus), which are
-    materialized once and reused for both the df statistics (pandas over
-    the tiny hit table) and the scoring — a second full-text pass would
-    double the job for no reason, since everything after tokenization
-    only needs the hits."""
+    TWO Ray executions total (was four): the hit pass tokenizes each batch
+    once, emits its (doc_id, term, tf) HIT rows (bounded by query-term
+    hits, a sliver of the corpus) AND pushes the batch's per-term df
+    partial to a zero-CPU accumulator actor — so when materialize()
+    returns, the term weights are already on the driver with no second
+    collect pass. Execution two scores the materialized hits and reduces
+    top-k. The hit table STAYS DISTRIBUTED (common query terms make it
+    O(corpus rows) — never collect it); a doc's hit rows all live in one
+    block, so per-block scoring sees complete documents."""
+    import hashlib
+
     tset = sorted(set(terms))
     n_total = docs.count()  # parquet metadata
+    acc = _DfAccumulator.remote()
 
     def hits_fn(df: pd.DataFrame) -> pd.DataFrame:
-        return _term_frequencies(df, tset)
+        out = _term_frequencies(df, tset)
+        if len(out):
+            key = hashlib.md5(
+                ",".join(map(str, sorted(out["doc_id"].unique().tolist()))).encode()
+            ).hexdigest()
+            dfm = out.groupby("term", sort=False)["doc_id"].nunique().to_dict()
+            # block until the actor has it: task completion must imply the
+            # partial is registered (materialize() is the barrier we rely on)
+            ray.get(acc.add.remote(key, dfm))
+        return out
 
-    # the hit table STAYS DISTRIBUTED (common query terms make it
-    # O(corpus rows) — never collect it); tokenization runs once and the
-    # materialized hits feed both consumers below. A doc's hit rows all
-    # live in one block (one row per (doc, term) per input batch), so
-    # per-block scoring sees complete documents.
     hits = docs.map_batches(hits_fn, batch_format="pandas").materialize()
-
-    # df per term: <= |terms| partial rows per block -> tiny driver frame
-    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("term", sort=False)["doc_id"].nunique().rename("df")
-        return g.reset_index()
-
-    parts = hits.map_batches(df_partial, batch_format="pandas").to_pandas()
-    df_map = (
-        parts.groupby("term")["df"].sum().to_dict() if len(parts) else {}
-    )
+    df_map = ray.get(acc.totals.remote())
     weights = {t: n_total // (int(df_map.get(t, 0)) + 1) + 1 for t in tset}
 
     def score_fn(df: pd.DataFrame) -> pd.DataFrame:
