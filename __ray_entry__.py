@@ -1255,6 +1255,48 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs
             FROM documents GROUP BY doc_id // 256
         """,
+        # Greedy sequence packing recomputed EXACTLY in SQL: the packer is
+        # deterministic (per pack_group = doc_id // 256, docs in doc_id
+        # order, close the pack when the running total would exceed 2048,
+        # oversized docs get singleton packs), so a recursive CTE stepping
+        # one doc per iteration within each group replicates membership —
+        # not just the conservation totals (which doc_pack_group_totals
+        # already pins).
+        "doc_pack_sequences": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, doc_id // 256 AS pack_group,
+                     length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                     row_number() OVER (
+                       PARTITION BY doc_id // 256 ORDER BY doc_id
+                     ) AS rn
+              FROM documents
+            ), step AS (
+              SELECT pack_group, rn, doc_id, n_tokens,
+                     0 AS pack_idx, n_tokens AS cur_tok
+              FROM toks WHERE rn = 1
+              UNION ALL
+              SELECT t.pack_group, t.rn, t.doc_id, t.n_tokens,
+                     CASE WHEN s.cur_tok + t.n_tokens > 2048
+                          THEN s.pack_idx + 1 ELSE s.pack_idx END,
+                     CASE WHEN s.cur_tok + t.n_tokens > 2048
+                          THEN t.n_tokens ELSE s.cur_tok + t.n_tokens END
+              FROM step s JOIN toks t
+                ON t.pack_group = s.pack_group AND t.rn = s.rn + 1
+            )
+            SELECT CAST(pack_group AS VARCHAR) || '-' ||
+                     CAST(pack_idx AS VARCHAR) AS pack_id,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                     AS doc_ids
+            FROM step GROUP BY pack_group, pack_idx
+        """,
+        # BPE losslessness: decode(encode(text)) == normalized text, so the
+        # Ray side's decoded digest must equal md5 of the SAME _NORM
+        # normalization every dedup oracle uses.
+        "doc_bpe_roundtrip": f"""
+            SELECT doc_id, md5({_NORM}) AS decoded_md5 FROM documents
+        """,
         # lexicon-hit argmax with the fixed en>de>fr>es>zh tie order of
         # functions.text.detect_language (the CASE chain resolves ties
         # first-listed-wins, matching the Python max(key=...) order);

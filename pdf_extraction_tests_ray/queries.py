@@ -1315,6 +1315,20 @@ def doc_bpe_encode(sf_dir: str):
     return C.bpe_encode(docs, merges)
 
 
+def doc_bpe_roundtrip(sf_dir: str):
+    """BPE conservation with a full SQL oracle: train the same 60-merge
+    tokenizer as doc_bpe_encode, encode+decode every document, and return
+    (doc_id, decoded_md5). Losslessness means the digest equals
+    md5(normalized text) — recomputed independently in DuckDB — so the
+    whole train/encode/memo machinery gets a driver value-hash row even
+    though merge training itself is not SQL-expressible."""
+    from .stages import curation as C
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = C.train_bpe(docs, num_merges=60)
+    return C.bpe_roundtrip(docs, merges)
+
+
 def doc_lm_perplexity(sf_dir: str):
     """Per-document perplexity under a corpus-trained add-k unigram LM —
     the CCNet quality-ranking signal (rows-only: log/exp arithmetic over
@@ -2608,9 +2622,11 @@ QUERIES = {
     "doc_stratified_sample": doc_stratified_sample,
     "doc_top_terms": doc_top_terms,
     "doc_search_keywords": doc_search_keywords,
+    "doc_pack_sequences": doc_pack_sequences,
+    "doc_bpe_roundtrip": doc_bpe_roundtrip,
+    # ---- end of the driver's 50-entry correctness window ----
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q_region_customer_balance": q_region_customer_balance,
-    # ---- end of the driver's 50-entry correctness window ----
     "doc_token_deciles": doc_token_deciles,
     "q_orders_priority": q_orders_priority,
     "q_part_topk": q_part_topk,
@@ -2643,7 +2659,6 @@ QUERIES = {
     "doc_corpus_stats": doc_corpus_stats,
     "doc_length_outliers": doc_length_outliers,
     # -- rows-only entries (genuinely non-SQL-expressible; past the window) --
-    "doc_pack_sequences": doc_pack_sequences,
     "doc_bpe_encode": doc_bpe_encode,
     "q_price_quantiles_tdigest": q_price_quantiles_tdigest,
     "q_events_approx_distinct_users": q_events_approx_distinct_users,

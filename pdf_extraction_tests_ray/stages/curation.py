@@ -799,6 +799,49 @@ def bpe_encode(
     )
 
 
+def bpe_roundtrip(docs: "ray.data.Dataset", merges: list) -> "ray.data.Dataset":
+    """BPE conservation check, streaming: encode every document with the
+    learned merge table, DECODE the full token sequence back (concat
+    tokens, map the end-of-word marker to a space), and emit
+    (doc_id, decoded_md5). BPE is lossless by construction — token
+    boundaries partition the normalized text — so the md5 must equal
+    ``md5(normalized text)``, which IS SQL-expressible: this gives the
+    iterative merge machinery (train + encode + memo) a driver value-hash
+    oracle without dumping token tables. Full sequences never leave the
+    task (only the 32-char digest does)."""
+    import hashlib
+
+    ref = ray.put({tuple(m): i for i, m in enumerate(merges)})
+
+    class RoundTrip:
+        def __init__(self, r):
+            self.ranks = ray.get(r)
+            self.memo: dict = {}
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            digests = []
+            for t in df["text"].tolist():
+                toks: list = []
+                for w in T.normalize_text(t).split(" "):
+                    if w:
+                        toks.extend(_bpe_word(w, self.ranks, self.memo))
+                decoded = "".join(toks).replace(_EOW, " ").rstrip()
+                digests.append(hashlib.md5(decoded.encode("utf-8")).hexdigest())
+            return pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].to_numpy(),
+                    "decoded_md5": pd.Series(digests, dtype=object),
+                }
+            )
+
+    return docs.map_batches(
+        RoundTrip,
+        fn_constructor_kwargs={"r": ref},
+        batch_format="pandas",
+        concurrency=(1, pool_max()),
+    )
+
+
 def encode_docs(
     docs: "ray.data.Dataset", vocab: pd.DataFrame
 ) -> "ray.data.Dataset":

@@ -143,6 +143,9 @@ def _to_pandas(res):
         "extract_order_banded",
         "extract_order_publisher",
         "extract_doc_scalars",
+        "extract_golden_transcript",
+        "doc_pack_sequences",
+        "doc_bpe_roundtrip",
     ],
 )
 def test_query_matches_oracle(name, duck):
