@@ -94,6 +94,11 @@ QUERY_SUITE = [
     "doc_length_outliers",
     "emb_quantize_int8",
     "media_ocr_glyph",
+    # round-3 additions
+    "extract_flagship_llm",
+    "doc_bpe_roundtrip",
+    "doc_pack_sequences",
+    "dedup_exact_apply",
 ]
 
 
@@ -222,6 +227,8 @@ def run_bench() -> dict:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
+    from pdf_extraction_tests_ray.fixtures import FLAT_SPANS_VERSION
+
     n_runs = int(os.environ.get("GRAFT_BENCH_RUNS", "2"))
     result = {
         "metric": f"flagship extraction wall time at sf, best of {n_runs} (docs/sec in docs_per_sec)",
@@ -230,6 +237,10 @@ def run_bench() -> dict:
         "queries": timings,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
+        # corpus version stamp: timings are only comparable between runs
+        # with the SAME flat_spans_version (the round-2 headline confusion
+        # was exactly a cross-version comparison — VERDICT r2 #1)
+        "flat_spans_version": FLAT_SPANS_VERSION,
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / headline, 2) if headline > 0 else None,
         # raw-CPU control measured in the same run: this shared host has
@@ -344,6 +355,7 @@ def run_scaling():
                 "scaling_efficiency": round(eff, 3),
                 "host_control_efficiency": round(control, 3) if control else None,
                 "sf": SF_DIR,
+                "flat_spans_version": r_hi.get("flat_spans_version"),
             }
         )
     )

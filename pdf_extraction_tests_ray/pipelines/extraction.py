@@ -58,6 +58,7 @@ def extract_dataset(
     concurrency=None,
     pages_per_fragment: int = 25,
     llm_client_factory=None,
+    llm_batch_prompts: int = 1,
 ) -> "ray.data.Dataset":
     """Build the lazy extraction pipeline over a spans Dataset.
 
@@ -88,6 +89,7 @@ def extract_dataset(
                 fn_constructor_kwargs={
                     "cleaning_method": cleaning_method,
                     "client_factory": llm_client_factory,
+                    "batch_prompts": llm_batch_prompts,
                 },
                 batch_format="pyarrow",
                 batch_size=batch_size,

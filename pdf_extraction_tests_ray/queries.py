@@ -2264,6 +2264,33 @@ def extract_flagship(sf_dir: str):
     )
 
 
+def extract_flagship_llm(sf_dir: str):
+    """The flagship pipeline with the A4 LLM region-analysis stage ON
+    (rows-only): an ExtractDocumentsLLM ACTOR pool holds a warm
+    deterministic client (FakeLLMClient — the loopback-tested
+    HttpLLMClient is a drop-in when a model server exists), batching 8
+    docs per prompt; abstracts come from the E6 region-slice path
+    (prompt -> M26 parse -> slice) instead of the E4 universal extractor.
+    Gives the A4 actor path driver/bench coverage outside pytest; its
+    output equivalence to the deterministic run on no-abstract docs and
+    the batched-prompt byte-identity are pinned in
+    tests/test_llm_and_scale_paths.py."""
+    from .pipelines.extraction import extract_dataset, split_quarantine
+    from .stages.llm_stage import FakeLLMClient
+
+    ok, _ = split_quarantine(
+        extract_dataset(
+            _spans_dataset(sf_dir),
+            split_threshold=None,
+            llm_client_factory=FakeLLMClient,
+            llm_batch_prompts=8,
+        )
+    )
+    return ok.select_columns(
+        ["doc_id", "title", "authors", "abstract", "total_pages", "total_text_regions"]
+    )
+
+
 def extract_spans_flat(sf_dir: str):
     """Ordered span sequences exploded to flat rows (rows-only check)."""
     from .pipelines.extraction import extract_dataset, split_quarantine
@@ -2681,5 +2708,6 @@ QUERIES = {
     "knn_ivf_indexed": knn_ivf_indexed,
     "knn_ivf": knn_ivf,
     "extract_flagship": extract_flagship,
+    "extract_flagship_llm": extract_flagship_llm,
     "extract_spans_flat": extract_spans_flat,
 }
