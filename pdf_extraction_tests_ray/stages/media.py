@@ -2,15 +2,17 @@
 
 Media travel as ``binary`` columns with metadata; decode / feature-extract
 / resize / frame-sample run as actor-pool ``map_batches`` stages.
-``DecodeMedia(fake=False)`` REALLY decodes the uncompressed formats that
-need no codec library — binary PGM (P5) / PPM (P6) images (the format the
-repo's own layout-overlay sink emits, stages/render.py) and PCM16 WAV
-audio — pure numpy header+buffer parsing, with a pooled feature vector
-(4x4 grid of mean intensities for images, segment RMS energies for
-audio). Compressed codecs (JPEG/PNG/MP3/H.264) still need external
-libraries absent from this container: those payloads raise a ``ValueError``
-naming the sniffed magic, and the deterministic ``fake=True`` decoder
-remains for plumbing tests/benches over arbitrary bytes.
+``DecodeMedia(fake=False)`` REALLY decodes the formats that need no codec
+library — binary PGM (P5) / PPM (P6) images (the format the repo's own
+layout-overlay sink emits, stages/render.py), PCM16 WAV audio, and **PNG**
+(DEFLATE via stdlib ``zlib`` + the five per-row byte filters reversed in
+:func:`decode_png` — a compressed format, but one the standard library
+fully covers) — with a pooled feature vector (4x4 grid of mean intensities
+for images, segment RMS energies for audio). JPEG/MP3/H.264 still need
+external libraries absent from this container: those payloads raise a
+``ValueError`` naming the sniffed magic, and the deterministic
+``fake=True`` decoder remains for plumbing tests/benches over arbitrary
+bytes.
 
 Media table schema::
 
@@ -22,6 +24,8 @@ from __future__ import annotations
 
 import hashlib
 import json
+import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -83,15 +87,19 @@ def synth_media_table(doc_ids, refs, types, seed: int = 99, codec: str = "fake")
                 metas.append(json.dumps({"codec": "wav", "type": t}))
             else:
                 w, h = int(rng.integers(16, 64)), int(rng.integers(16, 64))
-                color = bool(rng.integers(0, 2))
+                kind = int(rng.integers(0, 3))  # 0=pgm, 1=ppm, 2=png
                 grad = (
                     (np.arange(h)[:, None] + np.arange(w)[None, :]) % 256
                 ).astype(np.uint8)
-                if color:
+                if kind == 1:
                     img = np.stack([grad, 255 - grad, grad // 2], axis=-1)
                     head = b"P6\n%d %d\n255\n" % (w, h)
                     payloads.append(head + img.tobytes())
                     metas.append(json.dumps({"codec": "ppm", "type": t}))
+                elif kind == 2:
+                    img = np.stack([grad, 255 - grad, grad // 2], axis=-1)
+                    payloads.append(encode_png(img))
+                    metas.append(json.dumps({"codec": "png", "type": t}))
                 else:
                     head = b"P5\n%d %d\n255\n" % (w, h)
                     payloads.append(head + grad.tobytes())
@@ -140,6 +148,107 @@ def decode_pnm_gray(payload: bytes) -> np.ndarray:
     return buf.reshape(h, w, ch).astype(np.float32).mean(axis=2)
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> uint8 array (h, w, channels), pure stdlib.
+
+    PNG is zlib DEFLATE plus five per-scanline byte filters (None / Sub /
+    Up / Average / Paeth) — nothing needs an external codec. Supported:
+    bit depth 8, color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA);
+    palette and Adam7 interlace raise. Sub/Average/Paeth have a
+    along-the-row prefix dependency, so those rows decode with a Python
+    inner loop — correct first, and media batches are small by design
+    (batch BYTES bound worker heap, see DecodeMedia)."""
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, n = 8, len(payload)
+    ihdr = None
+    idat = []
+    while pos + 8 <= n:
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        cid = payload[pos + 4 : pos + 8]
+        if cid == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload[pos + 8 : pos + 21])
+        elif cid == b"IDAT":
+            idat.append(payload[pos + 8 : pos + 8 + size])
+        elif cid == b"IEND":
+            break
+        pos += 12 + size  # length + id + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG payload missing IHDR/IDAT chunks")
+    w, h, depth, ctype, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported, got depth {depth}")
+    if interlace:
+        raise ValueError("Adam7-interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {ctype} (palette needs PLTE)")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                row[x] = (row[x] + row[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up (no intra-row dependency: vectorized)
+            row += prev
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = int(row[x - bpp]) if x >= bpp else 0
+                row[x] = (row[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = row
+        prev = row
+    return out.reshape(h, w, channels)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal filter-0 PNG writer (gray / gray+alpha / RGB / RGBA uint8)
+    — used by the fixture generator so the real decoder has genuinely
+    compressed payloads to chew on, and by tests for round-trips."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(cid, body):
+        return (
+            len(body).to_bytes(4, "big")
+            + cid
+            + body
+            + zlib.crc32(cid + body).to_bytes(4, "big")
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raster = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (
+        _PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raster)) + chunk(b"IEND", b"")
+    )
+
+
 class DecodeMedia:
     """Actor-pool decode stage. Small ``batch_size`` is mandatory: payload
     rows are megabytes at real scale — batch bytes, not row count, bound
@@ -152,17 +261,28 @@ class DecodeMedia:
         # self.cv2 = importlib.import_module("cv2")
 
     def _decode_real(self, payload: bytes, media_type: str):
-        """Pure-numpy decode of codec-free formats; see module docstring."""
+        """Pure-numpy/stdlib decode; see module docstring."""
         if payload[:2] in (b"P5", b"P6"):
             return self._decode_pnm(payload)
+        if payload[:8] == _PNG_MAGIC:
+            return self._decode_png(payload)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return self._decode_wav(payload)
         raise ValueError(
             f"cannot decode media payload with magic {payload[:4]!r}: only "
-            "codec-free formats (binary PGM/PPM, PCM WAV) decode without "
-            "external libraries in this environment; route compressed "
-            "codecs through a real codec build of _decode_real"
+            "binary PGM/PPM, PNG and PCM WAV decode without external "
+            "libraries in this environment; route other compressed codecs "
+            "through a real codec build of _decode_real"
         )
+
+    def _decode_png(self, payload: bytes):
+        rgba = decode_png(payload)
+        # gray like _decode_pnm: unweighted mean over COLOR channels
+        # (alpha excluded — it is opacity, not intensity)
+        color_ch = {1: 1, 2: 1, 3: 3, 4: 3}[rgba.shape[2]]
+        gray = rgba[:, :, :color_ch].astype(np.float32).mean(axis=2)
+        h, w = gray.shape
+        return w, h, 1, self._pooled_grid(gray)
 
     def _pooled_grid(self, gray: np.ndarray) -> np.ndarray:
         """4x4 grid of mean intensities in [0,1] -> 16-dim feature (padded/
