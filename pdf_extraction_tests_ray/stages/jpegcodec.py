@@ -1,0 +1,542 @@
+"""Pure-numpy baseline JPEG (JFIF) codec — no external libraries.
+
+Baseline sequential JPEG is Huffman entropy coding + zigzag + uniform
+quantization + the 8x8 type-II DCT + (for color) YCbCr with optional 2x2
+chroma subsampling: all of it is arithmetic numpy covers, so — like PNG
+(media.decode_png) — the repo decodes it for real rather than env-gating
+it. Scope: 8-bit baseline sequential (SOF0), grayscale and YCbCr 4:4:4 /
+4:2:0, restart intervals, 0xFF00 byte unstuffing. Progressive (SOF2),
+arithmetic coding, 12-bit precision and 16-bit quant tables raise with a
+named error.
+
+The companion :func:`encode_jpeg` (standard ITU-T81 Annex K tables, ~Q50)
+exists so fixtures/tests have genuinely entropy-coded payloads; tests pin
+the decoder BIT-EXACTLY against an independent numpy recompute of
+dequant+IDCT from the encoder's own quantized coefficients (the lossless
+half of the codec), plus tolerance round-trips for the lossy half.
+
+Decode cost is a Python-loop Huffman walk per coefficient — correct
+first; media batches are small by design (batch BYTES bound worker heap,
+see stages.media.DecodeMedia).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---- shared tables -------------------------------------------------------
+
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63], dtype=np.int32)
+
+# ITU-T81 Annex K quant tables (luma, chroma)
+QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68,109,103, 77,
+    24, 35, 55, 64, 81,104,113, 92,
+    49, 64, 78, 87,103,121,120,101,
+    72, 92, 95, 98,112,100,103, 99], dtype=np.int32)
+QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32)
+
+# Annex K Huffman specs: (bits[1..16], values)
+HUFF_DC_LUMA = ([0,1,5,1,1,1,1,1,1,0,0,0,0,0,0,0], list(range(12)))
+HUFF_DC_CHROMA = ([0,3,1,1,1,1,1,1,1,1,1,0,0,0,0,0], list(range(12)))
+HUFF_AC_LUMA = (
+    [0,2,1,3,3,2,4,3,5,5,4,4,0,0,1,0x7D],
+    [0x01,0x02,0x03,0x00,0x04,0x11,0x05,0x12,0x21,0x31,0x41,0x06,0x13,0x51,0x61,
+     0x07,0x22,0x71,0x14,0x32,0x81,0x91,0xA1,0x08,0x23,0x42,0xB1,0xC1,0x15,0x52,
+     0xD1,0xF0,0x24,0x33,0x62,0x72,0x82,0x09,0x0A,0x16,0x17,0x18,0x19,0x1A,0x25,
+     0x26,0x27,0x28,0x29,0x2A,0x34,0x35,0x36,0x37,0x38,0x39,0x3A,0x43,0x44,0x45,
+     0x46,0x47,0x48,0x49,0x4A,0x53,0x54,0x55,0x56,0x57,0x58,0x59,0x5A,0x63,0x64,
+     0x65,0x66,0x67,0x68,0x69,0x6A,0x73,0x74,0x75,0x76,0x77,0x78,0x79,0x7A,0x83,
+     0x84,0x85,0x86,0x87,0x88,0x89,0x8A,0x92,0x93,0x94,0x95,0x96,0x97,0x98,0x99,
+     0x9A,0xA2,0xA3,0xA4,0xA5,0xA6,0xA7,0xA8,0xA9,0xAA,0xB2,0xB3,0xB4,0xB5,0xB6,
+     0xB7,0xB8,0xB9,0xBA,0xC2,0xC3,0xC4,0xC5,0xC6,0xC7,0xC8,0xC9,0xCA,0xD2,0xD3,
+     0xD4,0xD5,0xD6,0xD7,0xD8,0xD9,0xDA,0xE1,0xE2,0xE3,0xE4,0xE5,0xE6,0xE7,0xE8,
+     0xE9,0xEA,0xF1,0xF2,0xF3,0xF4,0xF5,0xF6,0xF7,0xF8,0xF9,0xFA],
+)
+HUFF_AC_CHROMA = (
+    [0,2,1,2,4,4,3,4,7,5,4,4,0,1,2,0x77],
+    [0x00,0x01,0x02,0x03,0x11,0x04,0x05,0x21,0x31,0x06,0x12,0x41,0x51,0x07,0x61,
+     0x71,0x13,0x22,0x32,0x81,0x08,0x14,0x42,0x91,0xA1,0xB1,0xC1,0x09,0x23,0x33,
+     0x52,0xF0,0x15,0x62,0x72,0xD1,0x0A,0x16,0x24,0x34,0xE1,0x25,0xF1,0x17,0x18,
+     0x19,0x1A,0x26,0x27,0x28,0x29,0x2A,0x35,0x36,0x37,0x38,0x39,0x3A,0x43,0x44,
+     0x45,0x46,0x47,0x48,0x49,0x4A,0x53,0x54,0x55,0x56,0x57,0x58,0x59,0x5A,0x63,
+     0x64,0x65,0x66,0x67,0x68,0x69,0x6A,0x73,0x74,0x75,0x76,0x77,0x78,0x79,0x7A,
+     0x82,0x83,0x84,0x85,0x86,0x87,0x88,0x89,0x8A,0x92,0x93,0x94,0x95,0x96,0x97,
+     0x98,0x99,0x9A,0xA2,0xA3,0xA4,0xA5,0xA6,0xA7,0xA8,0xA9,0xAA,0xB2,0xB3,0xB4,
+     0xB5,0xB6,0xB7,0xB8,0xB9,0xBA,0xC2,0xC3,0xC4,0xC5,0xC6,0xC7,0xC8,0xC9,0xCA,
+     0xD2,0xD3,0xD4,0xD5,0xD6,0xD7,0xD8,0xD9,0xDA,0xE2,0xE3,0xE4,0xE5,0xE6,0xE7,
+     0xE8,0xE9,0xEA,0xF2,0xF3,0xF4,0xF5,0xF6,0xF7,0xF8,0xF9,0xFA],
+)
+
+
+def _dct_matrix():
+    k = np.arange(8)
+    c = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+    m = c * np.sqrt(2 / 8)
+    m[0] /= np.sqrt(2)
+    return m  # forward: M @ block @ M.T
+
+
+_DCTM = _dct_matrix()
+
+
+def idct8x8(coef: np.ndarray) -> np.ndarray:
+    return _DCTM.T @ coef @ _DCTM
+
+
+def dct8x8(block: np.ndarray) -> np.ndarray:
+    return _DCTM @ block @ _DCTM.T
+
+
+# ---- Huffman helpers -----------------------------------------------------
+
+
+def _build_decode_table(bits, values):
+    """code (int, length) -> value, via canonical Huffman assignment."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _build_encode_table(bits, values):
+    dec = _build_decode_table(bits, values)
+    return {v: (ln, code) for (ln, code), v in dec.items()}
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing
+    and RSTn awareness."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self):
+        while self.nbits <= 24:
+            if self.pos >= len(self.data):
+                self.bitbuf = (self.bitbuf << 8) | 0
+                self.nbits += 8
+                continue
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0
+                if nxt == 0x00:
+                    self.pos += 2
+                    self.bitbuf = (self.bitbuf << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+                # marker (RST or EOI): stop feeding real bits
+                self.bitbuf = (self.bitbuf << 8) | 0
+                self.nbits += 8
+                continue
+            self.pos += 1
+            self.bitbuf = (self.bitbuf << 8) | b
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self):
+        """Skip to just after the next RST marker (restart interval)."""
+        self.bitbuf = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+
+
+def _decode_huff(br: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+# ---- decoder -------------------------------------------------------------
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt = {}
+    huff_dc, huff_ac = {}, {}
+    frame = None
+    restart_interval = 0
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            continue
+        size = int.from_bytes(payload[pos : pos + 2], "big")
+        body = payload[pos + 2 : pos + size]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                tab = np.zeros(64, dtype=np.int32)
+                tab[ZIGZAG] = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8)
+                qt[tq] = tab.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                cnt = sum(bits)
+                vals = list(body[i + 17 : i + 17 + cnt])
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_decode_table(bits, vals)
+                i += 17 + cnt
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = body[0], int.from_bytes(body[1:3], "big"), int.from_bytes(body[3:5], "big"), body[5]
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential JPEG (SOF0) supported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+                scan.append({"cs": cs, "td": tt >> 4, "ta": tt & 0xF})
+            ecs_start = pos + size
+            return _decode_scan(
+                payload[ecs_start:], frame, scan, qt, huff_dc, huff_ac, restart_interval
+            )
+        pos += size
+    raise ValueError("JPEG payload has no SOS scan")
+
+
+def _decode_scan(data, frame, scan, qt, huff_dc, huff_ac, restart_interval):
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for c in comps:
+        pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
+        planes.append(np.zeros((ph, pw), dtype=np.float64))
+    br = _BitReader(data)
+    pred = [0] * len(comps)
+    by_id = {s["cs"]: s for s in scan}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.align_to_marker()
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                s = by_id[c["id"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        t = _decode_huff(br, huff_dc[s["td"]])
+                        diff = _extend(br.read_bits(t), t)
+                        pred[ci] += diff
+                        coef = np.zeros(64, dtype=np.int32)
+                        coef[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huff(br, huff_ac[s["ta"]])
+                            r, sz = rs >> 4, rs & 0xF
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += r
+                            coef[k] = _extend(br.read_bits(sz), sz)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[ZIGZAG] = coef * qt[c["tq"]].reshape(-1)[np.argsort(np.argsort(ZIGZAG))] if False else 0
+                        # simpler: de-zigzag then dequant in natural order
+                        nat = np.zeros(64, dtype=np.float64)
+                        nat[ZIGZAG] = coef
+                        nat = nat.reshape(8, 8) * qt[c["tq"]]
+                        px = idct8x8(nat) + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu_count += 1
+    # upsample + crop
+    out_planes = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out_planes.append(p[:h, :w])
+    if len(comps) == 1:
+        gray = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return gray[:, :, None]
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---- encoder -------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.write(1, 1)  # pad with 1s
+
+
+def _csize(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length() if v < 0 else 0
+
+
+def encode_jpeg(img: np.ndarray, subsample: bool = True, restart_interval: int = 0) -> bytes:
+    """Baseline JFIF encoder: gray (h,w) or RGB (h,w,3); standard Annex K
+    tables at quality ~50; 4:2:0 when subsample else 4:4:4."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    gray = ch == 1
+    img = img.astype(np.float64)
+    if gray:
+        planes = [img[:, :, 0]]
+        samp = [(1, 1)]
+        qts = [0]
+    else:
+        r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            def ds(p):
+                ph, pw = p.shape
+                p2 = p[: ph - ph % 2 or None, : pw - pw % 2 or None]
+                ph2, pw2 = (ph // 2) * 2, (pw // 2) * 2
+                p2 = p[:ph2, :pw2]
+                out = p2.reshape(ph2 // 2, 2, pw2 // 2, 2).mean(axis=(1, 3))
+                # edge rows/cols if odd dims
+                if ph % 2 or pw % 2:
+                    oh, ow = -(-ph // 2), -(-pw // 2)
+                    full = np.empty((oh, ow))
+                    full[: out.shape[0], : out.shape[1]] = out
+                    if pw % 2:
+                        full[: out.shape[0], -1] = p[:ph2, -1].reshape(-1, 2).mean(axis=1)
+                    if ph % 2:
+                        full[-1, : out.shape[1]] = p[-1, :pw2].reshape(-1, 2).mean(axis=1)
+                    if ph % 2 and pw % 2:
+                        full[-1, -1] = p[-1, -1]
+                    return full
+                return out
+            planes = [y, ds(cb), ds(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        qts = [0, 1, 1]
+
+    qtabs = {0: QT_LUMA.reshape(8, 8), 1: QT_CHROMA.reshape(8, 8)}
+    enc_dc = {0: _build_encode_table(*HUFF_DC_LUMA), 1: _build_encode_table(*HUFF_DC_CHROMA)}
+    enc_ac = {0: _build_encode_table(*HUFF_AC_LUMA), 1: _build_encode_table(*HUFF_AC_CHROMA)}
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    padded = []
+    for p, (sh, sv) in zip(planes, samp):
+        pw, ph = mcux * 8 * sh, mcuy * 8 * sv
+        pp = np.empty((ph, pw))
+        ah, aw = min(p.shape[0], ph), min(p.shape[1], pw)
+        pp[:ah, :aw] = p[:ah, :aw]
+        if aw < pw:
+            pp[:ah, aw:] = pp[:ah, aw - 1 : aw]
+        if ah < ph:
+            pp[ah:, :] = pp[ah - 1 : ah, :]
+        padded.append(pp)
+
+    bw = _BitWriter()
+    pred = [0] * len(planes)
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = [0] * len(planes)
+            mcu_count += 1
+            for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
+                tq = qts[ci]
+                tdc, tac = (0, 0) if ci == 0 else ((1, 1) if not gray else (0, 0))
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0, x0 = (my * sv + by) * 8, (mx * sh + bx) * 8
+                        block = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        coef = dct8x8(block)
+                        q = np.round(coef / qtabs[tq]).astype(np.int64)
+                        zz = q.reshape(-1)[ZIGZAG]
+                        diff = int(zz[0]) - pred[ci]
+                        pred[ci] = int(zz[0])
+                        t = _csize(diff)
+                        ln, code = enc_dc[tdc][t]
+                        bw.write(code, ln)
+                        if t:
+                            v = diff if diff >= 0 else diff + (1 << t) - 1
+                            bw.write(v & ((1 << t) - 1), t)
+                        run = 0
+                        last_nz = 0
+                        for k in range(1, 64):
+                            if zz[k]:
+                                last_nz = k
+                        for k in range(1, last_nz + 1):
+                            v = int(zz[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run >= 16:
+                                ln, code = enc_ac[tac][0xF0]
+                                bw.write(code, ln)
+                                run -= 16
+                            sz = _csize(v)
+                            ln, code = enc_ac[tac][(run << 4) | sz]
+                            bw.write(code, ln)
+                            vv = v if v >= 0 else v + (1 << sz) - 1
+                            bw.write(vv & ((1 << sz) - 1), sz)
+                            run = 0
+                        if last_nz < 63:
+                            ln, code = enc_ac[tac][0x00]
+                            bw.write(code, ln)
+    bw.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")
+    for tq in sorted(set(qts)):
+        zz = qtabs[tq].reshape(-1)[ZIGZAG].astype(np.uint8)
+        out += seg(0xDB, bytes([tq]) + zz.tobytes())
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([len(planes)])
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, qts[ci]])
+    out += seg(0xC0, sof)
+    specs = [(0x00, HUFF_DC_LUMA), (0x10, HUFF_AC_LUMA)]
+    if not gray:
+        specs += [(0x01, HUFF_DC_CHROMA), (0x11, HUFF_AC_CHROMA)]
+    for tcth, (bits, vals) in specs:
+        out += seg(0xC4, bytes([tcth]) + bytes(bits) + bytes(vals))
+    sos = bytes([len(planes)])
+    for ci in range(len(planes)):
+        td_ta = 0x00 if ci == 0 else 0x11
+        sos += bytes([ci + 1, td_ta])
+    sos += bytes([0, 63, 0])
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    out += seg(0xDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _selfcheck():  # pragma: no cover - manual smoke entry
+    rng = np.random.default_rng(1)
+    # gray smooth image round-trip
+    x = np.arange(24)
+    img = ((np.add.outer(x, np.arange(40)) * 3) % 200 + 20).astype(np.uint8)
+    back = decode_jpeg(encode_jpeg(img))[:, :, 0]
+    err = np.abs(back.astype(int) - img.astype(int))
+    print("gray maxerr", err.max(), "meanerr", err.mean())
+    # color 4:2:0
+    grad = ((np.arange(17)[:, None] + np.arange(31)[None, :]) * 5 % 220 + 10).astype(np.uint8)
+    rgb = np.stack([grad, 255 - grad, grad // 2 + 30], axis=-1)
+    back = decode_jpeg(encode_jpeg(rgb))
+    err = np.abs(back.astype(int) - rgb.astype(int))
+    print("color 4:2:0 maxerr", err.max(), "meanerr", err.mean())
+    # color 4:4:4
+    back = decode_jpeg(encode_jpeg(rgb, subsample=False))
+    err = np.abs(back.astype(int) - rgb.astype(int))
+    print("color 4:4:4 maxerr", err.max(), "meanerr", err.mean())
+    # flat image should be near-exact
+    flat = np.full((16, 16), 130, np.uint8)
+    back = decode_jpeg(encode_jpeg(flat))[:, :, 0]
+    print("flat maxerr", np.abs(back.astype(int) - 130).max())

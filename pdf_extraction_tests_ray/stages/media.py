@@ -4,15 +4,16 @@ Media travel as ``binary`` columns with metadata; decode / feature-extract
 / resize / frame-sample run as actor-pool ``map_batches`` stages.
 ``DecodeMedia(fake=False)`` REALLY decodes the formats that need no codec
 library — binary PGM (P5) / PPM (P6) images (the format the repo's own
-layout-overlay sink emits, stages/render.py), PCM16 WAV audio, and **PNG**
+layout-overlay sink emits, stages/render.py), PCM16 WAV audio, **PNG**
 (DEFLATE via stdlib ``zlib`` + the five per-row byte filters reversed in
-:func:`decode_png` — a compressed format, but one the standard library
-fully covers) — with a pooled feature vector (4x4 grid of mean intensities
-for images, segment RMS energies for audio). JPEG/MP3/H.264 still need
-external libraries absent from this container: those payloads raise a
-``ValueError`` naming the sniffed magic, and the deterministic
-``fake=True`` decoder remains for plumbing tests/benches over arbitrary
-bytes.
+:func:`decode_png`) and **baseline JPEG** (pure-numpy Huffman + dequant +
+IDCT, ``stages.jpegcodec`` — bit-exactness against an independent
+reconstruction pinned in tests) — with a pooled feature vector (4x4 grid
+of mean intensities for images, segment RMS energies for audio).
+MP3/H.264/progressive-JPEG still need external libraries absent from this
+container: those payloads raise a ``ValueError`` naming the sniffed
+magic, and the deterministic ``fake=True`` decoder remains for plumbing
+tests/benches over arbitrary bytes.
 
 Media table schema::
 
@@ -87,7 +88,7 @@ def synth_media_table(doc_ids, refs, types, seed: int = 99, codec: str = "fake")
                 metas.append(json.dumps({"codec": "wav", "type": t}))
             else:
                 w, h = int(rng.integers(16, 64)), int(rng.integers(16, 64))
-                kind = int(rng.integers(0, 3))  # 0=pgm, 1=ppm, 2=png
+                kind = int(rng.integers(0, 4))  # 0=pgm, 1=ppm, 2=png, 3=jpeg
                 grad = (
                     (np.arange(h)[:, None] + np.arange(w)[None, :]) % 256
                 ).astype(np.uint8)
@@ -100,6 +101,12 @@ def synth_media_table(doc_ids, refs, types, seed: int = 99, codec: str = "fake")
                     img = np.stack([grad, 255 - grad, grad // 2], axis=-1)
                     payloads.append(encode_png(img))
                     metas.append(json.dumps({"codec": "png", "type": t}))
+                elif kind == 3:
+                    from .jpegcodec import encode_jpeg
+
+                    img = np.stack([grad, 255 - grad, grad // 2], axis=-1)
+                    payloads.append(encode_jpeg(img))
+                    metas.append(json.dumps({"codec": "jpeg", "type": t}))
                 else:
                     head = b"P5\n%d %d\n255\n" % (w, h)
                     payloads.append(head + grad.tobytes())
@@ -266,14 +273,25 @@ class DecodeMedia:
             return self._decode_pnm(payload)
         if payload[:8] == _PNG_MAGIC:
             return self._decode_png(payload)
+        if payload[:2] == b"\xff\xd8":
+            return self._decode_jpeg(payload)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return self._decode_wav(payload)
         raise ValueError(
-            f"cannot decode media payload with magic {payload[:4]!r}: only "
-            "binary PGM/PPM, PNG and PCM WAV decode without external "
-            "libraries in this environment; route other compressed codecs "
-            "through a real codec build of _decode_real"
+            f"cannot decode media payload with magic {payload[:4]!r}: "
+            "binary PGM/PPM, PNG, baseline JPEG and PCM WAV decode without "
+            "external libraries in this environment; route other codecs "
+            "(MP3/H.264/progressive JPEG) through a real codec build of "
+            "_decode_real"
         )
+
+    def _decode_jpeg(self, payload: bytes):
+        from .jpegcodec import decode_jpeg
+
+        px = decode_jpeg(payload)  # (h, w, 1|3) uint8
+        gray = px.astype(np.float32).mean(axis=2)
+        h, w = gray.shape
+        return w, h, 1, self._pooled_grid(gray)
 
     def _decode_png(self, payload: bytes):
         rgba = decode_png(payload)
