@@ -172,15 +172,21 @@ def duplicate_clusters(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
     knn query vectors). If pairs ever outgrow one machine, switch to
     iterated min-label-propagation joins; the output contract stays.
     Deterministic: min-id labels, sorted output."""
+    return ray.data.from_pandas(_clusters_frame(pairs))
+
+
+def _clusters_frame(pairs: "ray.data.Dataset") -> pd.DataFrame:
+    """Driver-side union-find core of :func:`duplicate_clusters`; returns
+    the (doc_id, cluster_id) pandas frame directly so callers that stay
+    driver-side (apply_neardup_dedup's broadcast path) skip the
+    from_pandas -> Ray execution round-trip."""
     pdf = pairs.to_pandas()
     # Ray drops the schema of zero-row blocks: an empty pair list arrives
     # as a column-less frame — the dup-free-corpus case, not an error
     if pdf.empty or "doc_a" not in pdf.columns:
-        return ray.data.from_pandas(
-            pd.DataFrame(
-                {"doc_id": pd.Series([], dtype="int64"),
-                 "cluster_id": pd.Series([], dtype="int64")}
-            )
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "cluster_id": pd.Series([], dtype="int64")}
         )
     parent: dict = {}
 
@@ -198,10 +204,9 @@ def duplicate_clusters(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
             # union by MIN id so the root is the deterministic label
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
-    out = pd.DataFrame(
+    return pd.DataFrame(
         sorted((v, find(v)) for v in parent), columns=["doc_id", "cluster_id"]
     )
-    return ray.data.from_pandas(out)
 
 
 def duplicate_clusters_distributed(
@@ -672,20 +677,29 @@ def apply_neardup_dedup(
     propagation, same output contract) when the pair list itself
     outgrows one machine."""
     budget = DROP_BROADCAST_BUDGET if broadcast_budget is None else broadcast_budget
-    clusters = (
-        duplicate_clusters_distributed(pairs)
-        if distributed_clusters
-        else duplicate_clusters(pairs)
-    )
-    drops = clusters.map_batches(
-        lambda df: df.loc[df["doc_id"] != df["cluster_id"], ["doc_id"]],
-        batch_format="pandas",
-    ).materialize()
-    if drops.count() > budget:
-        from ..relational import anti_join
+    if distributed_clusters:
+        # drop rows stay a Dataset: materialize once, count from metadata
+        drops = duplicate_clusters_distributed(pairs).map_batches(
+            lambda df: df.loc[df["doc_id"] != df["cluster_id"], ["doc_id"]],
+            batch_format="pandas",
+        ).materialize()
+        if drops.count() > budget:
+            from ..relational import anti_join
 
-        return anti_join(docs, drops, on=id_col, right_on="doc_id")
-    drop_df = drops.to_pandas()
+            return anti_join(docs, drops, on=id_col, right_on="doc_id")
+        drop_df = drops.to_pandas()
+    else:
+        # union-find already ran driver-side over the (small-by-contract)
+        # pair list, so the drop frame is ALREADY driver-resident — no
+        # Dataset round-trip, no extra Ray executions
+        cf = _clusters_frame(pairs)
+        drop_df = cf.loc[cf["doc_id"] != cf["cluster_id"], ["doc_id"]]
+        if len(drop_df) > budget:
+            from ..relational import anti_join
+
+            return anti_join(
+                docs, ray.data.from_pandas(drop_df), on=id_col, right_on="doc_id"
+            )
     # empty drop set -> column-less frame (zero-row blocks lose schema)
     drop = (
         frozenset()
