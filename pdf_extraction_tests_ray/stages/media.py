@@ -6,10 +6,12 @@ Media travel as ``binary`` columns with metadata; decode / feature-extract
 library — binary PGM (P5) / PPM (P6) images (the format the repo's own
 layout-overlay sink emits, stages/render.py), PCM16 WAV audio, **PNG**
 (DEFLATE via stdlib ``zlib`` + the five per-row byte filters reversed in
-:func:`decode_png`) and **baseline JPEG** (pure-numpy Huffman + dequant +
+:func:`decode_png`), **baseline JPEG** (pure-numpy Huffman + dequant +
 IDCT, ``stages.jpegcodec`` — bit-exactness against an independent
-reconstruction pinned in tests) — with a pooled feature vector (4x4 grid
-of mean intensities for images, segment RMS energies for audio).
+reconstruction pinned in tests) and **GIF** (pure-python LZW,
+``stages.gifcodec`` — lossless, multi-frame: the real ``video`` payload)
+— with a pooled feature vector (4x4 grid of mean intensities for images,
+segment RMS energies for audio).
 MP3/H.264/progressive-JPEG still need external libraries absent from this
 container: those payloads raise a ``ValueError`` naming the sniffed
 magic, and the deterministic ``fake=True`` decoder remains for plumbing
@@ -58,9 +60,10 @@ def synth_media_table(doc_ids, refs, types, seed: int = 99, codec: str = "fake")
     """Deterministic payloads for tests/bench (seeded by ref).
 
     ``codec='fake'`` emits opaque random bytes (plumbing-only path);
-    ``codec='real'`` emits genuinely decodable payloads — binary PGM/PPM
-    gradients for image/video rows, PCM16 WAV tones for audio rows — so
-    ``DecodeMedia(fake=False)`` exercises the real parser end-to-end."""
+    ``codec='real'`` emits genuinely decodable payloads — PGM/PPM/PNG/JPEG
+    gradients for image rows, multi-frame grayscale GIFs for video rows,
+    PCM16 WAV tones for audio rows — so ``DecodeMedia(fake=False)``
+    exercises every real parser end-to-end."""
     payloads, metas = [], []
     for r, t in zip(refs, types):
         rng = np.random.default_rng(
@@ -86,6 +89,18 @@ def synth_media_table(doc_ids, refs, types, seed: int = 99, codec: str = "fake")
                 )
                 payloads.append(hdr + pcm)
                 metas.append(json.dumps({"codec": "wav", "type": t}))
+            elif t == "video":
+                # real multi-frame payload: grayscale animated GIF (LZW)
+                from .gifcodec import encode_gif
+
+                w, h = int(rng.integers(16, 48)), int(rng.integers(16, 48))
+                nf = int(rng.integers(2, 7))
+                base = (np.arange(h)[:, None] + np.arange(w)[None, :]) % 256
+                clip = np.stack(
+                    [((base + 13 * k) % 256).astype(np.uint8) for k in range(nf)]
+                )
+                payloads.append(encode_gif(clip))
+                metas.append(json.dumps({"codec": "gif", "type": t, "frames": nf}))
             else:
                 w, h = int(rng.integers(16, 64)), int(rng.integers(16, 64))
                 kind = int(rng.integers(0, 4))  # 0=pgm, 1=ppm, 2=png, 3=jpeg
@@ -275,6 +290,8 @@ class DecodeMedia:
             return self._decode_png(payload)
         if payload[:2] == b"\xff\xd8":
             return self._decode_jpeg(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return self._decode_gif(payload)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return self._decode_wav(payload)
         raise ValueError(
@@ -292,6 +309,16 @@ class DecodeMedia:
         gray = px.astype(np.float32).mean(axis=2)
         h, w = gray.shape
         return w, h, 1, self._pooled_grid(gray)
+
+    def _decode_gif(self, payload: bytes):
+        """GIF: n_frames = image-block count (the real multi-frame payload
+        for the video media type); feature from the FIRST frame."""
+        from .gifcodec import decode_gif
+
+        frames, n_frames = decode_gif(payload)
+        gray = frames[0].astype(np.float32).mean(axis=2)
+        h, w = gray.shape
+        return w, h, n_frames, self._pooled_grid(gray)
 
     def _decode_png(self, payload: bytes):
         rgba = decode_png(payload)
