@@ -1291,6 +1291,47 @@ def oracle_sql() -> dict[str, str]:
                      AS doc_ids
             FROM step GROUP BY pack_group, pack_idx
         """,
+        # Gopher quality rules (Rae et al. 2021 Table A1): every ratio is
+        # compared in INTEGER arithmetic on both sides (3n <= chars <= 10n
+        # instead of a float mean, 10*hits <= k*n instead of hits/n <= k/10)
+        # so the boolean flags hash-match exactly.
+        "doc_gopher_rules": """
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS words,
+                     string_split(text, chr(10)) AS lines
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                     length(words) AS n,
+                     length(array_to_string(words, '')) AS total_chars,
+                     length(list_filter(words, x -> contains(x, '#'))) AS n_hash,
+                     length(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+                     length(list_filter(['the','be','to','of','and','that','have','with'],
+                       s -> list_contains(list_transform(words, x -> lower(x)), s))) AS n_stops,
+                     length(lines) AS nl,
+                     length(list_filter(lines,
+                       l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) AS n_ell,
+                     length(list_filter(lines,
+                       l -> regexp_matches(l, '^\\s*[-*•] '))) AS n_bul
+              FROM w
+            )
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_words,
+                   (n BETWEEN 50 AND 100000) AS ok_word_count,
+                   (total_chars BETWEEN 3*n AND 10*n) AS ok_mean_word_len,
+                   (10*n_hash <= n) AS ok_hash_ratio,
+                   (10*n_ell <= 3*nl) AS ok_ellipsis,
+                   (10*n_bul <= 9*nl) AS ok_bullet,
+                   (5*n_alpha >= 4*n) AS ok_alpha,
+                   (n_stops >= 2) AS ok_stopwords,
+                   ((n BETWEEN 50 AND 100000)
+                     AND (total_chars BETWEEN 3*n AND 10*n)
+                     AND (10*n_hash <= n) AND (10*n_ell <= 3*nl)
+                     AND (10*n_bul <= 9*nl) AND (5*n_alpha >= 4*n)
+                     AND (n_stops >= 2)) AS keep
+            FROM m
+        """,
         # BPE losslessness: decode(encode(text)) == normalized text, so the
         # Ray side's decoded digest must equal md5 of the SAME _NORM
         # normalization every dedup oracle uses.

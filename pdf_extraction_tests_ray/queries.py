@@ -1315,6 +1315,16 @@ def doc_bpe_encode(sf_dir: str):
     return C.bpe_encode(docs, merges)
 
 
+def doc_gopher_rules(sf_dir: str):
+    """Gopher-style quality rule flags per document (Rae et al. 2021),
+    full SQL oracle — every ratio compared in integer arithmetic on both
+    sides so the value hash is exact."""
+    from .stages import curation as C
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return C.gopher_rules(docs)
+
+
 def doc_bpe_roundtrip(sf_dir: str):
     """BPE conservation with a full SQL oracle: train the same 60-merge
     tokenizer as doc_bpe_encode, encode+decode every document, and return
@@ -2685,6 +2695,7 @@ QUERIES = {
     "doc_distinct_ngrams": doc_distinct_ngrams,
     "doc_corpus_stats": doc_corpus_stats,
     "doc_length_outliers": doc_length_outliers,
+    "doc_gopher_rules": doc_gopher_rules,
     # -- rows-only entries (genuinely non-SQL-expressible; past the window) --
     "doc_bpe_encode": doc_bpe_encode,
     "q_price_quantiles_tdigest": q_price_quantiles_tdigest,

@@ -799,6 +799,82 @@ def bpe_encode(
     )
 
 
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Gopher-style document quality rules (Rae et al. 2021, Table A1 —
+    the filter family FineWeb/RefinedWeb/MassiveText all derive from),
+    one streaming pass, no shuffle. Per doc:
+
+    - ok_word_count:    50 <= n_words <= 100000
+    - ok_mean_word_len: mean word length in [3, 10] — compared in INTEGER
+      arithmetic (3*n <= total_chars <= 10*n) so the SQL oracle
+      hash-matches with no float division on either side
+    - ok_hash_ratio:    words containing '#' <= 10% (10*n_hash <= n)
+    - ok_ellipsis:      lines ending in '...'/'…' <= 30% (10*e <= 3*L)
+    - ok_bullet:        lines starting with a bullet <= 90% (10*b <= 9*L)
+    - ok_alpha:         >= 80% of words contain a letter (5*a >= 4*n)
+    - ok_stopwords:     >= 2 of the 8 Gopher stop words appear as words
+    - keep:             AND of all
+
+    Words = split of trimmed text on whitespace runs (empty text counts 1
+    empty word — the DuckDB regexp_split_to_array convention the repo's
+    token counts already share); lines = split on newline."""
+    import re
+
+    ws_re = re.compile(r"\s+")
+    alpha_re = re.compile(r"[a-zA-Z]")
+    # line-rule regexes shared semantically with the SQL oracle (DuckDB
+    # ltrim/rtrim strip spaces only, Python str.strip strips all
+    # whitespace — regex on both sides removes the mismatch)
+    ell_re = re.compile(r"(\.\.\.|…)\s*$")
+    bul_re = re.compile(r"^\s*[-*•] ")
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        out = {
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_words": [], "ok_word_count": [], "ok_mean_word_len": [],
+            "ok_hash_ratio": [], "ok_ellipsis": [], "ok_bullet": [],
+            "ok_alpha": [], "ok_stopwords": [], "keep": [],
+        }
+        for t in df["text"].tolist():
+            words = ws_re.split(t.strip())
+            n = len(words)
+            total_chars = sum(len(w) for w in words)
+            n_hash = sum(1 for w in words if "#" in w)
+            n_alpha = sum(1 for w in words if alpha_re.search(w))
+            wl = set(w.lower() for w in words)
+            n_stops = sum(1 for s in _GOPHER_STOPS if s in wl)
+            lines = t.split("\n")
+            nl = len(lines)
+            n_ell = sum(1 for l in lines if ell_re.search(l))
+            n_bul = sum(1 for l in lines if bul_re.match(l))
+            f_wc = 50 <= n <= 100000
+            f_mwl = 3 * n <= total_chars <= 10 * n
+            f_hash = 10 * n_hash <= n
+            f_ell = 10 * n_ell <= 3 * nl
+            f_bul = 10 * n_bul <= 9 * nl
+            f_alpha = 5 * n_alpha >= 4 * n
+            f_stop = n_stops >= 2
+            out["n_words"].append(n)
+            out["ok_word_count"].append(f_wc)
+            out["ok_mean_word_len"].append(f_mwl)
+            out["ok_hash_ratio"].append(f_hash)
+            out["ok_ellipsis"].append(f_ell)
+            out["ok_bullet"].append(f_bul)
+            out["ok_alpha"].append(f_alpha)
+            out["ok_stopwords"].append(f_stop)
+            out["keep"].append(
+                f_wc and f_mwl and f_hash and f_ell and f_bul and f_alpha and f_stop
+            )
+        res = pd.DataFrame(out)
+        res["n_words"] = res["n_words"].astype("int64")
+        return res
+
+    return docs.map_batches(flags, batch_format="pandas")
+
+
 def bpe_roundtrip(docs: "ray.data.Dataset", merges: list) -> "ray.data.Dataset":
     """BPE conservation check, streaming: encode every document with the
     learned merge table, DECODE the full token sequence back (concat

@@ -2058,3 +2058,37 @@ def test_apply_neardup_dedup_antijoin_path():
         apply_neardup_dedup(docs, empty, broadcast_budget=0).to_pandas()["doc_id"].tolist()
     )
     assert got == sorted(range(12))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gopher_rules_hand_computed_edges():
+    """Each rule tripped by a purpose-built document (flags hand-derived
+    from Rae et al. 2021 Table A1 semantics as implemented)."""
+    import ray
+
+    from pdf_extraction_tests_ray.stages.curation import gopher_rules
+
+    good = "the quick brown fox jumps with vigor and zeal " * 6  # 54 words
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": good},                          # passes all
+            {"doc_id": 2, "text": "too short with the and"},      # word count (5 < 50)
+            {"doc_id": 3, "text": ("#tag " * 60) + "the and " * 2},  # hash ratio
+            {"doc_id": 4, "text": "\n".join(["- item the and of"] * 20)},  # bullets > 90%
+            {"doc_id": 5, "text": "\n".join(["trailing the and..."] * 10)},  # ellipsis > 30%
+            {"doc_id": 6, "text": ("12345 " * 60) + "the and"},   # alpha < 80%
+            {"doc_id": 7, "text": "zz yy xx ww vv " * 12},        # no stop words
+            {"doc_id": 8, "text": ("a " * 60) + "the and of"},    # mean word len < 3
+        ]
+    )
+    out = gopher_rules(docs).to_pandas().set_index("doc_id").sort_index()
+    assert bool(out.loc[1, "keep"])
+    assert not out.loc[2, "ok_word_count"]
+    assert not out.loc[3, "ok_hash_ratio"]
+    assert not out.loc[4, "ok_bullet"]
+    assert not out.loc[5, "ok_ellipsis"]
+    assert not out.loc[6, "ok_alpha"]
+    assert not out.loc[7, "ok_stopwords"]
+    assert not out.loc[8, "ok_mean_word_len"]
+    for d in range(2, 9):
+        assert not out.loc[d, "keep"], d

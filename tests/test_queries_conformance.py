@@ -146,6 +146,7 @@ def _to_pandas(res):
         "extract_golden_transcript",
         "doc_pack_sequences",
         "doc_bpe_roundtrip",
+        "doc_gopher_rules",
     ],
 )
 def test_query_matches_oracle(name, duck):
@@ -200,6 +201,7 @@ def test_query_matches_oracle(name, duck):
         "media_ocr_regions",
         "media_ocr_glyph",
         "extract_ocr_backfill",
+        "extract_flagship_llm",
     ],
 )
 def test_rows_only_queries_run(name):
