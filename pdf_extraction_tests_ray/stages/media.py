@@ -8,8 +8,10 @@ layout-overlay sink emits, stages/render.py), PCM16 WAV audio, **PNG**
 (DEFLATE via stdlib ``zlib`` + the five per-row byte filters reversed in
 :func:`decode_png`), **baseline JPEG** (pure-numpy Huffman + dequant +
 IDCT, ``stages.jpegcodec`` — bit-exactness against an independent
-reconstruction pinned in tests) and **GIF** (pure-python LZW,
-``stages.gifcodec`` — lossless, multi-frame: the real ``video`` payload)
+reconstruction pinned in tests) **GIF** (pure-python LZW,
+``stages.gifcodec`` — lossless, multi-frame: the real ``video`` payload),
+**BMP** (8/24-bit uncompressed) and **G.711 mu-law WAV** (vectorized ITU
+expansion)
 — with a pooled feature vector (4x4 grid of mean intensities for images,
 segment RMS energies for audio).
 MP3/H.264/progressive-JPEG still need external libraries absent from this
@@ -170,6 +172,81 @@ def decode_pnm_gray(payload: bytes) -> np.ndarray:
     return buf.reshape(h, w, ch).astype(np.float32).mean(axis=2)
 
 
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed BMP (BITMAPINFOHEADER, 8-bit paletted or 24-bit BGR)
+    -> uint8 RGB array (h, w, 3). Rows are 4-byte aligned and stored
+    bottom-up (top-down when height is negative). Pure numpy."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError("BMP core-header variant not supported")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    planes = int.from_bytes(payload[26:28], "little")
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if planes != 1 or comp != 0:
+        raise ValueError(f"only uncompressed single-plane BMP supported (compression={comp})")
+    top_down = h < 0
+    h = abs(h)
+    if bpp == 24:
+        stride = (w * 3 + 3) & ~3
+        rows = np.frombuffer(payload, np.uint8, stride * h, data_off).reshape(h, stride)
+        bgr = rows[:, : w * 3].reshape(h, w, 3)
+        rgb = bgr[:, :, ::-1]
+    elif bpp == 8:
+        n_colors = int.from_bytes(payload[46:50], "little") or 256
+        pal = np.frombuffer(
+            payload, np.uint8, n_colors * 4, 14 + hdr_size
+        ).reshape(n_colors, 4)[:, :3][:, ::-1]  # BGRA -> RGB
+        stride = (w + 3) & ~3
+        rows = np.frombuffer(payload, np.uint8, stride * h, data_off).reshape(h, stride)
+        rgb = pal[rows[:, :w]]
+    else:
+        raise ValueError(f"only 8/24-bit BMP supported, got {bpp}-bit")
+    return np.ascontiguousarray(rgb if top_down else rgb[::-1])
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Minimal 24-bit bottom-up BMP writer (gray or RGB uint8) for
+    fixtures/tests."""
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    raster = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = img[y, :, ::-1].tobytes()  # RGB -> BGR
+        raster += row + b"\x00" * (stride - len(row))
+    data_off = 14 + 40
+    size = data_off + len(raster)
+    hdr = (
+        b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + data_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True) + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(raster).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return hdr + bytes(raster)
+
+
+def _mulaw_expand(u: np.ndarray) -> np.ndarray:
+    """G.711 mu-law byte -> linear int16 (vectorized ITU expansion):
+    invert the byte, split sign/exponent/mantissa, undo the +33 bias."""
+    u = (~u) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant.astype(np.int32) << 1) + 33) << exp) - 33
+    out = np.where(sign != 0, -mag, mag)
+    return (out * 4).astype(np.int16)  # scale to 16-bit range
+
+
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
@@ -292,6 +369,8 @@ class DecodeMedia:
             return self._decode_jpeg(payload)
         if payload[:6] in (b"GIF87a", b"GIF89a"):
             return self._decode_gif(payload)
+        if payload[:2] == b"BM":
+            return self._decode_bmp(payload)
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return self._decode_wav(payload)
         raise ValueError(
@@ -306,6 +385,12 @@ class DecodeMedia:
         from .jpegcodec import decode_jpeg
 
         px = decode_jpeg(payload)  # (h, w, 1|3) uint8
+        gray = px.astype(np.float32).mean(axis=2)
+        h, w = gray.shape
+        return w, h, 1, self._pooled_grid(gray)
+
+    def _decode_bmp(self, payload: bytes):
+        px = decode_bmp(payload)
         gray = px.astype(np.float32).mean(axis=2)
         h, w = gray.shape
         return w, h, 1, self._pooled_grid(gray)
@@ -373,14 +458,21 @@ class DecodeMedia:
             pos += 8 + size + (size & 1)  # chunks are word-aligned
         if channels is None or data is None:
             raise ValueError("WAV payload missing fmt/data chunks")
-        if fmt_code != 1:
+        if fmt_code == 7:
+            # G.711 mu-law (WAVE_FORMAT_MULAW): 8-bit companded samples —
+            # the expansion formula is pure arithmetic, decoded exactly
+            if bits != 8:
+                raise ValueError(f"mu-law WAV must be 8-bit, got {bits}-bit")
+            samples = _mulaw_expand(np.frombuffer(data, dtype=np.uint8))
+        elif fmt_code != 1:
             # ADPCM/extensible/etc. data would silently misdecode as PCM
             raise ValueError(
-                f"only WAVE_FORMAT_PCM (1) supported, got format {fmt_code}"
+                f"only WAVE_FORMAT_PCM (1) and MULAW (7) supported, got format {fmt_code}"
             )
-        if bits != 16:
+        elif bits != 16:
             raise ValueError(f"only PCM16 WAV supported, got {bits}-bit")
-        samples = np.frombuffer(data, dtype="<i2")
+        else:
+            samples = np.frombuffer(data, dtype="<i2")
         frames = len(samples) // channels
         mono = (
             samples[: frames * channels]
