@@ -75,6 +75,20 @@ def synth_media_table(doc_ids, refs, types, seed: int = 99, codec: str = "fake")
             if t == "audio":
                 n = int(rng.integers(200, 2000))
                 rate = int(rng.choice([8000, 16000]))
+                if rng.random() < 0.3:  # G.711 mu-law leg (fmt code 7)
+                    ulaw = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+                    hdr = (
+                        b"RIFF" + (36 + len(ulaw)).to_bytes(4, "little") + b"WAVE"
+                        + b"fmt " + (16).to_bytes(4, "little")
+                        + (7).to_bytes(2, "little") + (1).to_bytes(2, "little")
+                        + rate.to_bytes(4, "little")
+                        + rate.to_bytes(4, "little")
+                        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+                        + b"data" + len(ulaw).to_bytes(4, "little")
+                    )
+                    payloads.append(hdr + ulaw)
+                    metas.append(json.dumps({"codec": "wav-ulaw", "type": t}))
+                    continue
                 pcm = (
                     (np.sin(np.arange(n) * float(rng.uniform(0.05, 0.5))) * 12000)
                     .astype("<i2")
