@@ -6,7 +6,7 @@ Media travel as ``binary`` columns with metadata; decode / feature-extract
 library — binary PGM (P5) / PPM (P6) images (the format the repo's own
 layout-overlay sink emits, stages/render.py), PCM16 WAV audio, **PNG**
 (DEFLATE via stdlib ``zlib`` + the five per-row byte filters reversed in
-:func:`decode_png`), **baseline JPEG** (pure-numpy Huffman + dequant +
+:func:`decode_png`, sequential AND Adam7-interlaced), **baseline JPEG** (pure-numpy Huffman + dequant +
 IDCT, ``stages.jpegcodec`` — bit-exactness against an independent
 reconstruction pinned in tests) **GIF** (pure-python LZW,
 ``stages.gifcodec`` — lossless, multi-frame: the real ``video`` payload),
@@ -264,53 +264,25 @@ def _mulaw_expand(u: np.ndarray) -> np.ndarray:
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """PNG -> uint8 array (h, w, channels), pure stdlib.
+# Adam7 pass origins/strides: (x0, y0, dx, dy), spec order
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    PNG is zlib DEFLATE plus five per-scanline byte filters (None / Sub /
-    Up / Average / Paeth) — nothing needs an external codec. Supported:
-    bit depth 8, color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA);
-    palette and Adam7 interlace raise. Sub/Average/Paeth have a
-    along-the-row prefix dependency, so those rows decode with a Python
-    inner loop — correct first, and media batches are small by design
-    (batch BYTES bound worker heap, see DecodeMedia)."""
-    if payload[:8] != _PNG_MAGIC:
-        raise ValueError("not a PNG payload")
-    pos, n = 8, len(payload)
-    ihdr = None
-    idat = []
-    while pos + 8 <= n:
-        size = int.from_bytes(payload[pos : pos + 4], "big")
-        cid = payload[pos + 4 : pos + 8]
-        if cid == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", payload[pos + 8 : pos + 21])
-        elif cid == b"IDAT":
-            idat.append(payload[pos + 8 : pos + 8 + size])
-        elif cid == b"IEND":
-            break
-        pos += 12 + size  # length + id + body + crc
-    if ihdr is None or not idat:
-        raise ValueError("PNG payload missing IHDR/IDAT chunks")
-    w, h, depth, ctype, _comp, _filt, interlace = ihdr
-    if depth != 8:
-        raise ValueError(f"only 8-bit PNG supported, got depth {depth}")
-    if interlace:
-        raise ValueError("Adam7-interlaced PNG not supported")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
-    if channels is None:
-        raise ValueError(f"unsupported PNG color type {ctype} (palette needs PLTE)")
-    raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG raster size mismatch")
+
+def _png_unfilter(raw: bytes, offset: int, h: int, stride: int, bpp: int) -> tuple:
+    """Reverse ``h`` filtered scanlines of ``stride`` bytes starting at
+    ``offset`` in ``raw``; returns (rows array (h, stride), bytes consumed).
+    Sub/Average/Paeth have an along-the-row prefix dependency, so those
+    rows decode with a Python inner loop — correct first, and media
+    batches are small by design (batch BYTES bound worker heap)."""
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    bpp = channels  # bytes per pixel at depth 8
     for y in range(h):
-        ftype = raw[y * (stride + 1)]
-        row = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).copy()
+        base = offset + y * (stride + 1)
+        ftype = raw[base]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=base + 1).copy()
         if ftype == 0:
             pass
         elif ftype == 1:  # Sub
@@ -335,7 +307,63 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter type {ftype}")
         out[y] = row
         prev = row
-    return out.reshape(h, w, channels)
+    return out, h * (stride + 1)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG -> uint8 array (h, w, channels), pure stdlib.
+
+    PNG is zlib DEFLATE plus five per-scanline byte filters (None / Sub /
+    Up / Average / Paeth) — nothing needs an external codec. Supported:
+    bit depth 8, color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA),
+    both raster layouts (sequential and Adam7 interlace — seven
+    sub-images, each with its own filtered scanlines, scattered onto the
+    output grid); palette raises (needs PLTE handling)."""
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, n = 8, len(payload)
+    ihdr = None
+    idat = []
+    while pos + 8 <= n:
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        cid = payload[pos + 4 : pos + 8]
+        if cid == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload[pos + 8 : pos + 21])
+        elif cid == b"IDAT":
+            idat.append(payload[pos + 8 : pos + 8 + size])
+        elif cid == b"IEND":
+            break
+        pos += 12 + size  # length + id + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG payload missing IHDR/IDAT chunks")
+    w, h, depth, ctype, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported, got depth {depth}")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {ctype} (palette needs PLTE)")
+    raw = zlib.decompress(b"".join(idat))
+    if not interlace:
+        stride = w * channels
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG raster size mismatch")
+        rows, _ = _png_unfilter(raw, 0, h, stride, channels)
+        return rows.reshape(h, w, channels)
+    if interlace != 1:
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+    out = np.zeros((h, w, channels), dtype=np.uint8)
+    offset = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        rows, used = _png_unfilter(raw, offset, ph, pw * channels, channels)
+        offset += used
+        out[y0::dy, x0::dx] = rows.reshape(ph, pw, channels)
+    if offset != len(raw):
+        raise ValueError("PNG interlaced raster size mismatch")
+    return out
 
 
 def encode_png(img: np.ndarray) -> bytes:

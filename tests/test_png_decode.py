@@ -75,13 +75,45 @@ def test_png_error_gates():
                       struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
     with pytest.raises(ValueError, match="8-bit"):
         decode_png(bad)
-    # interlaced
+    # unknown interlace method (2)
     bad = _raw_png(1, 1, 0, b"\x00\x00").replace(
         struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0),
-        struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1),
+        struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 2),
     )
     with pytest.raises(ValueError, match="interlace"):
         decode_png(bad)
+
+
+def _adam7_raster(img: np.ndarray) -> bytes:
+    """Hand-weave the Adam7 raster: seven filter-0 sub-images in spec
+    pass order — built independently of the decoder under test."""
+    h, w = img.shape[:2]
+    img3 = img if img.ndim == 3 else img[:, :, None]
+    out = bytearray()
+    for x0, y0, dx, dy in ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                           (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)):
+        sub = img3[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for row in sub:
+            out += b"\x00" + row.tobytes()
+    return bytes(out)
+
+
+def test_png_adam7_interlaced_gray_and_rgb():
+    rng = np.random.default_rng(13)
+    for shape in [(11, 9), (16, 16), (3, 21, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        ctype = 0 if img.ndim == 2 else 2
+        h, w = img.shape[:2]
+        payload = _raw_png(w, h, ctype, _adam7_raster(img))
+        payload = payload.replace(
+            struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0),
+            struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1),
+        )
+        got = decode_png(payload)
+        want = img[:, :, None] if img.ndim == 2 else img
+        assert np.array_equal(got, want), shape
 
 
 def test_decode_media_real_handles_png():
