@@ -311,9 +311,7 @@ def _decode_scan(data, frame, scan, qt, huff_dc, huff_ac, restart_interval):
                             k += r
                             coef[k] = _extend(br.read_bits(sz), sz)
                             k += 1
-                        block = np.zeros(64, dtype=np.float64)
-                        block[ZIGZAG] = coef * qt[c["tq"]].reshape(-1)[np.argsort(np.argsort(ZIGZAG))] if False else 0
-                        # simpler: de-zigzag then dequant in natural order
+                        # de-zigzag then dequant in natural order
                         nat = np.zeros(64, dtype=np.float64)
                         nat[ZIGZAG] = coef
                         nat = nat.reshape(8, 8) * qt[c["tq"]]
