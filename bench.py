@@ -99,6 +99,9 @@ QUERY_SUITE = [
     "doc_bpe_roundtrip",
     "doc_pack_sequences",
     "dedup_exact_apply",
+    "doc_gopher_rules",
+    "extract_golden_transcript",
+    "media_decode_real",
 ]
 
 
