@@ -897,11 +897,18 @@ def bpe_roundtrip(docs: "ray.data.Dataset", merges: list) -> "ray.data.Dataset":
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             digests = []
             for t in df["text"].tolist():
-                toks: list = []
+                words_back = []
                 for w in T.normalize_text(t).split(" "):
-                    if w:
-                        toks.extend(_bpe_word(w, self.ranks, self.memo))
-                decoded = "".join(toks).replace(_EOW, " ").rstrip()
+                    if not w:
+                        continue
+                    back = "".join(_bpe_word(w, self.ranks, self.memo))
+                    # strip exactly the ONE end-of-word marker the encoder
+                    # appended — a literal '</w>' inside the word survives,
+                    # so decode is exact even on adversarial text
+                    if back.endswith(_EOW):
+                        back = back[: -len(_EOW)]
+                    words_back.append(back)
+                decoded = " ".join(words_back)
                 digests.append(hashlib.md5(decoded.encode("utf-8")).hexdigest())
             return pd.DataFrame(
                 {

@@ -2092,3 +2092,28 @@ def test_gopher_rules_hand_computed_edges():
     assert not out.loc[8, "ok_mean_word_len"]
     for d in range(2, 9):
         assert not out.loc[d, "keep"], d
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_roundtrip_survives_literal_eow_marker():
+    """A document containing the literal '</w>' end-of-word marker must
+    still round-trip exactly (decode strips only the appended marker)."""
+    import hashlib
+
+    import ray
+
+    from pdf_extraction_tests_ray.functions import text as T
+    from pdf_extraction_tests_ray.stages.curation import bpe_roundtrip, train_bpe
+
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "weird </w> token inside the text"},
+            {"doc_id": 2, "text": "normal words to train merges on and on"},
+        ]
+    )
+    merges = train_bpe(docs, num_merges=10)
+    out = bpe_roundtrip(docs, merges).to_pandas().set_index("doc_id")
+    for did, txt in [(1, "weird </w> token inside the text"),
+                     (2, "normal words to train merges on and on")]:
+        want = hashlib.md5(T.normalize_text(txt).encode()).hexdigest()
+        assert out.loc[did, "decoded_md5"] == want, did
