@@ -622,6 +622,26 @@ def oracle_sql() -> dict[str, str]:
                    max(t) - min(t) AS duration_s
             FROM s GROUP BY user_id, sid
         """,
+        # Two-step funnel: first signup, first purchase at-or-after it,
+        # converted iff within 3600s; purchase_epoch = -1 encodes "never"
+        # (kept BIGINT so the value hash is exact)
+        "q_events_funnel": """
+            WITH s AS (
+              SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS t_a
+              FROM events WHERE event_type = 'signup' GROUP BY user_id
+            ), p AS (
+              SELECT e.user_id, min(CAST(floor(epoch(e.ts)) AS BIGINT)) AS t_p
+              FROM events e JOIN s ON e.user_id = s.user_id
+              WHERE e.event_type = 'purchase'
+                AND CAST(floor(epoch(e.ts)) AS BIGINT) >= s.t_a
+              GROUP BY e.user_id
+            )
+            SELECT s.user_id,
+                   s.t_a AS signup_epoch,
+                   coalesce(p.t_p, -1) AS purchase_epoch,
+                   coalesce(p.t_p - s.t_a <= 3600, false) AS converted
+            FROM s LEFT JOIN p ON s.user_id = p.user_id
+        """,
         "q_asof_user_order": """
             WITH r AS (
               SELECT o_custkey, o_orderdate,

@@ -102,6 +102,7 @@ QUERY_SUITE = [
     "doc_gopher_rules",
     "extract_golden_transcript",
     "media_decode_real",
+    "q_events_funnel",
 ]
 
 

@@ -340,6 +340,88 @@ def q_customer_segment_orders(sf_dir: str):
     return agg.map_batches(finish, batch_format="pandas")
 
 
+def q_events_funnel(sf_dir: str, step_a: str = "signup", step_b: str = "purchase", window_s: int = 3600):
+    """Two-step funnel conversion: for every user with a ``step_a`` event,
+    the first ``step_b`` AT OR AFTER their first ``step_a``, and whether it
+    landed within ``window_s`` seconds — the classic event-analytics op.
+
+    Scale shape: ONE bucketed shuffle. Per batch, step-A rows pre-reduce
+    to a per-user min (combiner — one row per user per batch crosses the
+    wire) and step-B rows ship as-is (the >= t_a threshold is global, so
+    B cannot be pre-reduced without it — same transport sessionize pays);
+    the per-user merge then resolves min/first-after/convert locally.
+    Timestamps truncate to epoch seconds (datetime64[s]) to match the
+    oracle's floor(epoch(ts)); missing conversion encodes purchase_epoch
+    = -1 so every column stays hash-exact int/bool."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[df["event_type"] == step_a]
+        b = df[df["event_type"] == step_b]
+        parts = []
+        if len(a):
+            pa = (
+                pd.DataFrame(
+                    {
+                        "user_id": a["user_id"].to_numpy(),
+                        "t": a["ts"].astype("datetime64[s]").astype("int64"),
+                    }
+                )
+                .groupby("user_id", sort=False)["t"]
+                .min()
+                .reset_index()
+            )
+            pa["kind"] = np.int8(0)
+            parts.append(pa)
+        if len(b):
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "user_id": b["user_id"].to_numpy(),
+                        "t": b["ts"].astype("datetime64[s]").astype("int64"),
+                        "kind": np.int8(1),
+                    }
+                )
+            )
+        if not parts:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "t": pd.Series([], dtype="int64"),
+                    "kind": pd.Series([], dtype="int8"),
+                }
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"user_id": [], "signup_epoch": [], "purchase_epoch": [], "converted": []}
+        for uid, sub in g.groupby("user_id", sort=False):
+            kinds = sub["kind"].to_numpy()
+            ts = sub["t"].to_numpy()
+            a_ts = ts[kinds == 0]
+            if len(a_ts) == 0:
+                continue
+            t_a = int(a_ts.min())
+            b_ts = ts[(kinds == 1) & (ts >= t_a)]
+            t_p = int(b_ts.min()) if len(b_ts) else -1
+            out["user_id"].append(uid)
+            out["signup_epoch"].append(t_a)
+            out["purchase_epoch"].append(t_p)
+            out["converted"].append(t_p != -1 and t_p - t_a <= window_s)
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series(out["user_id"], dtype="int64"),
+                "signup_epoch": pd.Series(out["signup_epoch"], dtype="int64"),
+                "purchase_epoch": pd.Series(out["purchase_epoch"], dtype="int64"),
+                "converted": pd.Series(out["converted"], dtype="bool"),
+            }
+        )
+
+    return bucketed_group_merge(
+        ev.map_batches(partial, batch_format="pandas"), ["user_id"], merge
+    )
+
+
 def q_user_sessions(sf_dir: str):
     """Gap-based sessionization: 30-min inactivity splits a user's events
     into sessions (oracle: lag + cumulative-sum window functions)."""
@@ -2682,6 +2764,7 @@ QUERIES = {
     "q_order_running_total": q_order_running_total,
     "q_customers_without_orders": q_customers_without_orders,
     "q_customers_with_urgent_orders": q_customers_with_urgent_orders,
+    "q_events_funnel": q_events_funnel,
     "doc_hash_sample": doc_hash_sample,
     "doc_length_quantiles": doc_length_quantiles,
     "doc_decontaminate_bloom": doc_decontaminate_bloom,
