@@ -622,6 +622,21 @@ def oracle_sql() -> dict[str, str]:
                    max(t) - min(t) AS duration_s
             FROM s GROUP BY user_id, sid
         """,
+        # Cohort retention: cohort = first-event week, retained in week k
+        # if any event falls k weeks after the cohort week
+        "q_events_retention": """
+            WITH e AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS period
+              FROM events GROUP BY user_id, period
+            ), c AS (
+              SELECT user_id, min(period) AS cohort FROM e GROUP BY user_id
+            )
+            SELECT c.cohort, e.period - c.cohort AS period_k,
+                   count(DISTINCT e.user_id) AS n_users
+            FROM e JOIN c ON e.user_id = c.user_id
+            GROUP BY c.cohort, period_k
+        """,
         # Two-step funnel: first signup, first purchase at-or-after it,
         # converted iff within 3600s; purchase_epoch = -1 encodes "never"
         # (kept BIGINT so the value hash is exact)

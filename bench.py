@@ -103,6 +103,7 @@ QUERY_SUITE = [
     "extract_golden_transcript",
     "media_decode_real",
     "q_events_funnel",
+    "q_events_retention",
 ]
 
 

@@ -422,6 +422,59 @@ def q_events_funnel(sf_dir: str, step_a: str = "signup", step_b: str = "purchase
     )
 
 
+def q_events_retention(sf_dir: str, cohort_s: int = 7 * 86400):
+    """Cohort retention: users bucketed by the period of their FIRST event
+    (cohort = first_epoch // cohort_s), counted as retained in period k if
+    they have any event in cohort-period k after their first. Output one
+    row per (cohort, period_k): n_users — the classic growth-analytics
+    rollup.
+
+    Scale shape: per-batch combiner emits DISTINCT (user, period) rows and
+    a per-user min-period partial; ONE bucketed user shuffle resolves each
+    user's true cohort and re-keys their activity periods; the final
+    (cohort, k) rollup is a tiny second aggregation (bounded by
+    periods^2, not by users)."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        per = (df["ts"].astype("datetime64[s]").astype("int64") // cohort_s).to_numpy()
+        out = pd.DataFrame({"user_id": df["user_id"].to_numpy(), "period": per})
+        return out.drop_duplicates()  # combiner: distinct (user, period) per batch
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        rows = {"cohort": [], "period_k": []}
+        for _, sub in g.groupby("user_id", sort=False):
+            periods = np.unique(sub["period"].to_numpy())
+            c = int(periods[0])
+            for p in periods:
+                rows["cohort"].append(c)
+                rows["period_k"].append(int(p) - c)
+        return pd.DataFrame(
+            {
+                "cohort": pd.Series(rows["cohort"], dtype="int64"),
+                "period_k": pd.Series(rows["period_k"], dtype="int64"),
+            }
+        )
+
+    keyed = bucketed_group_merge(
+        ev.map_batches(partial, batch_format="pandas"), ["user_id"], per_user
+    )
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["cohort", "period_k"], sort=False).size().rename("n_users")
+        return g.reset_index()
+
+    out = (
+        keyed.map_batches(count_partial, batch_format="pandas")
+        .groupby(["cohort", "period_k"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+    return out.map_batches(
+        lambda df: df.assign(n_users=df["n_users"].astype("int64")),
+        batch_format="pandas",
+    )
+
+
 def q_user_sessions(sf_dir: str):
     """Gap-based sessionization: 30-min inactivity splits a user's events
     into sessions (oracle: lag + cumulative-sum window functions)."""
@@ -2765,6 +2818,7 @@ QUERIES = {
     "q_customers_without_orders": q_customers_without_orders,
     "q_customers_with_urgent_orders": q_customers_with_urgent_orders,
     "q_events_funnel": q_events_funnel,
+    "q_events_retention": q_events_retention,
     "doc_hash_sample": doc_hash_sample,
     "doc_length_quantiles": doc_length_quantiles,
     "doc_decontaminate_bloom": doc_decontaminate_bloom,

@@ -105,6 +105,7 @@ def _to_pandas(res):
         "q_order_price_rank",
         "q_user_sessions",
         "q_events_funnel",
+        "q_events_retention",
         "q_asof_user_order",
         "q_events_sliding",
         "q_topk_per_brand",
