@@ -388,7 +388,6 @@ def encode_jpeg(img: np.ndarray, subsample: bool = True, restart_interval: int =
         if subsample:
             def ds(p):
                 ph, pw = p.shape
-                p2 = p[: ph - ph % 2 or None, : pw - pw % 2 or None]
                 ph2, pw2 = (ph // 2) * 2, (pw // 2) * 2
                 p2 = p[:ph2, :pw2]
                 out = p2.reshape(ph2 // 2, 2, pw2 // 2, 2).mean(axis=(1, 3))

@@ -417,10 +417,10 @@ class DecodeMedia:
             return self._decode_wav(payload)
         raise ValueError(
             f"cannot decode media payload with magic {payload[:4]!r}: "
-            "binary PGM/PPM, PNG, baseline JPEG and PCM WAV decode without "
-            "external libraries in this environment; route other codecs "
-            "(MP3/H.264/progressive JPEG) through a real codec build of "
-            "_decode_real"
+            "binary PGM/PPM, PNG, baseline JPEG, GIF, BMP and PCM16/mu-law "
+            "WAV decode without external libraries in this environment; "
+            "route other codecs (MP3/H.264/progressive JPEG) through a "
+            "real codec build of _decode_real"
         )
 
     def _decode_jpeg(self, payload: bytes):

@@ -48,23 +48,30 @@ class _DfAccumulator:
     piece the Dataset API can't express without a second pass over the hit
     table: the hit tasks PUSH their tiny df partials here while the hit
     pass materializes, so the driver never re-executes anything to learn
-    the term weights. Partials are keyed by a retry-stable batch
-    fingerprint (md5 of the batch's sorted doc_ids — a doc's rows live in
-    exactly one input batch, so fingerprints are unique across batches and
-    IDENTICAL across task retries): a re-executed task overwrites its own
-    entry instead of double-counting."""
+    the term weights. Partials carry {doc_id: [terms]} and totals() merges
+    BY DOC_ID, so the result is correct under task retries AND under a
+    re-execution that re-batches differently (overlapping partials union
+    per doc instead of double-counting); the batch-fingerprint key only
+    bounds memory by letting an identical retry overwrite its own entry.
+    Size is bounded by HIT docs x query terms, a sliver of the corpus.
+    The actor lives only for the one keyword_search call (the handle goes
+    out of scope when the function returns)."""
 
     def __init__(self):
         self._parts: dict = {}
 
-    def add(self, key: str, df_map: dict) -> None:
-        self._parts[key] = df_map
+    def add(self, key: str, doc_terms: dict) -> None:
+        self._parts[key] = doc_terms
 
     def totals(self) -> dict:
-        out: dict = {}
+        per_doc: dict = {}
         for m in self._parts.values():
-            for t, c in m.items():
-                out[t] = out.get(t, 0) + c
+            for d, ts in m.items():
+                per_doc.setdefault(d, set()).update(ts)
+        out: dict = {}
+        for ts in per_doc.values():
+            for t in ts:
+                out[t] = out.get(t, 0) + 1
         return out
 
 
@@ -95,7 +102,7 @@ def keyword_search(
             key = hashlib.md5(
                 ",".join(map(str, sorted(out["doc_id"].unique().tolist()))).encode()
             ).hexdigest()
-            dfm = out.groupby("term", sort=False)["doc_id"].nunique().to_dict()
+            dfm = out.groupby("doc_id", sort=False)["term"].agg(list).to_dict()
             # block until the actor has it: task completion must imply the
             # partial is registered (materialize() is the barrier we rely on)
             ray.get(acc.add.remote(key, dfm))

@@ -33,6 +33,13 @@ def test_driver_window_is_fully_oracled(tmp_path, monkeypatch):
     # the core families the round-2 driver never reached are all inside
     for k in ["dedup_exact", "dedup_lines", "dedup_jaccard_apply", "knn_bruteforce", "knn_multi"]:
         assert k in window, k
+    # round-4 rotation (VERDICT r3 #1): the four oracled entries the driver
+    # had never checked are now inside the window ...
+    for k in ["q_events_funnel", "q_events_retention", "doc_length_outliers", "doc_gopher_rules"]:
+        assert k in window, k
+    # ... replacing four twice-green stable rows, which stay queryable
+    for k in ["doc_token_counts", "doc_chunks", "doc_fingerprint", "q_lineitem_rollup"]:
+        assert k in keys and k not in window, k
 
 
 def test_all_oracled_keys_exist_in_queries(tmp_path, monkeypatch):
