@@ -16,7 +16,112 @@ from __future__ import annotations
 import numpy as np
 
 
-def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> list:
+def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytearray:
+    """Fast LZW decode. Two ideas over the per-byte reference walk
+    (:func:`_lzw_decode_scalar`, kept as the tests' twin):
+
+    1. The LSB-first bitstream unpacks to a numpy bit array ONCE and code
+       fields extract in vectorized chunks sized to the next deterministic
+       width-change boundary ((1 << code_size) - table_len), so a chunk
+       never spans a width change; only clear/EOI codes — unpredictable
+       by position — cut a chunk short.
+    2. The string table is stored as (offset, length) SLICES INTO THE
+       OUTPUT buffer: every new LZW entry is prev + first_char(entry),
+       which is exactly the contiguous bytes the decoder just wrote at
+       out[outlen - len(prev) : outlen + 1]. Table growth is two int
+       appends; emission is one C-level bytearray slice copy — no Python
+       per-pixel work and no string building at all."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    first_dyn = clear + 2  # first dynamically assigned code
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), bitorder="little")
+    nbits = len(bits)
+    out = bytearray()
+    outlen = 0
+    started = False  # initial clear code seen
+    cs = min_code_size + 1
+    n = first_dyn  # table size (including root + clear/eoi pseudo-entries)
+    offs: list = []  # per dynamic code: offset of its string in `out`
+    lens: list = []  # per dynamic code: its length
+    prev_len = 0  # 0 <=> no previous emission (right after clear)
+    p = 0
+    while p + cs <= nbits and outlen < n_pixels:
+        chunk_cs = cs
+        if not started:
+            k = 1  # must read the initial clear code alone
+        else:
+            # codes until the width grows; at cs == 12 the table freezes
+            k = ((1 << cs) - n) if cs < 12 else 4096
+            k = max(k, 1)
+        k = min(k, (nbits - p) // chunk_cs, n_pixels - outlen + 1)
+        if k <= 0:
+            break
+        window = bits[p : p + k * chunk_cs].reshape(k, chunk_cs).astype(np.uint32)
+        codes = (window << np.arange(chunk_cs, dtype=np.uint32)).sum(axis=1).tolist()
+        consumed = k
+        limit = (1 << cs) if cs < 12 else 0  # 0: table frozen, no width check
+        offs_append = offs.append
+        lens_append = lens.append
+        for j, code in enumerate(codes):
+            # branch order: root and dynamic codes are the hot cases;
+            # clear/EOI live between them (clear <= code < first_dyn)
+            if code < clear:
+                # root (single-byte) code; its byte IS the code
+                if not started:
+                    raise ValueError("GIF LZW stream missing initial clear code")
+                if prev_len:
+                    # register prev + first_char(entry): contiguous in
+                    # `out` once this emission's first byte lands
+                    offs_append(outlen - prev_len)
+                    lens_append(prev_len + 1)
+                    n += 1
+                out.append(code)
+                prev_len = 1
+                outlen += 1
+            elif code >= first_dyn:
+                if code < n:
+                    e_off = offs[code - first_dyn]
+                    e_len = lens[code - first_dyn]
+                    if prev_len:
+                        offs_append(outlen - prev_len)
+                        lens_append(prev_len + 1)
+                        n += 1
+                    out += out[e_off : e_off + e_len]
+                elif code == n and prev_len:
+                    # the K+1 case: entry = prev + prev[0]
+                    e_len = prev_len + 1
+                    po = outlen - prev_len
+                    offs_append(po)
+                    lens_append(e_len)
+                    n += 1
+                    out += out[po:outlen]
+                    out.append(out[po])
+                else:
+                    raise ValueError("corrupt GIF LZW code")
+                prev_len = e_len
+                outlen += e_len
+            elif code == clear:
+                started = True
+                cs = min_code_size + 1
+                n = first_dyn
+                offs.clear()
+                lens.clear()
+                prev_len = 0
+                consumed = j + 1  # re-chunk at the (possibly new) width
+                break
+            else:  # EOI
+                return out
+            if outlen >= n_pixels:
+                return out
+            if n == limit:
+                cs += 1
+                consumed = j + 1  # chunk was sized to end exactly here
+                break
+        p += consumed * chunk_cs
+    return out
+
+
+def _lzw_decode_scalar(min_code_size: int, data: bytes, n_pixels: int) -> list:
     clear = 1 << min_code_size
     eoi = clear + 1
     out = []
@@ -123,7 +228,11 @@ def decode_gif(payload: bytes):
         idx = _lzw_decode(mcs, b"".join(chunks), fw * fh)
         if len(idx) < fw * fh:
             raise ValueError("GIF frame pixel data truncated")
-        arr = np.asarray(idx[: fw * fh], dtype=np.int32).reshape(fh, fw)
+        arr = (
+            np.frombuffer(bytes(idx[: fw * fh]), dtype=np.uint8)
+            .astype(np.int32)
+            .reshape(fh, fw)
+        )
         if lflags & 0x40:  # interlaced: reorder rows
             de = np.empty_like(arr)
             src = 0

@@ -15,9 +15,14 @@ the decoder BIT-EXACTLY against an independent numpy recompute of
 dequant+IDCT from the encoder's own quantized coefficients (the lossless
 half of the codec), plus tolerance round-trips for the lossy half.
 
-Decode cost is a Python-loop Huffman walk per coefficient — correct
-first; media batches are small by design (batch BYTES bound worker heap,
-see stages.media.DecodeMedia).
+Decode is vectorized everywhere the format allows: the entropy stream is
+unstuffed/segmented with numpy up front, Huffman symbols resolve through a
+16-bit-peek lookup table over a precomputed 32-bit sliding-window list
+(one list index + shift + mask per symbol, no per-bit reads), and ALL
+per-block numpy work (de-zigzag, dequant, IDCT, plane scatter) happens
+once per component over a (nblocks, 8, 8) stack after the — inherently
+sequential — symbol walk. Only the symbol walk itself remains a Python
+loop, at a handful of local-variable ops per coefficient.
 """
 
 from __future__ import annotations
@@ -202,10 +207,90 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+# ---- fast entropy-decode machinery ----------------------------------------
+
+_LUT_CACHE: dict = {}
+
+
+def _build_decode_lut(bits, values) -> list:
+    """16-bit-peek Huffman LUT: lut[next16bits] = (value << 5) | codelen.
+
+    Baseline codes are <= 16 bits, so one peek fully resolves any symbol;
+    entries reachable by no code stay 0 (codelen 0 == invalid stream).
+    Returned as a plain Python list — CPython list indexing is several
+    times faster than numpy scalar extraction in the symbol loop."""
+    key = (tuple(bits), tuple(values))
+    got = _LUT_CACHE.get(key)
+    if got is not None:
+        return got
+    lut = np.zeros(1 << 16, dtype=np.int32)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lo = code << (16 - length)
+            lut[lo : lo + (1 << (16 - length))] = (values[k] << 5) | length
+            code += 1
+            k += 1
+        code <<= 1
+    out = lut.tolist()
+    _LUT_CACHE[key] = out
+    return out
+
+
+def _entropy_segments(data: bytes) -> list:
+    """Split scan data at RSTn markers and unstuff 0xFF00 -> 0xFF, all via
+    numpy over the marker positions (0xFF bytes are rare — ~0.4% of an
+    entropy stream — so the per-marker Python loop is off the hot path).
+    Returns a list of np.uint8 arrays, one per restart segment, with the
+    trailing EOI (and anything after it) dropped."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    n = len(arr)
+    ffs = np.flatnonzero(arr == 0xFF)
+    segs = []
+    parts = []
+    start = 0  # next unconsumed byte
+    end = n
+    for f in ffs.tolist():
+        if f < start:
+            continue  # already consumed (e.g. the 0x00 of a stuffing pair)
+        if f + 1 >= n:
+            end = f  # dangling 0xFF at the very end: not real data
+            break
+        nxt = arr[f + 1]
+        if nxt == 0x00:  # stuffed data byte: keep the 0xFF, drop the 0x00
+            parts.append(arr[start : f + 1])
+            start = f + 2
+        elif 0xD0 <= nxt <= 0xD7:  # restart marker: close the segment
+            parts.append(arr[start:f])
+            segs.append(np.concatenate(parts) if len(parts) != 1 else parts[0])
+            parts = []
+            start = f + 2
+        else:  # any other marker (EOI / next-scan SOS / DHT...): scan ends
+            end = f
+            break
+    parts.append(arr[start:end])
+    segs.append(np.concatenate(parts) if len(parts) != 1 else parts[0])
+    return segs
+
+
+def _segment_words(seg: np.ndarray) -> list:
+    """Per-BYTE-offset big-endian 32-bit windows over the segment (zero
+    padded), as a Python list: peeking any <=16-bit field at bit position
+    p is ``(words[p >> 3] >> (shift - (p & 7))) & mask`` — no per-bit
+    reads, no numpy scalar overhead in the symbol loop."""
+    padded = np.concatenate([seg, np.zeros(8, dtype=np.uint8)]).astype(np.uint32)
+    w = (padded[:-3] << 24) | (padded[1:-2] << 16) | (padded[2:-1] << 8) | padded[3:]
+    return w.tolist()
+
+
 # ---- decoder -------------------------------------------------------------
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
+def decode_jpeg(payload: bytes, scan_impl=None) -> np.ndarray:
+    """Decode a baseline JFIF payload to (h, w, 1|3) uint8. ``scan_impl``
+    lets tests route through :func:`_decode_scan_scalar`, the independent
+    reference twin the default fast path is pinned bit-identical to."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -242,7 +327,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 bits = list(body[i + 1 : i + 17])
                 cnt = sum(bits)
                 vals = list(body[i + 17 : i + 17 + cnt])
-                (huff_dc if tc == 0 else huff_ac)[th] = _build_decode_table(bits, vals)
+                # keep the raw spec: the fast path builds a 16-bit LUT,
+                # the scalar reference twin builds a (length, code) dict
+                (huff_dc if tc == 0 else huff_ac)[th] = (bits, vals)
                 i += 17 + cnt
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, nc = body[0], int.from_bytes(body[1:3], "big"), int.from_bytes(body[3:5], "big"), body[5]
@@ -264,15 +351,149 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cs, tt = body[1 + 2 * c], body[2 + 2 * c]
                 scan.append({"cs": cs, "td": tt >> 4, "ta": tt & 0xF})
             ecs_start = pos + size
-            return _decode_scan(
+            return (scan_impl or _decode_scan)(
                 payload[ecs_start:], frame, scan, qt, huff_dc, huff_ac, restart_interval
             )
         pos += size
     raise ValueError("JPEG payload has no SOS scan")
 
 
+def _finish_planes(out_planes, ncomp):
+    """Shared colorspace tail: gray passthrough or YCbCr -> RGB."""
+    if ncomp == 1:
+        gray = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return gray[:, :, None]
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def _decode_scan(data, frame, scan, qt, huff_dc, huff_ac, restart_interval):
+    """Fast scan decode: sequential symbol walk over precomputed 32-bit
+    windows + 16-bit-peek Huffman LUTs; everything per-block (de-zigzag,
+    dequant, IDCT, plane scatter) vectorized per component afterwards.
+    Bit-identical to :func:`_decode_scan_scalar` (pinned in tests)."""
     w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    nmcu = mcux * mcuy
+    ncomp = len(comps)
+    by_id = {s["cs"]: s for s in scan}
+
+    # per-MCU block schedule: component index repeated v*h times, with the
+    # component's DC/AC LUTs resolved once
+    dluts, aluts = [], []
+    sched = []
+    for ci, c in enumerate(comps):
+        s = by_id[c["id"]]
+        dluts.append(_build_decode_lut(*huff_dc[s["td"]]))
+        aluts.append(_build_decode_lut(*huff_ac[s["ta"]]))
+        sched.extend([ci] * (c["v"] * c["h"]))
+
+    dc_lists = [[] for _ in range(ncomp)]  # absolute DC per block
+    pos_lists = [[] for _ in range(ncomp)]  # block_idx*64 + zigzag index
+    val_lists = [[] for _ in range(ncomp)]
+    blkcnt = [0] * ncomp
+
+    segs = _entropy_segments(data)
+    words = _segment_words(segs[0])
+    seg_i = 0
+    p = 0  # bit position within the current segment
+    pred = [0] * ncomp
+    try:
+        for mcu in range(nmcu):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                seg_i += 1
+                words = _segment_words(segs[seg_i])
+                p = 0
+                pred = [0] * ncomp
+            for ci in sched:
+                dlut = dluts[ci]
+                # DC: one 16-bit peek resolves the size symbol
+                e = dlut[(words[p >> 3] >> (16 - (p & 7))) & 0xFFFF]
+                ln = e & 31
+                if ln == 0:
+                    raise ValueError("invalid JPEG Huffman code")
+                t = e >> 5
+                p += ln
+                if t:
+                    v = (words[p >> 3] >> (32 - (p & 7) - t)) & ((1 << t) - 1)
+                    p += t
+                    if v < (1 << (t - 1)):
+                        v += 1 - (1 << t)
+                    pred[ci] += v
+                dc_lists[ci].append(pred[ci])
+                bi = blkcnt[ci]
+                blkcnt[ci] = bi + 1
+                base = bi << 6
+                pl = pos_lists[ci]
+                vl = val_lists[ci]
+                alut = aluts[ci]
+                k = 1
+                while k < 64:
+                    e = alut[(words[p >> 3] >> (16 - (p & 7))) & 0xFFFF]
+                    ln = e & 31
+                    if ln == 0:
+                        raise ValueError("invalid JPEG Huffman code")
+                    rs = e >> 5
+                    p += ln
+                    if rs == 0:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    if k > 63:
+                        raise ValueError("bad JPEG coefficient run")
+                    sz = rs & 15
+                    v = (words[p >> 3] >> (32 - (p & 7) - sz)) & ((1 << sz) - 1)
+                    p += sz
+                    if v < (1 << (sz - 1)):
+                        v += 1 - (1 << sz)
+                    pl.append(base + k)
+                    vl.append(v)
+                    k += 1
+    except IndexError:
+        raise ValueError("truncated JPEG scan") from None
+
+    # vectorized per component: de-zigzag -> dequant -> IDCT -> scatter
+    out_planes = []
+    for ci, c in enumerate(comps):
+        nb = blkcnt[ci]
+        cf = np.zeros(nb * 64, dtype=np.float64)
+        if pos_lists[ci]:
+            cf[np.asarray(pos_lists[ci], dtype=np.int64)] = val_lists[ci]
+        cf = cf.reshape(nb, 64)
+        cf[:, 0] = dc_lists[ci]
+        nat = np.zeros((nb, 64), dtype=np.float64)
+        nat[:, ZIGZAG] = cf
+        blocks = nat.reshape(nb, 8, 8) * qt[c["tq"]]
+        px = _DCTM.T @ blocks @ _DCTM + 128.0
+        cv, chh = c["v"], c["h"]
+        plane = (
+            px.reshape(mcuy, mcux, cv, chh, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcuy * cv * 8, mcux * chh * 8)
+        )
+        ry, rx = vmax // cv, hmax // chh
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out_planes.append(plane[:h, :w])
+    return _finish_planes(out_planes, ncomp)
+
+
+def _decode_scan_scalar(data, frame, scan, qt, huff_dc, huff_ac, restart_interval):
+    """Reference twin: the original per-bit/per-block walk. Kept (and
+    exercised by tests) as an independent implementation the fast path is
+    pinned bit-identical against."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    dc_tabs = {th: _build_decode_table(*bv) for th, bv in huff_dc.items()}
+    ac_tabs = {th: _build_decode_table(*bv) for th, bv in huff_ac.items()}
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -294,14 +515,14 @@ def _decode_scan(data, frame, scan, qt, huff_dc, huff_ac, restart_interval):
                 s = by_id[c["id"]]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        t = _decode_huff(br, huff_dc[s["td"]])
+                        t = _decode_huff(br, dc_tabs[s["td"]])
                         diff = _extend(br.read_bits(t), t)
                         pred[ci] += diff
                         coef = np.zeros(64, dtype=np.int32)
                         coef[0] = pred[ci]
                         k = 1
                         while k < 64:
-                            rs = _decode_huff(br, huff_ac[s["ta"]])
+                            rs = _decode_huff(br, ac_tabs[s["ta"]])
                             r, sz = rs >> 4, rs & 0xF
                             if rs == 0x00:  # EOB
                                 break
@@ -328,15 +549,7 @@ def _decode_scan(data, frame, scan, qt, huff_dc, huff_ac, restart_interval):
         if ry > 1 or rx > 1:
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
         out_planes.append(p[:h, :w])
-    if len(comps) == 1:
-        gray = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
-        return gray[:, :, None]
-    y, cb, cr = out_planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack([r, g, b], axis=-1)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return _finish_planes(out_planes, len(comps))
 
 
 # ---- encoder -------------------------------------------------------------

@@ -98,3 +98,31 @@ def test_decode_media_real_handles_gif_video():
     assert out.column("width").to_pylist() == [20]
     assert out.column("height").to_pylist() == [12]
     assert out.column("n_frames").to_pylist() == [4]
+
+
+def test_fast_lzw_decode_matches_scalar_twin_exactly():
+    """The chunked/slice-table LZW decoder is pinned byte-identical to the
+    retained per-byte reference twin across compressibility regimes, table
+    resets (>4096 entries), small alphabets and non-8 min code sizes."""
+    from pdf_extraction_tests_ray.stages.gifcodec import (
+        _lzw_decode,
+        _lzw_decode_scalar,
+        _lzw_encode,
+    )
+
+    rng = np.random.default_rng(17)
+    images = [
+        rng.integers(0, 256, size=(13, 21), dtype=np.uint8),  # noisy
+        rng.integers(0, 256, size=(80, 120), dtype=np.uint8),  # table reset
+        np.zeros((40, 40), np.uint8),  # maximally compressible
+        (np.arange(64 * 64).reshape(64, 64) % 256).astype(np.uint8),
+        rng.integers(0, 4, size=(50, 50), dtype=np.uint8),  # tiny alphabet
+    ]
+    for img in images:
+        data = _lzw_encode(8, img.reshape(-1).tolist())
+        fast = list(_lzw_decode(8, data, img.size))
+        slow = _lzw_decode_scalar(8, data, img.size)
+        assert fast == slow
+    seq = rng.integers(0, 4, size=400).tolist()
+    data = _lzw_encode(2, seq)
+    assert list(_lzw_decode(2, data, 400)) == _lzw_decode_scalar(2, data, 400)

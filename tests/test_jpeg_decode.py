@@ -109,6 +109,36 @@ def test_error_gates():
         decode_jpeg(bytes(payload))
 
 
+def test_fast_scan_decode_matches_scalar_twin_bit_exactly():
+    """The vectorized scan decoder (LUT Huffman + stacked IDCT/scatter) is
+    pinned bit-identical to the retained per-bit/per-block reference twin
+    across samplings, restart intervals, odd dims and noisy streams."""
+    from pdf_extraction_tests_ray.stages.jpegcodec import _decode_scan_scalar
+
+    rng = np.random.default_rng(11)
+
+    def img(h, w, color):
+        base = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        if not color:
+            return base
+        return np.stack([base, 255 - base, np.roll(base, 2, 0)], axis=-1)
+
+    cases = [
+        encode_jpeg(img(24, 40, False)),
+        encode_jpeg(img(32, 32, True), subsample=True),
+        encode_jpeg(img(17, 31, True), subsample=True),
+        encode_jpeg(img(13, 19, True), subsample=False),
+        encode_jpeg(img(24, 24, True), subsample=True, restart_interval=2),
+        encode_jpeg(img(16, 48, False), restart_interval=1),
+        encode_jpeg(img(1, 1, False)),
+    ]
+    for payload in cases:
+        fast = decode_jpeg(payload)
+        slow = decode_jpeg(payload, scan_impl=_decode_scan_scalar)
+        assert fast.shape == slow.shape
+        assert np.array_equal(fast, slow)
+
+
 def test_decode_media_real_handles_jpeg():
     import pyarrow as pa
 
