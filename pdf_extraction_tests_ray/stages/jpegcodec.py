@@ -287,17 +287,36 @@ def _segment_words(seg: np.ndarray) -> list:
 # ---- decoder -------------------------------------------------------------
 
 
+def _ecs_end(payload: bytes, start: int) -> int:
+    """First byte index at/after ``start`` holding a REAL marker (0xFF
+    followed by anything but 0x00 stuffing or RSTn) — the end of an
+    entropy-coded segment in a multi-scan (progressive) stream."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    n = len(arr)
+    for f in (np.flatnonzero(arr[start:] == 0xFF) + start).tolist():
+        if f + 1 >= n:
+            return n
+        nxt = arr[f + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            continue
+        return f
+    return n
+
+
 def decode_jpeg(payload: bytes, scan_impl=None) -> np.ndarray:
-    """Decode a baseline JFIF payload to (h, w, 1|3) uint8. ``scan_impl``
-    lets tests route through :func:`_decode_scan_scalar`, the independent
-    reference twin the default fast path is pinned bit-identical to."""
+    """Decode a baseline (SOF0) or progressive (SOF2) JFIF payload to
+    (h, w, 1|3) uint8. ``scan_impl`` lets tests route a baseline payload
+    through :func:`_decode_scan_scalar`, the independent reference twin
+    the default fast path is pinned bit-identical to."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
     qt = {}
     huff_dc, huff_ac = {}, {}
     frame = None
+    progressive = False
     restart_interval = 0
+    prog_scans = []  # (scan comps, Ss, Se, Ah, Al, restart_interval, ecs bytes)
     n = len(payload)
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
@@ -331,7 +350,8 @@ def decode_jpeg(payload: bytes, scan_impl=None) -> np.ndarray:
                 # the scalar reference twin builds a (length, code) dict
                 (huff_dc if tc == 0 else huff_ac)[th] = (bits, vals)
                 i += 17 + cnt
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = body[0], int.from_bytes(body[1:3], "big"), int.from_bytes(body[3:5], "big"), body[5]
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -340,8 +360,8 @@ def decode_jpeg(payload: bytes, scan_impl=None) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG (SOF0) supported")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline (SOF0) and progressive (SOF2) JPEG supported")
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:  # SOS
@@ -351,10 +371,24 @@ def decode_jpeg(payload: bytes, scan_impl=None) -> np.ndarray:
                 cs, tt = body[1 + 2 * c], body[2 + 2 * c]
                 scan.append({"cs": cs, "td": tt >> 4, "ta": tt & 0xF})
             ecs_start = pos + size
-            return (scan_impl or _decode_scan)(
-                payload[ecs_start:], frame, scan, qt, huff_dc, huff_ac, restart_interval
+            if not progressive:
+                return (scan_impl or _decode_scan)(
+                    payload[ecs_start:], frame, scan, qt, huff_dc, huff_ac, restart_interval
+                )
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            end = _ecs_end(payload, ecs_start)
+            # snapshot the table SPECS now: later DHT segments may redefine ids
+            for s in scan:
+                s["dc_spec"] = huff_dc.get(s["td"]) if ss == 0 and (ahal >> 4) == 0 else None
+                s["ac_spec"] = huff_ac.get(s["ta"]) if ss > 0 else None
+            prog_scans.append(
+                (scan, ss, se, ahal >> 4, ahal & 0xF, restart_interval, payload[ecs_start:end])
             )
+            pos = end - size  # `pos += size` below lands exactly on the marker
         pos += size
+    if progressive and prog_scans:
+        return _decode_progressive(frame, prog_scans, qt)
     raise ValueError("JPEG payload has no SOS scan")
 
 
@@ -487,6 +521,228 @@ def _decode_scan(data, frame, scan, qt, huff_dc, huff_ac, restart_interval):
     return _finish_planes(out_planes, ncomp)
 
 
+def _decode_progressive(frame, scans, qt):
+    """Progressive (SOF2) decode: every scan deposits into per-component
+    zigzag coefficient arrays (Python lists in raster block order — list
+    indexing beats numpy scalars in the sequential walk); dequant + IDCT +
+    scatter run vectorized ONCE at the end over the final coefficients.
+    Implements all four scan kinds of ITU-T81 G.2: DC first (interleaved
+    or single), DC refine (raw bit per block), AC first (with EOB runs)
+    and AC refine (correction bits + newly-significant +/-1<<Al), plus
+    restart intervals via the shared segment machinery."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    ncomp = len(comps)
+    cid2ci = {c["id"]: i for i, c in enumerate(comps)}
+    bwp = [mcux * c["h"] for c in comps]  # padded blocks per plane row
+    bhp = [mcuy * c["v"] for c in comps]
+    # non-interleaved scans cover the UNPADDED component raster (T.81 A.2.2):
+    # ceil(component_extent / 8) where extent = ceil(image_extent * samp / max)
+    bw_u, bh_u = [], []
+    for c in comps:
+        cw = -(-(w * c["h"]) // hmax)
+        ch = -(-(h * c["v"]) // vmax)
+        bw_u.append(-(-cw // 8))
+        bh_u.append(-(-ch // 8))
+    cf = [[0] * (bwp[i] * bhp[i] * 64) for i in range(ncomp)]
+
+    try:
+        for scan, ss, se, ah, al, dri, ecs in scans:
+            segs = _entropy_segments(ecs)
+            seg_i = 0
+            words = _segment_words(segs[0])
+            p = 0
+            if ss == 0:  # ---- DC scan ----
+                if se != 0:
+                    raise ValueError("progressive DC scan must have Se == 0")
+                members = [cid2ci[s["cs"]] for s in scan]
+                dluts = {}
+                if ah == 0:
+                    for s in scan:
+                        dluts[cid2ci[s["cs"]]] = _build_decode_lut(*s["dc_spec"])
+                pred = [0] * ncomp
+                interleaved = len(scan) > 1
+                if interleaved:
+                    units = mcuy * mcux
+                else:
+                    ci0 = members[0]
+                    units = bh_u[ci0] * bw_u[ci0]
+                for u in range(units):
+                    if dri and u and u % dri == 0:
+                        seg_i += 1
+                        words = _segment_words(segs[seg_i])
+                        p = 0
+                        pred = [0] * ncomp
+                    if interleaved:
+                        my, mx = divmod(u, mcux)
+                        blocks = []
+                        for ci in members:
+                            cv, chh = comps[ci]["v"], comps[ci]["h"]
+                            for by in range(cv):
+                                for bx in range(chh):
+                                    blocks.append(
+                                        (ci, ((my * cv + by) * bwp[ci] + mx * chh + bx) << 6)
+                                    )
+                    else:
+                        ci0 = members[0]
+                        by, bx = divmod(u, bw_u[ci0])
+                        blocks = [(ci0, (by * bwp[ci0] + bx) << 6)]
+                    for ci, base in blocks:
+                        cfl = cf[ci]
+                        if ah == 0:  # DC first
+                            e = dluts[ci][(words[p >> 3] >> (16 - (p & 7))) & 0xFFFF]
+                            ln = e & 31
+                            if ln == 0:
+                                raise ValueError("invalid JPEG Huffman code")
+                            t = e >> 5
+                            p += ln
+                            if t:
+                                v = (words[p >> 3] >> (32 - (p & 7) - t)) & ((1 << t) - 1)
+                                p += t
+                                if v < (1 << (t - 1)):
+                                    v += 1 - (1 << t)
+                                pred[ci] += v
+                            cfl[base] = pred[ci] << al
+                        else:  # DC refine: one raw bit
+                            bit = (words[p >> 3] >> (31 - (p & 7))) & 1
+                            p += 1
+                            if bit:
+                                cfl[base] |= 1 << al
+            else:  # ---- AC scan: single component (T.81 B.2.3) ----
+                if len(scan) != 1:
+                    raise ValueError("progressive AC scan must be non-interleaved")
+                ci = cid2ci[scan[0]["cs"]]
+                alut = _build_decode_lut(*scan[0]["ac_spec"])
+                cfl = cf[ci]
+                bw0 = bw_u[ci]
+                units = bh_u[ci] * bw0
+                eobrun = 0
+                p1 = 1 << al
+                m1 = -p1
+                for u in range(units):
+                    if dri and u and u % dri == 0:
+                        seg_i += 1
+                        words = _segment_words(segs[seg_i])
+                        p = 0
+                        eobrun = 0
+                    by, bx = divmod(u, bw0)
+                    base = (by * bwp[ci] + bx) << 6
+                    if ah == 0:  # AC first
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            e = alut[(words[p >> 3] >> (16 - (p & 7))) & 0xFFFF]
+                            ln = e & 31
+                            if ln == 0:
+                                raise ValueError("invalid JPEG Huffman code")
+                            rs = e >> 5
+                            p += ln
+                            r = rs >> 4
+                            s = rs & 15
+                            if s == 0:
+                                if r != 15:  # EOBn
+                                    eobrun = (1 << r) - 1
+                                    if r:
+                                        eobrun += (
+                                            words[p >> 3] >> (32 - (p & 7) - r)
+                                        ) & ((1 << r) - 1)
+                                        p += r
+                                    break
+                                k += 16  # ZRL
+                            else:
+                                k += r
+                                if k > se:
+                                    raise ValueError("bad JPEG coefficient run")
+                                v = (words[p >> 3] >> (32 - (p & 7) - s)) & ((1 << s) - 1)
+                                p += s
+                                if v < (1 << (s - 1)):
+                                    v += 1 - (1 << s)
+                                cfl[base + k] = v << al
+                                k += 1
+                    else:  # AC refine (ITU-T81 G.2 / Figure G.7 semantics)
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                e = alut[(words[p >> 3] >> (16 - (p & 7))) & 0xFFFF]
+                                ln = e & 31
+                                if ln == 0:
+                                    raise ValueError("invalid JPEG Huffman code")
+                                rs = e >> 5
+                                p += ln
+                                r = rs >> 4
+                                s = rs & 15
+                                if s:
+                                    if s != 1:
+                                        raise ValueError("bad AC refinement size")
+                                    bit = (words[p >> 3] >> (31 - (p & 7))) & 1
+                                    p += 1
+                                    val = p1 if bit else m1
+                                else:
+                                    if r != 15:  # EOBn
+                                        eobrun = 1 << r
+                                        if r:
+                                            eobrun += (
+                                                words[p >> 3] >> (32 - (p & 7) - r)
+                                            ) & ((1 << r) - 1)
+                                            p += r
+                                        break
+                                    val = 0  # ZRL: pass 16 zero-history coefs
+                                # advance over r zero-history coefficients,
+                                # refining every nonzero coefficient passed
+                                while k <= se:
+                                    c = cfl[base + k]
+                                    if c:
+                                        bit = (words[p >> 3] >> (31 - (p & 7))) & 1
+                                        p += 1
+                                        if bit and not (c & p1):
+                                            cfl[base + k] = c + (p1 if c >= 0 else m1)
+                                    else:
+                                        if r == 0:
+                                            break
+                                        r -= 1
+                                    k += 1
+                                if val and k <= se:
+                                    cfl[base + k] = val
+                                k += 1
+                        if eobrun:
+                            # EOB-run block: still refine its nonzero coefs
+                            while k <= se:
+                                c = cfl[base + k]
+                                if c:
+                                    bit = (words[p >> 3] >> (31 - (p & 7))) & 1
+                                    p += 1
+                                    if bit and not (c & p1):
+                                        cfl[base + k] = c + (p1 if c >= 0 else m1)
+                                k += 1
+                            eobrun -= 1
+    except IndexError:
+        raise ValueError("truncated JPEG scan") from None
+
+    out_planes = []
+    for ci, c in enumerate(comps):
+        nb = bwp[ci] * bhp[ci]
+        cfarr = np.asarray(cf[ci], dtype=np.float64).reshape(nb, 64)
+        nat = np.zeros((nb, 64), dtype=np.float64)
+        nat[:, ZIGZAG] = cfarr
+        blocks = nat.reshape(nb, 8, 8) * qt[c["tq"]]
+        px = _DCTM.T @ blocks @ _DCTM + 128.0
+        plane = (
+            px.reshape(bhp[ci], bwp[ci], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bhp[ci] * 8, bwp[ci] * 8)
+        )
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out_planes.append(plane[:h, :w])
+    return _finish_planes(out_planes, ncomp)
+
+
 def _decode_scan_scalar(data, frame, scan, qt, huff_dc, huff_ac, restart_interval):
     """Reference twin: the original per-bit/per-block walk. Kept (and
     exercised by tests) as an independent implementation the fast path is
@@ -581,9 +837,10 @@ def _csize(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length() if v < 0 else 0
 
 
-def encode_jpeg(img: np.ndarray, subsample: bool = True, restart_interval: int = 0) -> bytes:
-    """Baseline JFIF encoder: gray (h,w) or RGB (h,w,3); standard Annex K
-    tables at quality ~50; 4:2:0 when subsample else 4:4:4."""
+def _encoder_planes(img: np.ndarray, subsample: bool):
+    """Shared encoder front half: color transform, optional 4:2:0 chroma
+    downsample, MCU padding. Returns (h, w, gray, samp, qts, padded,
+    mcux, mcuy)."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, ch = img.shape
@@ -624,10 +881,6 @@ def encode_jpeg(img: np.ndarray, subsample: bool = True, restart_interval: int =
             samp = [(1, 1), (1, 1), (1, 1)]
         qts = [0, 1, 1]
 
-    qtabs = {0: QT_LUMA.reshape(8, 8), 1: QT_CHROMA.reshape(8, 8)}
-    enc_dc = {0: _build_encode_table(*HUFF_DC_LUMA), 1: _build_encode_table(*HUFF_DC_CHROMA)}
-    enc_ac = {0: _build_encode_table(*HUFF_AC_LUMA), 1: _build_encode_table(*HUFF_AC_CHROMA)}
-
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcux = -(-w // (8 * hmax))
@@ -643,6 +896,17 @@ def encode_jpeg(img: np.ndarray, subsample: bool = True, restart_interval: int =
         if ah < ph:
             pp[ah:, :] = pp[ah - 1 : ah, :]
         padded.append(pp)
+    return h, w, gray, samp, qts, padded, mcux, mcuy
+
+
+def encode_jpeg(img: np.ndarray, subsample: bool = True, restart_interval: int = 0) -> bytes:
+    """Baseline JFIF encoder: gray (h,w) or RGB (h,w,3); standard Annex K
+    tables at quality ~50; 4:2:0 when subsample else 4:4:4."""
+    h, w, gray, samp, qts, padded, mcux, mcuy = _encoder_planes(img, subsample)
+    planes = padded
+    qtabs = {0: QT_LUMA.reshape(8, 8), 1: QT_CHROMA.reshape(8, 8)}
+    enc_dc = {0: _build_encode_table(*HUFF_DC_LUMA), 1: _build_encode_table(*HUFF_DC_CHROMA)}
+    enc_ac = {0: _build_encode_table(*HUFF_AC_LUMA), 1: _build_encode_table(*HUFF_AC_CHROMA)}
 
     bw = _BitWriter()
     pred = [0] * len(planes)
@@ -724,6 +988,236 @@ def encode_jpeg(img: np.ndarray, subsample: bool = True, restart_interval: int =
         out += seg(0xDD, restart_interval.to_bytes(2, "big"))
     out += seg(0xDA, sos)
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---- progressive encoder ---------------------------------------------------
+
+# Progressive AC scans need EOBn symbols (run<<4 | 0 for run 1..14) that the
+# baseline Annex K AC tables deliberately omit, so progressive scans use a
+# complete generic AC table instead: all 256 symbols, 128 at 8 bits + 128 at
+# 9 bits (Kraft sum 0.75 — a valid canonical table; fixtures favor
+# simplicity over compression).
+HUFF_AC_PROG = ([0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0, 0], list(range(256)))
+
+
+def encode_jpeg_progressive(img: np.ndarray, subsample: bool = True) -> bytes:
+    """Progressive (SOF2) JFIF encoder with BOTH spectral selection and
+    successive approximation, so every decoder scan kind is exercised:
+
+      1. DC first   (all comps, Ah=0 Al=1)   4. AC first  6-63, Al=1
+      2. DC refine  (all comps, Ah=1 Al=0)   5. AC refine 1-5,  Ah=1 Al=0
+      3. AC first   1-5,  Al=1               6. AC refine 6-63, Ah=1 Al=0
+      (AC scans per component, non-interleaved as T.81 requires)
+
+    Same quant tables and per-block quantized coefficients as
+    :func:`encode_jpeg`, so a fully transmitted progressive payload decodes
+    BIT-IDENTICALLY to its baseline sibling (pinned in tests). Follows the
+    libjpeg encoding discipline for EOB runs and buffered correction bits
+    (ITU-T81 G.1.2.2-G.1.2.3)."""
+    h, w, gray, samp, qts, padded, mcux, mcuy = _encoder_planes(img, subsample)
+    qtabs = {0: QT_LUMA.reshape(8, 8), 1: QT_CHROMA.reshape(8, 8)}
+    ncomp = len(padded)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    # quantized coefficients per component: (nbh*nbw, 64) zigzag order,
+    # PLANE RASTER block order; per-block DCT exactly as the baseline
+    # encoder computes it, so both encoders quantize identically
+    zz, bwp, bhp, bw_u, bh_u = [], [], [], [], []
+    for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
+        nbh, nbw = p.shape[0] // 8, p.shape[1] // 8
+        qt = qtabs[qts[ci]]
+        arr = np.empty((nbh * nbw, 64), dtype=np.int64)
+        for by in range(nbh):
+            for bx in range(nbw):
+                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                q = np.round(dct8x8(block) / qt).astype(np.int64)
+                arr[by * nbw + bx] = q.reshape(-1)[ZIGZAG]
+        zz.append(arr)
+        bwp.append(nbw)
+        bhp.append(nbh)
+        cw = -(-(w * sh) // hmax)
+        ch2 = -(-(h * sv) // vmax)
+        bw_u.append(-(-cw // 8))
+        bh_u.append(-(-ch2 // 8))
+
+    enc_dc = {0: _build_encode_table(*HUFF_DC_LUMA), 1: _build_encode_table(*HUFF_DC_CHROMA)}
+    enc_ac_prog = _build_encode_table(*HUFF_AC_PROG)
+
+    def dc_scan(al: int, refine: bool) -> bytes:
+        bw = _BitWriter()
+        pred = [0] * ncomp
+        if ncomp > 1:  # interleaved over MCUs
+            order = []
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci, (sh, sv) in enumerate(samp):
+                        for by in range(sv):
+                            for bx in range(sh):
+                                order.append((ci, (my * sv + by) * bwp[ci] + mx * sh + bx))
+        else:  # single-component scan: unpadded raster
+            order = [(0, by * bwp[0] + bx) for by in range(bh_u[0]) for bx in range(bw_u[0])]
+        for ci, bidx in order:
+            dc = int(zz[ci][bidx, 0])
+            if refine:
+                bw.write((dc >> al) & 1, 1)
+                continue
+            v = dc >> al  # floor shift; the refine bit restores exactly
+            diff = v - pred[ci]
+            pred[ci] = v
+            t = _csize(diff)
+            ln, code = enc_dc[0 if ci == 0 else 1][t]
+            bw.write(code, ln)
+            if t:
+                bw.write((diff if diff >= 0 else diff + (1 << t) - 1) & ((1 << t) - 1), t)
+        bw.flush()
+        return bytes(bw.out)
+
+    def emit_sym(bw, sym):
+        ln, code = enc_ac_prog[sym]
+        bw.write(code, ln)
+
+    def ac_first_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        bw = _BitWriter()
+        eobrun = 0
+
+        def flush_eobrun():
+            nonlocal eobrun
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                emit_sym(bw, nbits << 4)
+                if nbits:
+                    bw.write(eobrun & ((1 << nbits) - 1), nbits)
+                eobrun = 0
+
+        for by in range(bh_u[ci]):
+            for bx in range(bw_u[ci]):
+                vals = zz[ci][by * bwp[ci] + bx, ss : se + 1].tolist()
+                tvals = [(v >> al) if v >= 0 else -((-v) >> al) for v in vals]
+                if not any(tvals):
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eobrun()
+                    continue
+                flush_eobrun()
+                r = 0
+                for t in tvals:
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        emit_sym(bw, 0xF0)  # ZRL
+                        r -= 16
+                    sz = _csize(t)
+                    emit_sym(bw, (r << 4) | sz)
+                    bw.write((t if t >= 0 else t + (1 << sz) - 1) & ((1 << sz) - 1), sz)
+                    r = 0
+                if r > 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eobrun()
+        flush_eobrun()
+        bw.flush()
+        return bytes(bw.out)
+
+    def ac_refine_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        bw = _BitWriter()
+        eobrun = 0
+        be_bits: list = []  # correction bits pending behind an EOB run
+
+        def flush_eobrun():
+            nonlocal eobrun
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                emit_sym(bw, nbits << 4)
+                if nbits:
+                    bw.write(eobrun & ((1 << nbits) - 1), nbits)
+                eobrun = 0
+            for b in be_bits:
+                bw.write(b, 1)
+            be_bits.clear()
+
+        for by in range(bh_u[ci]):
+            for bx in range(bw_u[ci]):
+                vals = zz[ci][by * bwp[ci] + bx, ss : se + 1].tolist()
+                absvals = [(v if v >= 0 else -v) >> al for v in vals]
+                eob = -1  # index (into the band) of the last newly-significant
+                for i, t in enumerate(absvals):
+                    if t == 1:
+                        eob = i
+                r = 0
+                br_bits: list = []
+                for i, t in enumerate(absvals):
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i <= eob:
+                        flush_eobrun()
+                        emit_sym(bw, 0xF0)
+                        r -= 16
+                        for b in br_bits:
+                            bw.write(b, 1)
+                        br_bits = []
+                    if t > 1:  # history-nonzero: buffer its correction bit
+                        br_bits.append(t & 1)
+                        continue
+                    flush_eobrun()
+                    emit_sym(bw, (r << 4) | 1)
+                    bw.write(1 if vals[i] >= 0 else 0, 1)
+                    for b in br_bits:
+                        bw.write(b, 1)
+                    br_bits = []
+                    r = 0
+                if r > 0 or br_bits:
+                    eobrun += 1
+                    be_bits.extend(br_bits)
+                    if eobrun == 0x7FFF:
+                        flush_eobrun()
+        flush_eobrun()
+        bw.flush()
+        return bytes(bw.out)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")
+    for tq in sorted(set(qts)):
+        zzq = qtabs[tq].reshape(-1)[ZIGZAG].astype(np.uint8)
+        out += seg(0xDB, bytes([tq]) + zzq.tobytes())
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, qts[ci]])
+    out += seg(0xC2, sof)
+    specs = [(0x00, HUFF_DC_LUMA), (0x10, HUFF_AC_PROG)]
+    if not gray:
+        specs += [(0x01, HUFF_DC_CHROMA), (0x11, HUFF_AC_PROG)]
+    for tcth, (bits, vals) in specs:
+        out += seg(0xC4, bytes([tcth]) + bytes(bits) + bytes(vals))
+
+    def sos(comps_td_ta, ss, se, ah, al):
+        body = bytes([len(comps_td_ta)])
+        for cid, td, ta in comps_td_ta:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    all_comps = [(ci + 1, 0 if ci == 0 else 1, 0 if ci == 0 else 1) for ci in range(ncomp)]
+    # 1-2: DC first then refine (interleaved when ncomp > 1)
+    out += sos(all_comps, 0, 0, 0, 1) + dc_scan(1, refine=False)
+    out += sos(all_comps, 0, 0, 1, 0) + dc_scan(0, refine=True)
+    bands = [(1, 5), (6, 63)]
+    # 3-4: AC first per band per component
+    for ss, se in bands:
+        for ci in range(ncomp):
+            ta = 0 if ci == 0 else 1
+            out += sos([(ci + 1, 0, ta)], ss, se, 0, 1) + ac_first_scan(ci, ss, se, 1)
+    # 5-6: AC refine per band per component
+    for ss, se in bands:
+        for ci in range(ncomp):
+            ta = 0 if ci == 0 else 1
+            out += sos([(ci + 1, 0, ta)], ss, se, 1, 0) + ac_refine_scan(ci, ss, se, 0)
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -14,10 +14,14 @@ reconstruction pinned in tests) **GIF** (pure-python LZW,
 expansion)
 — with a pooled feature vector (4x4 grid of mean intensities for images,
 segment RMS energies for audio).
-MP3/H.264/progressive-JPEG still need external libraries absent from this
-container: those payloads raise a ``ValueError`` naming the sniffed
-magic, and the deterministic ``fake=True`` decoder remains for plumbing
-tests/benches over arbitrary bytes.
+Baseline (SOF0) AND progressive (SOF2) JPEG both decode for real —
+``jpegcodec`` implements all four progressive scan kinds (DC/AC x
+first/refine with EOB runs) and pins a fully-transmitted progressive
+payload bit-identical to its baseline sibling. MP3/H.264 still need
+external libraries absent from this container: those payloads raise a
+``ValueError`` naming the sniffed magic, and the deterministic
+``fake=True`` decoder remains for plumbing tests/benches over arbitrary
+bytes.
 
 Media table schema::
 
@@ -119,7 +123,8 @@ def synth_media_table(doc_ids, refs, types, seed: int = 99, codec: str = "fake")
                 metas.append(json.dumps({"codec": "gif", "type": t, "frames": nf}))
             else:
                 w, h = int(rng.integers(16, 64)), int(rng.integers(16, 64))
-                kind = int(rng.integers(0, 4))  # 0=pgm, 1=ppm, 2=png, 3=jpeg
+                # 0=pgm, 1=ppm, 2=png, 3=baseline jpeg, 4=progressive jpeg
+                kind = int(rng.integers(0, 5))
                 grad = (
                     (np.arange(h)[:, None] + np.arange(w)[None, :]) % 256
                 ).astype(np.uint8)
@@ -138,6 +143,12 @@ def synth_media_table(doc_ids, refs, types, seed: int = 99, codec: str = "fake")
                     img = np.stack([grad, 255 - grad, grad // 2], axis=-1)
                     payloads.append(encode_jpeg(img))
                     metas.append(json.dumps({"codec": "jpeg", "type": t}))
+                elif kind == 4:
+                    from .jpegcodec import encode_jpeg_progressive
+
+                    img = np.stack([grad, 255 - grad, grad // 2], axis=-1)
+                    payloads.append(encode_jpeg_progressive(img))
+                    metas.append(json.dumps({"codec": "jpeg_progressive", "type": t}))
                 else:
                     head = b"P5\n%d %d\n255\n" % (w, h)
                     payloads.append(head + grad.tobytes())
@@ -417,10 +428,10 @@ class DecodeMedia:
             return self._decode_wav(payload)
         raise ValueError(
             f"cannot decode media payload with magic {payload[:4]!r}: "
-            "binary PGM/PPM, PNG, baseline JPEG, GIF, BMP and PCM16/mu-law "
-            "WAV decode without external libraries in this environment; "
-            "route other codecs (MP3/H.264/progressive JPEG) through a "
-            "real codec build of _decode_real"
+            "binary PGM/PPM, PNG, baseline+progressive JPEG, GIF, BMP and "
+            "PCM16/mu-law WAV decode without external libraries in this "
+            "environment; route other codecs (MP3/H.264) through a real "
+            "codec build of _decode_real"
         )
 
     def _decode_jpeg(self, payload: bytes):

@@ -101,12 +101,54 @@ def test_byte_stuffing_roundtrip():
 def test_error_gates():
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"\x89PNG\r\n\x1a\n")
-    # progressive marker (SOF2) refused by name
+    # lossless marker (SOF3) refused by name; SOF2 is now SUPPORTED
     img = np.full((8, 8), 99, np.uint8)
     payload = bytearray(encode_jpeg(img))
-    payload[payload.index(b"\xff\xc0") + 1] = 0xC2
-    with pytest.raises(ValueError, match="baseline"):
+    payload[payload.index(b"\xff\xc0") + 1] = 0xC3
+    with pytest.raises(ValueError, match="baseline .SOF0. and progressive"):
         decode_jpeg(bytes(payload))
+
+
+def test_progressive_decodes_bit_identical_to_baseline_sibling():
+    """encode_jpeg_progressive uses the same quantized coefficients as
+    encode_jpeg, so a fully transmitted progressive payload must decode
+    BIT-IDENTICALLY to the baseline payload of the same image — this
+    covers all four scan kinds (DC/AC x first/refine), EOB runs,
+    correction-bit buffering, spectral bands and both chroma samplings."""
+    from pdf_extraction_tests_ray.stages.jpegcodec import encode_jpeg_progressive
+
+    rng = np.random.default_rng(23)
+
+    def color(h, w):
+        base = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        return np.stack([base, 255 - base, np.roll(base, 2, 0)], axis=-1)
+
+    cases = [
+        (rng.integers(0, 256, size=(24, 40), dtype=np.uint8), {}),
+        (color(32, 32), {}),
+        (color(17, 31), {}),  # odd dims: AC scans cover the UNPADDED raster
+        (color(13, 19), {"subsample": False}),
+        (np.full((16, 16), 130, np.uint8), {}),  # flat: all-EOB AC scans
+        (np.full((1, 1), 7, np.uint8), {}),
+        # smooth gradient: long multi-block EOB runs with correction bits
+        (((np.add.outer(np.arange(64), np.arange(80)) // 6) % 200 + 20).astype(np.uint8), {}),
+    ]
+    for img, kw in cases:
+        a = decode_jpeg(encode_jpeg(img, **kw))
+        b = decode_jpeg(encode_jpeg_progressive(img, **kw))
+        assert a.shape == b.shape
+        assert np.array_equal(a, b), (img.shape, kw)
+
+
+def test_progressive_sof2_marker_and_scan_script():
+    """The progressive payload really is SOF2 with the 6-scan script
+    (2 DC + 2 bands x first/refine per component)."""
+    from pdf_extraction_tests_ray.stages.jpegcodec import encode_jpeg_progressive
+
+    img = np.stack([np.full((16, 16), 80, np.uint8)] * 3, axis=-1)
+    payload = encode_jpeg_progressive(img)
+    assert b"\xff\xc2" in payload and b"\xff\xc0" not in payload
+    assert payload.count(b"\xff\xda") == 2 + 2 * 2 * 3  # DC scans + AC per band/comp
 
 
 def test_fast_scan_decode_matches_scalar_twin_bit_exactly():
