@@ -52,6 +52,13 @@ def main(argv=None) -> int:
         "unbounded document sizes (see extract_dataset_fragmented)",
     )
     p.add_argument(
+        "--auto-mode",
+        action="store_true",
+        help="probe the spans-count tail and pick single-pass vs fragmented "
+        "automatically (see choose_extraction_mode) — the safe default for "
+        "corpora of unknown document-size distribution",
+    )
+    p.add_argument(
         "--format",
         choices=["spans", "html"],
         default="spans",
@@ -78,10 +85,10 @@ def main(argv=None) -> int:
 
     kwargs = dict(num_groups=args.num_groups, resume=args.resume)
     if args.format == "html":
-        if args.fragmented or args.split_threshold is not None or args.cleaning_method:
+        if args.fragmented or args.auto_mode or args.split_threshold is not None or args.cleaning_method:
             p.error(
-                "--fragmented/--split-threshold/--cleaning-method apply to "
-                "span input only"
+                "--fragmented/--auto-mode/--split-threshold/--cleaning-method "
+                "apply to span input only"
             )
         kwargs["pipeline"] = "html"
     else:
@@ -89,6 +96,7 @@ def main(argv=None) -> int:
             cleaning_method=args.cleaning_method or "hybrid",
             split_threshold=args.split_threshold,
             fragmented=args.fragmented,
+            auto_mode=args.auto_mode,
         )
     summary = run_partitioned(args.input, args.output, **kwargs)
     print(json.dumps(summary))

@@ -73,6 +73,9 @@ def run_partitioned(
     """
     pipeline = extract_kwargs.pop("pipeline", "spans")
     fragmented = extract_kwargs.pop("fragmented", False)
+    auto_mode = extract_kwargs.pop("auto_mode", False)
+    if auto_mode and (fragmented or pipeline == "html"):
+        raise ValueError("auto_mode picks the execution shape itself; drop --fragmented/html")
     if pipeline == "html":
         # crawl-ingestion leg: input parquet has (doc_id, html); the DOM
         # extractor shares the span job's grouping/manifest/quarantine
@@ -102,6 +105,14 @@ def run_partitioned(
                 f"supported: {sorted(supported)}"
             )
         pipeline_fn = lambda d: extract_dataset_fragmented(d, **extract_kwargs)  # noqa: E731
+    elif auto_mode:
+        # spans-count probe picks single-pass vs fragmented PER GROUP — a
+        # bounded partial read each; output identical either way (tests)
+        from ..pipelines.extraction import extract_dataset_auto
+
+        if extract_kwargs.pop("split_threshold", None) is not None:
+            raise ValueError("auto_mode derives the routing itself; drop split_threshold")
+        pipeline_fn = lambda d: extract_dataset_auto(d, **extract_kwargs)  # noqa: E731
     else:
         pipeline_fn = lambda d: extract_dataset(d, **extract_kwargs)  # noqa: E731
     os.makedirs(os.path.join(out_dir, "manifest"), exist_ok=True)

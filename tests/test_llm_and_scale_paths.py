@@ -1284,6 +1284,72 @@ def test_fragmented_mode_matches_single_pass(golden_corpus):
     assert base_spans == frag_spans
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_auto_mode_routes_heavy_tail_to_fragmented(golden_corpus):
+    """extract_dataset_auto's spans-count probe (VERDICT r3 #4): a
+    heavy-tail corpus auto-routes to the single-lineage fragmented mode
+    with output IDENTICAL to the forced mode; a bounded corpus stays on
+    the single-pass default; a single monster doc (p99 tame, max > 4x
+    threshold) also trips the fragmented route."""
+    import ray.data
+
+    from pdf_extraction_tests_ray.fixtures import spans_from_flat_text
+    from pdf_extraction_tests_ray.pipelines.extraction import (
+        choose_extraction_mode,
+        extract_dataset,
+        extract_dataset_auto,
+        extract_dataset_fragmented,
+        split_quarantine,
+    )
+
+    ds = ray.data.from_arrow(golden_corpus)
+
+    # (1) heavy tail relative to a small threshold -> fragmented, equal output
+    assert choose_extraction_mode(ds, split_threshold=10) == "fragmented"
+
+    def canon(out):
+        ok, bad = split_quarantine(out)
+        df = ok.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        spans = [
+            tuple((s["kind"], s["text"], s["media_ref"], s["order"]) for s in row)
+            for row in df["spans"]
+        ]
+        return df.drop(columns=["spans"]), spans, bad.count()
+
+    auto_df, auto_spans, auto_bad = canon(extract_dataset_auto(ds, split_threshold=10))
+    forced_df, forced_spans, forced_bad = canon(extract_dataset_fragmented(ds))
+    assert auto_bad == forced_bad
+    pd.testing.assert_frame_equal(auto_df, forced_df)
+    assert auto_spans == forced_spans
+
+    # (2) bounded corpus (threshold far above every doc) -> single-pass
+    assert choose_extraction_mode(ds, split_threshold=10_000_000) == "single_pass"
+    single_df, single_spans, _ = canon(extract_dataset_auto(ds, split_threshold=10_000_000))
+    base_df, base_spans, _ = canon(extract_dataset(ds))
+    pd.testing.assert_frame_equal(single_df, base_df)
+    assert single_spans == base_spans
+
+    # (3) one monster doc in an otherwise-bounded corpus: p99 stays under
+    # the threshold but max > 4x threshold -> fragmented
+    from pdf_extraction_tests_ray.schema import INPUT_SCHEMA
+
+    short = [spans_from_flat_text(i, "tiny doc. one line only.") for i in range(200)]
+    monster = spans_from_flat_text(999, " ".join(f"sentence {i} of the monster." for i in range(3000)))
+    n_short = max(len(s) for s in short)
+    threshold = max(n_short + 1, (len(monster) // 4) - 1)
+    assert len(monster) > 4 * threshold  # the rule's trigger, by construction
+    spiky = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "doc_id": [f"doc-{i:08d}" for i in range(200)] + ["doc-monster"],
+                "spans": short + [monster],
+            },
+            schema=INPUT_SCHEMA,
+        )
+    )
+    assert choose_extraction_mode(spiky, split_threshold=threshold) == "fragmented"
+
+
 # ---------------------------------------------------------------------------
 # curation operators
 
