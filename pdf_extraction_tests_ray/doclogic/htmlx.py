@@ -301,8 +301,14 @@ def classify_blocks(blocks: list[Block]) -> list[bool]:
     Pass 1 — local densitometric gates: link density above
     ``_MAX_LINK_DENSITY`` is boilerplate; long blocks (>=
     ``_MIN_DENSITY_WORDS`` words) below the gate are content.
-    Pass 2 — neighbor rule: a short block (heading or fragment) is kept
-    only when adjacent to a content block on either side."""
+    Pass 2 — neighbor rule: a short text fragment is kept only when
+    adjacent to a content block on either side; a short HEADING instead
+    looks FORWARD to the next locally-decided block (headings introduce
+    the content BELOW them — boilerpipe's heading handling): an article
+    headline separated from its first paragraph by a short byline stays,
+    while a section heading whose section was dropped (a comments header
+    over short comments, a sidebar title) goes with it. Real-page
+    fixtures in tests/test_html_extraction.py pin both directions."""
     local = []
     for b in blocks:
         if b.link_density > _MAX_LINK_DENSITY:
@@ -316,6 +322,12 @@ def classify_blocks(blocks: list[Block]) -> list[bool]:
     for i, dec in enumerate(local):
         if dec is not None:
             out.append(dec)
+            continue
+        if blocks[i].is_heading and not blocks[i].media_ref:
+            j = i + 1
+            while j < n and local[j] is None:
+                j += 1
+            out.append(j < n and local[j] is True)
             continue
         if blocks[i].media_ref:
             # a figure keeps its immediate context: kept inside content

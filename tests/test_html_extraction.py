@@ -349,3 +349,82 @@ def test_table_with_implied_row_and_caption():
     tables = [s["text"] for s in extract_main_html(html) if s["kind"] == "table"]
     assert "cellA | cellB" in tables
     assert "the caption || x1" in tables  # caption = its own implied row
+
+
+# ---------------------------------------------------------------------------
+# hand-built realistic pages (static fixtures, tests/html_fixture_pages.py)
+
+
+def test_news_article_page_classification():
+    """Full pinned classification of a realistic news page: headline kept
+    through the byline via the heading forward rule; nav/breadcrumbs/
+    sidebar/footer dropped structurally or by link density; the inline
+    figure and its caption ride the content context; the comments section
+    (short fragments AND its heading) is dropped."""
+    from html_fixture_pages import NEWS_ARTICLE
+
+    spans = extract_main_html(NEWS_ARTICLE)
+    assert [s["kind"] for s in spans] == [
+        "heading", "text", "text", "figure", "text", "text", "heading", "text",
+    ]
+    assert [s["order"] for s in spans] == list(range(8))
+    assert spans[0]["text"] == "Storm Delays Harvest Across the Valley"
+    assert spans[1]["text"] == "By Ana Petrova, Agriculture Correspondent"
+    assert spans[2]["text"].startswith("Heavy rain over the weekend")
+    assert spans[3]["media_ref"] == "/img/2024/harvest-combines.jpg"
+    assert spans[4]["text"] == "Combines stood idle near Eastbrook on Sunday as fields drained."
+    assert spans[6]["text"] == "Prices firm on the delay"
+    joined = " ".join(s["text"] for s in spans)
+    for boiler in [
+        "The Daily Ledger",       # logo/header
+        "Subscribe",              # nav
+        "Home",                   # breadcrumbs
+        "Comments",               # heading of a dropped section
+        "Same story every year",  # short comment fragments
+        "Rail strike",            # sidebar related-links
+        "Privacy",                # footer
+    ]:
+        assert boiler not in joined, boiler
+
+
+def test_product_page_link_farm_vs_specs_table():
+    """The link-farm directory table (pure anchors) is dropped by link
+    density while the in-content specs table survives atomically; the
+    whats-in-the-box list is kept; nav/footer links dropped."""
+    from html_fixture_pages import PRODUCT_PAGE
+
+    spans = extract_main_html(PRODUCT_PAGE)
+    assert [s["kind"] for s in spans] == [
+        "heading", "text", "heading", "table", "text", "heading", "list",
+    ]
+    assert spans[0]["text"] == "VX-220 Bench Power Supply"
+    assert spans[3]["text"] == (
+        "Output voltage | 0 to 30 V || Output current | 0 to 5 A || "
+        "Ripple | < 1 mV rms || Line regulation | 0.01 % + 2 mV"
+    )
+    assert spans[6]["text"] == (
+        "VX-220 unit with detachable IEC mains lead; "
+        "Pair of shrouded banana test leads, one metre; "
+        "Calibration certificate and printed quick-start guide"
+    )
+    joined = " ".join(s["text"] for s in spans)
+    for boiler in ["Multimeters", "Oscilloscopes", "Cart", "Returns"]:
+        assert boiler not in joined, boiler
+
+
+def test_docs_page_toc_and_pager_dropped():
+    """The nested table-of-contents link list and the prev/next pager are
+    dropped; the pre code block and in-article bullet list are kept in
+    DOM order between their surrounding paragraphs."""
+    from html_fixture_pages import DOCS_PAGE
+
+    spans = extract_main_html(DOCS_PAGE)
+    assert [s["kind"] for s in spans] == [
+        "heading", "text", "heading", "text", "text", "text", "heading", "text", "list",
+    ]
+    assert spans[0]["text"] == "Configuring retry policies"
+    assert "strategy: exponential" in spans[4]["text"]  # the <pre> block
+    assert spans[8]["text"].startswith("Per-attempt timeout")
+    joined = " ".join(s["text"] for s in spans)
+    for boiler in ["Overview", "Previous: Timeouts", "Next: Hedging", "Edit this page"]:
+        assert boiler not in joined, boiler
