@@ -1099,12 +1099,18 @@ def q_price_quantiles(sf_dir: str):
 
 def q_price_quantiles_tdigest(sf_dir: str):
     """Approximate per-returnflag price quantiles over the RAW float
-    column via mergeable t-digests (rows-only: sketch estimates; the
-    error bound vs the exact cents operator is pinned in tests)."""
+    column via mergeable t-digests, in the DETERMINISTIC log-binned mode
+    (round-4 VERDICT #6): the output is a pure function of the value
+    multiset — bit-equal across any block layout or parallelism (pinned
+    in tests) — which makes this row ELIGIBLE for a future value-hash
+    driver check; it stays rows-only today only because replicating the
+    digest compressor in SQL would be gymnastics, not because the bits
+    are unstable. Error bound vs the exact cents operator pinned in
+    tests."""
     from .relational import grouped_quantiles_tdigest
 
     ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
-    return grouped_quantiles_tdigest(ds, "l_returnflag", "l_extendedprice")
+    return grouped_quantiles_tdigest(ds, "l_returnflag", "l_extendedprice", deterministic=True)
 
 
 def doc_pack_sequences(sf_dir: str):

@@ -1001,18 +1001,77 @@ def grouped_quantiles_tdigest(
     col: str,
     qs: tuple = (0.5, 0.9, 0.99),
     delta: int = 200,
+    deterministic: bool = False,
+    rel_err: float = 0.005,
 ) -> "ray.data.Dataset":
     """APPROXIMATE per-group quantiles of a CONTINUOUS column via
     mergeable t-digests (functions.sketches.tdigest_*) — the scale path
     :func:`grouped_quantiles` documents: a float column with unbounded
     distinct values would make the exact value-count histogram O(rows),
     while a digest is <= ~2*delta centroids per (group, batch) regardless
-    of cardinality. Shuffle: one low-cardinality ``groupby(group)`` over
-    serialized digests. Estimates are within the digest bound (tightest
-    at the tails — k1 scale function); unlike the HLL path the bits
-    depend on batch boundaries, so tests pin the ERROR BOUND across
-    layouts, not bit-equality. Output: (group, p50, p90, ... float64)."""
+    of cardinality. Shuffle: one low-cardinality ``groupby(group)``.
+    Output: (group, p50, p90, ... float64).
+
+    ``deterministic=False`` (classic): per-batch value-clustered digests,
+    estimates within the digest bound (tightest at the tails — k1 scale
+    function) but bits depend on batch boundaries, so tests pin the ERROR
+    BOUND across layouts.
+
+    ``deterministic=True`` (VERDICT r3 #6): the per-batch stage emits
+    DDSketch-style log-binned INTEGER counts (bin = ceil(ln|v| / ln g),
+    g = (1+rel_err)/(1-rel_err)) instead of data-dependent centroids;
+    counts merge by integer addition (order-free), and the t-digest
+    compressor + quantile interpolation run over the canonical
+    bin-histogram — so the OUTPUT IS A PURE FUNCTION OF THE VALUE
+    MULTISET: bit-equal across any batch/block layout or parallelism
+    (pinned in tests). A canonical sort of per-batch digests alone could
+    not achieve this — the digests themselves change with batch cuts; the
+    price here is a bounded multiplicative error (|v_est/v| - 1 <=
+    rel_err) added to the digest bound, and bin keys touching libm
+    (identical within one platform; values exactly on a bin edge could
+    bin differently across libms)."""
     from .functions import sketches as SK
+
+    if deterministic:
+        gamma = (1.0 + rel_err) / (1.0 - rel_err)
+        lg = float(np.log(gamma))
+
+        def partial_det(df: pd.DataFrame) -> pd.DataFrame:
+            v = df[col].to_numpy(dtype=np.float64)
+            sgn = np.sign(v).astype(np.int8)
+            absv = np.abs(v)
+            bins = np.zeros(len(v), dtype=np.int64)
+            nz = absv > 0
+            bins[nz] = np.ceil(np.log(absv[nz]) / lg).astype(np.int64)
+            out = pd.DataFrame({group: df[group].to_numpy(), "sgn": sgn, "bin": bins})
+            return (
+                out.groupby([group, "sgn", "bin"], sort=False)
+                .size()
+                .rename("count")
+                .reset_index()
+            )
+
+        def merge_det(gdf: pd.DataFrame) -> pd.DataFrame:
+            agg = gdf.groupby(["sgn", "bin"], sort=True)["count"].sum().reset_index()
+            sgn = agg["sgn"].to_numpy(dtype=np.float64)
+            b = agg["bin"].to_numpy(dtype=np.float64)
+            # DDSketch bin midpoint 2*g^i/(g+1); zero bin maps to 0.0
+            centers = sgn * (2.0 * np.power(gamma, b) / (gamma + 1.0))
+            w = agg["count"].to_numpy(dtype=np.float64)
+            order = np.argsort(centers, kind="stable")  # centers are distinct
+            d = SK._tdigest_compress(
+                np.stack([centers[order], w[order]], axis=1), delta
+            )
+            row = {group: [gdf[group].iloc[0]]}
+            for q in qs:
+                row[_quantile_col(q)] = [SK.tdigest_quantile(d, q)]
+            return pd.DataFrame(row)
+
+        return (
+            ds.map_batches(partial_det, batch_format="pandas")
+            .groupby(group)
+            .map_groups(merge_det, batch_format="pandas")
+        )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         groups, digs = [], []

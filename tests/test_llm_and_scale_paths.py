@@ -485,6 +485,58 @@ def test_grouped_quantiles_tdigest_within_bound_of_exact():
             assert (rel < 0.01).all(), (parts, c, rel.tolist())
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_tdigest_deterministic_mode_bit_equal_across_layouts():
+    """deterministic=True (VERDICT r3 #6): the log-binned digest is a
+    pure function of the value multiset — BIT-EQUAL outputs across block
+    layouts (1 vs 4 vs 16 partitions: different batch boundaries, the
+    thing the classic mode's bits depend on), while staying within 1% of
+    the exact cents operator. Zero/negative values covered separately."""
+    import ray
+
+    from pdf_extraction_tests_ray.queries import q_price_quantiles
+    from pdf_extraction_tests_ray.relational import grouped_quantiles_tdigest
+
+    sf = "/root/testdata/sf0.001"
+    exact = q_price_quantiles(sf).to_pandas().set_index("l_returnflag").sort_index()
+
+    results = []
+    for parts in (1, 4, 16):
+        ds = ray.data.read_parquet(
+            f"{sf}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+        ).repartition(parts)
+        df = (
+            grouped_quantiles_tdigest(
+                ds, "l_returnflag", "l_extendedprice", deterministic=True
+            )
+            .to_pandas()
+            .set_index("l_returnflag")
+            .sort_index()
+        )
+        results.append(df)
+    for other in results[1:]:
+        pd.testing.assert_frame_equal(results[0], other)  # exact, not approx
+    for c in ("p50", "p90", "p99"):
+        rel = (results[0][c] - exact[c]).abs() / exact[c]
+        assert (rel < 0.01).all(), (c, rel.tolist())
+
+    # zeros and negatives: sign/zero bins keep the multiset property
+    vals = np.concatenate([np.zeros(50), -np.abs(np.random.default_rng(3).lognormal(2, 1, 5000)), np.abs(np.random.default_rng(4).lognormal(2, 1, 5000))])
+    base = pa.table({"g": ["x"] * len(vals), "v": vals})
+    outs = []
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(base).repartition(parts)
+        outs.append(
+            grouped_quantiles_tdigest(ds, "g", "v", deterministic=True)
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    true_med = float(np.quantile(vals, 0.5))
+    assert abs(outs[0]["p50"].iloc[0] - true_med) <= max(0.02 * abs(true_med), 0.5)
+
+
 def test_bloom_filter_one_sided():
     """No false negatives ever; false positives rare and one-sided."""
     import numpy as np
