@@ -2310,7 +2310,7 @@ def knn_lsh_indexed(sf_dir: str):
         S.build_lsh_index(emb, idx, n_tables=4)
         with open(marker, "w") as f:
             f.write(stamp)
-    return S.knn_lsh_index(idx, _query_vec(sf_dir), k=10, exclude_vec_id=0, probes=3)
+    return S.knn_lsh_index(idx, _query_vec(sf_dir), k=10, exclude_vec_id=0)
 
 
 def knn_ivf_indexed(sf_dir: str):

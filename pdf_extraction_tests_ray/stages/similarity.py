@@ -181,24 +181,56 @@ def _signature(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return (bits.astype(np.uint32) << np.arange(planes.shape[0], dtype=np.uint32)).sum(axis=1)
 
 
+def _probe_buckets(qn: np.ndarray, planes: np.ndarray, probes: int) -> np.ndarray:
+    """Margin-ranked MULTI-PROBE bucket set (Lv et al., VLDB 2007): rank
+    perturbation sets — subsets of up to 3 flips over the 8 lowest-margin
+    planes — by summed |margin| and take the ``probes`` best, home bucket
+    included. Replaces the round-3 single-bit-flip probing (recall on the
+    real sf0.1 embeddings: 0.72 -> 0.93 at probes=8 with ~1.6x candidate
+    volume; BASELINE.md round-4 table) because the next-likeliest bucket
+    after the single flips is a DOUBLE flip of two near-zero margins, not
+    a single flip of a large one. Deterministic: ties in summed margin
+    break on the flip tuple."""
+    from itertools import combinations
+
+    q_sig = int(_signature(qn[None, :], planes)[0])
+    margins = np.abs(qn @ planes.T)
+    low = np.argsort(margins)[: min(8, len(margins))].tolist()
+    ranked = [(0.0, ())]
+    for r in (1, 2, 3):
+        for combo in combinations(low, r):
+            ranked.append((float(margins[list(combo)].sum()), combo))
+    ranked.sort(key=lambda x: (x[0], x[1]))
+    out = set()
+    for _, combo in ranked[: max(1, probes)]:
+        s = q_sig
+        for b in combo:
+            s ^= 1 << int(b)
+        out.add(s)
+    return np.asarray(sorted(out), dtype=np.uint32)
+
+
 def knn_lsh(
     emb: "ray.data.Dataset",
     query_vec,
     k: int = 10,
     exclude_vec_id=None,
-    probes: int = 3,
+    probes: int = 8,
     n_planes: int | None = None,
     n_tables: int = 4,
 ) -> "ray.data.Dataset":
     """Approximate top-k via multi-table sign-random-projection LSH.
 
     ``n_tables`` independent hyperplane tables; a vector is a candidate if
-    ANY table maps it into the query's probed buckets (bucket + the
-    ``probes`` lowest-margin single-bit flips). Recall/latency knobs:
-    ``n_tables`` (recall) and ``probes``; ``n_planes`` defaults adaptive to
-    corpus size via one metadata-only ``count()`` (parquet row counts, no
-    data scan) so an average bucket holds ~64 vectors at any scale.
-    """
+    ANY table maps it into the query's probed buckets — the ``probes``
+    margin-ranked multi-probe perturbations per table (home bucket plus
+    the likeliest flip SETS, :func:`_probe_buckets`). Recall/latency
+    knobs: ``n_tables`` (recall, costs a signature matmul per table) and
+    ``probes`` (recall, costs only extra candidate sims — the cheap
+    lever); ``n_planes`` defaults adaptive to corpus size via one
+    metadata-only ``count()`` (parquet row counts, no data scan) so an
+    average bucket holds ~64 vectors at any scale. Defaults measured at
+    recall@10 >= 0.9 vs knn_bruteforce (pinned in tests; BASELINE.md)."""
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / (np.linalg.norm(q) or 1.0)
     dim = q.shape[0]
@@ -208,12 +240,7 @@ def knn_lsh(
     for t in range(n_tables):
         rng = np.random.default_rng(np.random.SeedSequence([777, dim, t]))
         planes = rng.standard_normal((n_planes, dim))
-        q_sig = int(_signature(qn[None, :], planes)[0])
-        probe_set = {q_sig}
-        margins = np.abs(qn @ planes.T)
-        for b in np.argsort(margins)[:probes]:
-            probe_set.add(q_sig ^ (1 << int(b)))
-        tables.append((planes, np.fromiter(probe_set, dtype=np.uint32)))
+        tables.append((planes, _probe_buckets(qn, planes, probes)))
     probe_ref = ray.put((qn, tables))
 
     class ProbeTopK:
@@ -319,17 +346,18 @@ def knn_lsh_index(
     query_vec,
     k: int = 10,
     exclude_vec_id=None,
-    probes: int = 3,
+    probes: int = 8,
 ) -> "ray.data.Dataset":
     """ANN over a PERSISTED (table, bucket)-partitioned LSH index
     (:func:`build_lsh_index` output): reconstruct each table's planes
-    from the 3-int sidecar, probe the query's bucket plus its ``probes``
-    lowest-margin single-bit flips per table, and read ONLY those
-    buckets' partition directories — query cost scales with the probed
-    buckets' share of the corpus. Candidates dedupe by vec_id (a vector
-    probed in several tables must not occupy two top-k slots) before the
-    exact-cosine final top-k; the result set equals :func:`knn_lsh` with
-    the same knobs (pinned in tests)."""
+    from the 3-int sidecar, probe the query's ``probes`` margin-ranked
+    multi-probe buckets per table (:func:`_probe_buckets` — the same set
+    the in-memory twin scans), and read ONLY those buckets' partition
+    directories — query cost scales with the probed buckets' share of
+    the corpus. Candidates dedupe by vec_id (a vector probed in several
+    tables must not occupy two top-k slots) before the exact-cosine final
+    top-k; the result set equals :func:`knn_lsh` with the same knobs
+    (pinned in tests)."""
     import glob
     import os
 
@@ -346,12 +374,7 @@ def knn_lsh_index(
     paths = []
     for t in range(n_tables):
         planes = _table_planes(dim, t, n_planes)
-        q_sig = int(_signature(qn[None, :], planes)[0])
-        probe_set = {q_sig}
-        margins = np.abs(qn @ planes.T)
-        for b in np.argsort(margins)[:probes]:
-            probe_set.add(q_sig ^ (1 << int(b)))
-        for s in sorted(probe_set):
+        for s in _probe_buckets(qn, planes, probes).tolist():
             paths.extend(
                 sorted(
                     glob.glob(
