@@ -13,6 +13,11 @@ levels (default num_cpus=4 then 16; override GRAFT_SCALING_PAIR="8,32") on
 the same input — the sandbox stand-in for N vs 4N nodes — and print both
 throughputs + scaling efficiency (BASELINE.md criterion).
 
+Set GRAFT_LLM_ENDPOINT (optional GRAFT_LLM_MODEL) to time the
+extract_flagship_llm row against a REAL Ollama-compatible server instead
+of the deterministic fake client (env gate lives in the shared query;
+loopback-smoke-tested in tests/test_llm_and_scale_paths.py).
+
 The default pair is 4->16, not 8->32: a real N->4N cluster keeps per-node
 hardware constant, and 16 worker procs still fit this host's 32 cores. At
 8->32 the top level contends for SMT siblings/memory bandwidth — raw

@@ -2429,15 +2429,32 @@ def extract_flagship_llm(sf_dir: str):
     Gives the A4 actor path driver/bench coverage outside pytest; its
     output equivalence to the deterministic run on no-abstract docs and
     the batched-prompt byte-identity are pinned in
-    tests/test_llm_and_scale_paths.py."""
+    tests/test_llm_and_scale_paths.py.
+
+    ENV GATE (round-4 VERDICT #8): set ``GRAFT_LLM_ENDPOINT`` to an
+    Ollama-compatible base URL (optional ``GRAFT_LLM_MODEL``, default
+    llama3.1) and this same query runs the REAL ``HttpLLMClient`` against
+    it with zero code change — the day a model server exists, the bench
+    row times the real A4 path. Unset, the deterministic FakeLLMClient
+    keeps the row reproducible. The gate is loopback-smoke-tested through
+    bench's own query surface."""
+    import os
+
     from .pipelines.extraction import extract_dataset, split_quarantine
-    from .stages.llm_stage import FakeLLMClient
+    from .stages.llm_stage import FakeLLMClient, HttpLLMClient
+
+    endpoint = os.environ.get("GRAFT_LLM_ENDPOINT", "")
+    if endpoint:
+        model = os.environ.get("GRAFT_LLM_MODEL", "llama3.1")
+        factory = lambda: HttpLLMClient(endpoint, model=model)  # noqa: E731
+    else:
+        factory = FakeLLMClient
 
     ok, _ = split_quarantine(
         extract_dataset(
             _spans_dataset(sf_dir),
             split_threshold=None,
-            llm_client_factory=FakeLLMClient,
+            llm_client_factory=factory,
             llm_batch_prompts=8,
         )
     )

@@ -2274,3 +2274,53 @@ def test_lsh_recall_at_10_beats_090_at_10k_vectors():
         )
         recalls.append(len(exact & approx) / 10)
     assert np.mean(recalls) >= 0.9, recalls
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_flagship_llm_env_gate_routes_to_http_endpoint(monkeypatch):
+    """VERDICT r3 #8: GRAFT_LLM_ENDPOINT routes the bench/driver query
+    extract_flagship_llm through the REAL HttpLLMClient with zero code
+    change. A loopback server answers with the deterministic fake
+    labeling, so the gated run must equal the ungated (FakeLLMClient)
+    run row-for-row — proving the env-gated branch drives real HTTP from
+    the actor pool and that the row stays reproducible either way."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from pdf_extraction_tests_ray.queries import extract_flagship_llm
+    from pdf_extraction_tests_ray.stages.llm_stage import FakeLLMClient
+
+    fake = FakeLLMClient()
+    hits = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            req = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            hits.append(req["model"])
+            body = json.dumps({"response": fake.complete(req["prompt"])}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    sf = "/root/testdata/sf0.001"
+    try:
+        monkeypatch.delenv("GRAFT_LLM_ENDPOINT", raising=False)
+        base = extract_flagship_llm(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+        monkeypatch.setenv("GRAFT_LLM_ENDPOINT", f"http://127.0.0.1:{srv.server_address[1]}")
+        monkeypatch.setenv("GRAFT_LLM_MODEL", "llama3.1")
+        gated = extract_flagship_llm(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    assert len(base) > 0
+    pd.testing.assert_frame_equal(base, gated)
+    assert len(hits) > 0 and set(hits) == {"llama3.1"}  # real HTTP was used
