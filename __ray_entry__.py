@@ -767,6 +767,36 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem
             ) GROUP BY l_returnflag
         """,
+        # DDSketch quantiles with an EXACT oracle: bin = ceil(ln v / ln g)
+        # is bit-identical numpy<->DuckDB (ln parity holds on this
+        # platform), so the oracled surface is the integer bin per
+        # quantile; the float center 2*g^b/(g+1) is exp/pow, where the
+        # two libms drift in the last ulps, and stays engine-side
+        "q_price_quantiles_sketch": """
+            WITH b AS (
+              SELECT l_returnflag,
+                     CAST(ceil(ln(l_extendedprice) / ln(1.005/0.995)) AS BIGINT) AS bin
+              FROM lineitem
+            ), c AS (
+              SELECT l_returnflag, bin, CAST(count(*) AS BIGINT) AS cnt
+              FROM b GROUP BY 1, 2
+            ), w AS (
+              SELECT l_returnflag, bin, cnt,
+                     sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                     sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+              FROM c
+            )
+            SELECT l_returnflag,
+                   CAST(max(n) AS BIGINT) AS n,
+                   CAST(min(CASE WHEN cum >= CAST(floor(0.5  * (n-1)) AS BIGINT) + 1
+                            THEN bin END) AS BIGINT) AS p50_bin,
+                   CAST(min(CASE WHEN cum >= CAST(floor(0.9  * (n-1)) AS BIGINT) + 1
+                            THEN bin END) AS BIGINT) AS p90_bin,
+                   CAST(min(CASE WHEN cum >= CAST(floor(0.99 * (n-1)) AS BIGINT) + 1
+                            THEN bin END) AS BIGINT) AS p99_bin
+            FROM w GROUP BY l_returnflag
+        """,
         "q_events_distinct_users": """
             SELECT event_type,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct

@@ -1097,6 +1097,21 @@ def q_price_quantiles(sf_dir: str):
     )
 
 
+def q_price_quantiles_sketch(sf_dir: str):
+    """DDSketch per-returnflag quantiles with a FULL value-hash SQL
+    oracle — the approximate-quantile family's driver-checkable row
+    (round 4): log-binned integer counts, rank lookup, integer bin
+    output (relational.grouped_quantiles_ddsketch(as_bins=True); the
+    float-center reconstruction is exp/pow, which numpy and DuckDB
+    disagree on in the last ulps, so the oracled surface stays int64)."""
+    from .relational import grouped_quantiles_ddsketch
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    return grouped_quantiles_ddsketch(
+        ds, "l_returnflag", "l_extendedprice", qs=(0.5, 0.9, 0.99), as_bins=True
+    )
+
+
 def q_price_quantiles_tdigest(sf_dir: str):
     """Approximate per-returnflag price quantiles over the RAW float
     column via mergeable t-digests, in the DETERMINISTIC log-binned mode
@@ -2866,6 +2881,7 @@ QUERIES = {
     "doc_bigram_pmi": doc_bigram_pmi,
     "doc_distinct_ngrams": doc_distinct_ngrams,
     "doc_corpus_stats": doc_corpus_stats,
+    "q_price_quantiles_sketch": q_price_quantiles_sketch,
     # -- rows-only entries (genuinely non-SQL-expressible; past the window) --
     "doc_bpe_encode": doc_bpe_encode,
     "q_price_quantiles_tdigest": q_price_quantiles_tdigest,

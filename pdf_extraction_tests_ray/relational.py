@@ -1099,6 +1099,82 @@ def grouped_quantiles_tdigest(
     )
 
 
+def grouped_quantiles_ddsketch(
+    ds: "ray.data.Dataset",
+    group: str,
+    col: str,
+    qs: tuple = (0.5, 0.9, 0.99),
+    rel_err: float = 0.005,
+    as_bins: bool = False,
+) -> "ray.data.Dataset":
+    """DDSketch-style per-group quantiles: log-binned INTEGER counts
+    (bin = ceil(ln|v| / ln g), g = (1+rel_err)/(1-rel_err)), quantile =
+    first bin whose cumulative count reaches floor(q*(n-1))+1 in
+    ascending value order. Relative error <= rel_err, one low-cardinality
+    shuffle, and — unlike a t-digest — the answer is a PURE FUNCTION OF
+    THE VALUE MULTISET with no compressor in the loop, so it carries a
+    full value-hash SQL oracle.
+
+    ``as_bins=True`` (requires strictly positive values) returns the raw
+    integer bin per quantile plus n — all-int64 output, the form the
+    driver oracle hashes: the bin derivation (ln + ceil) is bit-identical
+    between numpy and DuckDB on this platform, while the float center
+    2*g^b/(g+1) is exp/pow, which the two libms disagree on in the last
+    ulps (measured 1.5e-11) — so the oracled surface stays integer and
+    the float reconstruction stays on the engine side. Default returns
+    float centers (sign-aware, zero bin -> 0.0)."""
+
+    gamma = (1.0 + rel_err) / (1.0 - rel_err)
+    lg = float(np.log(gamma))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy(dtype=np.float64)
+        sgn = np.sign(v).astype(np.int8)
+        absv = np.abs(v)
+        bins = np.zeros(len(v), dtype=np.int64)
+        nz = absv > 0
+        bins[nz] = np.ceil(np.log(absv[nz]) / lg).astype(np.int64)
+        out = pd.DataFrame({group: df[group].to_numpy(), "sgn": sgn, "bin": bins})
+        return (
+            out.groupby([group, "sgn", "bin"], sort=False)
+            .size()
+            .rename("count")
+            .reset_index()
+        )
+
+    def merge(gdf: pd.DataFrame) -> pd.DataFrame:
+        agg = gdf.groupby(["sgn", "bin"], sort=False)["count"].sum().reset_index()
+        sgn = agg["sgn"].to_numpy(dtype=np.int64)
+        b = agg["bin"].to_numpy(dtype=np.int64)
+        w = agg["count"].to_numpy(dtype=np.int64)
+        # ascending VALUE order: sign first, then magnitude (descending
+        # for negatives — a larger |bin| is a more negative value)
+        order = np.lexsort((sgn * b, sgn))
+        sgn, b, w = sgn[order], b[order], w[order]
+        cum = np.cumsum(w)
+        n = int(cum[-1])
+        row: dict = {group: [gdf[group].iloc[0]]}
+        if as_bins:
+            if not (sgn == 1).all():
+                raise ValueError("as_bins=True requires strictly positive values")
+            row["n"] = np.array([n], dtype=np.int64)
+        for q in qs:
+            t = int(np.floor(q * (n - 1.0))) + 1
+            i = int(np.searchsorted(cum, t, side="left"))
+            if as_bins:
+                row[_quantile_col(q) + "_bin"] = np.array([b[i]], dtype=np.int64)
+            else:
+                center = float(sgn[i]) * (2.0 * np.exp(b[i] * lg) / (gamma + 1.0))
+                row[_quantile_col(q)] = [0.0 if sgn[i] == 0 else center]
+        return pd.DataFrame(row)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(group)
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def grouped_distinct_count(
     ds: "ray.data.Dataset", group: str, col: str, num_buckets: int = 64
 ) -> "ray.data.Dataset":

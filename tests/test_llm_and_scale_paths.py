@@ -2324,3 +2324,38 @@ def test_flagship_llm_env_gate_routes_to_http_endpoint(monkeypatch):
     assert len(base) > 0
     pd.testing.assert_frame_equal(base, gated)
     assert len(hits) > 0 and set(hits) == {"llama3.1"}  # real HTTP was used
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ddsketch_quantiles_layout_invariant_and_accurate():
+    """grouped_quantiles_ddsketch float mode: bit-equal across block
+    layouts (pure function of the value multiset) and within the rel_err
+    bound of exact quantiles; the as_bins form is the driver-oracled
+    surface (q_price_quantiles_sketch) and rejects non-positive values."""
+    import ray
+
+    from pdf_extraction_tests_ray.relational import grouped_quantiles_ddsketch
+
+    src = "/root/testdata/sf0.001/lineitem.parquet"
+    outs = []
+    for parts in (1, 8):
+        ds = ray.data.read_parquet(src, columns=["l_returnflag", "l_extendedprice"]).repartition(parts)
+        outs.append(
+            grouped_quantiles_ddsketch(ds, "l_returnflag", "l_extendedprice")
+            .to_pandas().sort_values("l_returnflag").reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    import pyarrow.parquet as pq
+
+    df = pq.read_table(src).to_pandas()
+    for flag, sub in df.groupby("l_returnflag"):
+        row = outs[0][outs[0]["l_returnflag"] == flag].iloc[0]
+        for q, c in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            true = float(np.quantile(sub["l_extendedprice"], q))
+            assert abs(row[c] / true - 1.0) < 0.02, (flag, c, row[c], true)
+
+    # as_bins demands positivity
+    neg = ray.data.from_pandas(pd.DataFrame({"g": ["a"] * 4, "v": [-1.0, 2.0, 3.0, 4.0]}))
+    with pytest.raises(Exception, match="strictly positive"):
+        grouped_quantiles_ddsketch(neg, "g", "v", as_bins=True).to_pandas()

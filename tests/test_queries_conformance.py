@@ -112,6 +112,7 @@ def _to_pandas(res):
         "q_quantity_range_buckets",
         "q_events_distinct_users",
         "q_price_quantiles",
+        "q_price_quantiles_sketch",
         "q_customers_without_orders",
         "q_order_running_total",
         "q_lineitem_rollup",
