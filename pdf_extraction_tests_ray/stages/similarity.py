@@ -6,10 +6,18 @@
   candidates. The shuffle moves k rows per batch, never the corpus.
 - ``knn_lsh``: multi-table sign-random-projection LSH — each vector is
   bucketed by seeded hyperplane signatures in ``n_tables`` independent
-  tables; the query probes matching buckets (multi-probe over nearby
-  signatures) and a vector is a candidate if ANY table hits. Approximate:
-  the scale path. Measured recall@10 vs brute force on the synthetic
-  embeddings: 1.0 at 100/1k vectors, 0.8 at 10k (defaults).
+  tables; the query probes matching buckets (margin-ranked multi-probe,
+  ``_probe_buckets``) and a vector is a candidate if ANY table hits.
+  Approximate: the scale path. Measured recall@10 vs brute force at the
+  round-4 defaults: 1.0 at 10k clustered vectors, 0.93 on the real sf0.1
+  embeddings (BASELINE.md round-4 table).
+- ``knn_ivf``: recall on CLUSTERED data is ~1.0 even at nprobe=2/16
+  (measured, 10k x 20 clusters); on the UNSTRUCTURED synthetic testdata
+  embeddings every space partitioning has a linear recall/scan tradeoff
+  (neighbors aren't concentrated in any cell), so the default nprobe=10
+  buys recall 0.90 at ~0.63 corpus scanned there — dual-assignment was
+  measured equivalent, not better, on such data and is deliberately not
+  implemented.
 """
 
 from __future__ import annotations
@@ -670,7 +678,7 @@ def knn_ivf_prebuilt(
     query_vec,
     k: int = 10,
     exclude_vec_id=None,
-    nprobe: int = 8,
+    nprobe: int = 10,
 ) -> "ray.data.Dataset":
     """ANN over a PREBUILT inverted index (:func:`ivf_assign` output):
     filter to the ``nprobe`` cells nearest the query, exact top-k inside.
@@ -746,7 +754,7 @@ def knn_ivf_index(
     query_vec,
     k: int = 10,
     exclude_vec_id=None,
-    nprobe: int = 8,
+    nprobe: int = 10,
 ) -> "ray.data.Dataset":
     """ANN over a PERSISTED cell-partitioned IVF index
     (:func:`build_ivf_index` output): read the centroid sidecar (tiny),
@@ -814,7 +822,7 @@ def knn_ivf(
     k: int = 10,
     exclude_vec_id=None,
     n_centroids: int = 16,
-    nprobe: int = 8,
+    nprobe: int = 10,
     train_sample_budget: int = 65536,
 ) -> "ray.data.Dataset":
     """IVF-style ANN end-to-end: train cells, assign, probe — one shot.

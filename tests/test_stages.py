@@ -416,4 +416,6 @@ def test_knn_ivf_runs_and_overlaps_bruteforce(ray_session):
     bf = QUERIES["knn_bruteforce"](sf).to_pandas()
     assert len(ivf) == 10
     assert ivf["cos_sim"].is_monotonic_decreasing
-    assert len(set(ivf.vec_id) & set(bf.vec_id)) >= 5  # recall floor
+    # recall floor at the round-4 default nprobe=10 (measured mean 0.90
+    # over 40 queries on this corpus; single-query floor kept below mean)
+    assert len(set(ivf.vec_id) & set(bf.vec_id)) >= 7
