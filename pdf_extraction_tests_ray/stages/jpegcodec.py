@@ -1002,7 +1002,9 @@ def encode_jpeg(img: np.ndarray, subsample: bool = True, restart_interval: int =
 HUFF_AC_PROG = ([0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0, 0], list(range(256)))
 
 
-def encode_jpeg_progressive(img: np.ndarray, subsample: bool = True) -> bytes:
+def encode_jpeg_progressive(
+    img: np.ndarray, subsample: bool = True, restart_interval: int = 0
+) -> bytes:
     """Progressive (SOF2) JFIF encoder with BOTH spectral selection and
     successive approximation, so every decoder scan kind is exercised:
 
@@ -1046,32 +1048,48 @@ def encode_jpeg_progressive(img: np.ndarray, subsample: bool = True) -> bytes:
     enc_dc = {0: _build_encode_table(*HUFF_DC_LUMA), 1: _build_encode_table(*HUFF_DC_CHROMA)}
     enc_ac_prog = _build_encode_table(*HUFF_AC_PROG)
 
+    rst_state = [0]  # RSTn modulo counter, shared across a scan
+
+    def emit_restart(bw) -> None:
+        bw.flush()
+        bw.out += bytes([0xFF, 0xD0 + rst_state[0]])
+        rst_state[0] = (rst_state[0] + 1) % 8
+
     def dc_scan(al: int, refine: bool) -> bytes:
         bw = _BitWriter()
+        rst_state[0] = 0
         pred = [0] * ncomp
-        if ncomp > 1:  # interleaved over MCUs
-            order = []
+        if ncomp > 1:  # interleaved over MCUs: one restart unit per MCU
+            units = []
             for my in range(mcuy):
                 for mx in range(mcux):
+                    blocks = []
                     for ci, (sh, sv) in enumerate(samp):
                         for by in range(sv):
                             for bx in range(sh):
-                                order.append((ci, (my * sv + by) * bwp[ci] + mx * sh + bx))
-        else:  # single-component scan: unpadded raster
-            order = [(0, by * bwp[0] + bx) for by in range(bh_u[0]) for bx in range(bw_u[0])]
-        for ci, bidx in order:
-            dc = int(zz[ci][bidx, 0])
-            if refine:
-                bw.write((dc >> al) & 1, 1)
-                continue
-            v = dc >> al  # floor shift; the refine bit restores exactly
-            diff = v - pred[ci]
-            pred[ci] = v
-            t = _csize(diff)
-            ln, code = enc_dc[0 if ci == 0 else 1][t]
-            bw.write(code, ln)
-            if t:
-                bw.write((diff if diff >= 0 else diff + (1 << t) - 1) & ((1 << t) - 1), t)
+                                blocks.append((ci, (my * sv + by) * bwp[ci] + mx * sh + bx))
+                    units.append(blocks)
+        else:  # single-component scan: unpadded raster, one unit per block
+            units = [
+                [(0, by * bwp[0] + bx)] for by in range(bh_u[0]) for bx in range(bw_u[0])
+            ]
+        for u, blocks in enumerate(units):
+            if restart_interval and u and u % restart_interval == 0:
+                emit_restart(bw)
+                pred = [0] * ncomp
+            for ci, bidx in blocks:
+                dc = int(zz[ci][bidx, 0])
+                if refine:
+                    bw.write((dc >> al) & 1, 1)
+                    continue
+                v = dc >> al  # floor shift; the refine bit restores exactly
+                diff = v - pred[ci]
+                pred[ci] = v
+                t = _csize(diff)
+                ln, code = enc_dc[0 if ci == 0 else 1][t]
+                bw.write(code, ln)
+                if t:
+                    bw.write((diff if diff >= 0 else diff + (1 << t) - 1) & ((1 << t) - 1), t)
         bw.flush()
         return bytes(bw.out)
 
@@ -1092,32 +1110,36 @@ def encode_jpeg_progressive(img: np.ndarray, subsample: bool = True) -> bytes:
                     bw.write(eobrun & ((1 << nbits) - 1), nbits)
                 eobrun = 0
 
-        for by in range(bh_u[ci]):
-            for bx in range(bw_u[ci]):
-                vals = zz[ci][by * bwp[ci] + bx, ss : se + 1].tolist()
-                tvals = [(v >> al) if v >= 0 else -((-v) >> al) for v in vals]
-                if not any(tvals):
-                    eobrun += 1
-                    if eobrun == 0x7FFF:
-                        flush_eobrun()
-                    continue
+        rst_state[0] = 0
+        for u in range(bh_u[ci] * bw_u[ci]):
+            by, bx = divmod(u, bw_u[ci])
+            if restart_interval and u and u % restart_interval == 0:
                 flush_eobrun()
+                emit_restart(bw)
+            vals = zz[ci][by * bwp[ci] + bx, ss : se + 1].tolist()
+            tvals = [(v >> al) if v >= 0 else -((-v) >> al) for v in vals]
+            if not any(tvals):
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eobrun()
+                continue
+            flush_eobrun()
+            r = 0
+            for t in tvals:
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    emit_sym(bw, 0xF0)  # ZRL
+                    r -= 16
+                sz = _csize(t)
+                emit_sym(bw, (r << 4) | sz)
+                bw.write((t if t >= 0 else t + (1 << sz) - 1) & ((1 << sz) - 1), sz)
                 r = 0
-                for t in tvals:
-                    if t == 0:
-                        r += 1
-                        continue
-                    while r > 15:
-                        emit_sym(bw, 0xF0)  # ZRL
-                        r -= 16
-                    sz = _csize(t)
-                    emit_sym(bw, (r << 4) | sz)
-                    bw.write((t if t >= 0 else t + (1 << sz) - 1) & ((1 << sz) - 1), sz)
-                    r = 0
-                if r > 0:
-                    eobrun += 1
-                    if eobrun == 0x7FFF:
-                        flush_eobrun()
+            if r > 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eobrun()
         flush_eobrun()
         bw.flush()
         return bytes(bw.out)
@@ -1139,42 +1161,46 @@ def encode_jpeg_progressive(img: np.ndarray, subsample: bool = True) -> bytes:
                 bw.write(b, 1)
             be_bits.clear()
 
-        for by in range(bh_u[ci]):
-            for bx in range(bw_u[ci]):
-                vals = zz[ci][by * bwp[ci] + bx, ss : se + 1].tolist()
-                absvals = [(v if v >= 0 else -v) >> al for v in vals]
-                eob = -1  # index (into the band) of the last newly-significant
-                for i, t in enumerate(absvals):
-                    if t == 1:
-                        eob = i
-                r = 0
-                br_bits: list = []
-                for i, t in enumerate(absvals):
-                    if t == 0:
-                        r += 1
-                        continue
-                    while r > 15 and i <= eob:
-                        flush_eobrun()
-                        emit_sym(bw, 0xF0)
-                        r -= 16
-                        for b in br_bits:
-                            bw.write(b, 1)
-                        br_bits = []
-                    if t > 1:  # history-nonzero: buffer its correction bit
-                        br_bits.append(t & 1)
-                        continue
+        rst_state[0] = 0
+        for u in range(bh_u[ci] * bw_u[ci]):
+            by, bx = divmod(u, bw_u[ci])
+            if restart_interval and u and u % restart_interval == 0:
+                flush_eobrun()
+                emit_restart(bw)
+            vals = zz[ci][by * bwp[ci] + bx, ss : se + 1].tolist()
+            absvals = [(v if v >= 0 else -v) >> al for v in vals]
+            eob = -1  # index (into the band) of the last newly-significant
+            for i, t in enumerate(absvals):
+                if t == 1:
+                    eob = i
+            r = 0
+            br_bits: list = []
+            for i, t in enumerate(absvals):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eob:
                     flush_eobrun()
-                    emit_sym(bw, (r << 4) | 1)
-                    bw.write(1 if vals[i] >= 0 else 0, 1)
+                    emit_sym(bw, 0xF0)
+                    r -= 16
                     for b in br_bits:
                         bw.write(b, 1)
                     br_bits = []
-                    r = 0
-                if r > 0 or br_bits:
-                    eobrun += 1
-                    be_bits.extend(br_bits)
-                    if eobrun == 0x7FFF:
-                        flush_eobrun()
+                if t > 1:  # history-nonzero: buffer its correction bit
+                    br_bits.append(t & 1)
+                    continue
+                flush_eobrun()
+                emit_sym(bw, (r << 4) | 1)
+                bw.write(1 if vals[i] >= 0 else 0, 1)
+                for b in br_bits:
+                    bw.write(b, 1)
+                br_bits = []
+                r = 0
+            if r > 0 or br_bits:
+                eobrun += 1
+                be_bits.extend(br_bits)
+                if eobrun == 0x7FFF:
+                    flush_eobrun()
         flush_eobrun()
         bw.flush()
         return bytes(bw.out)
@@ -1195,6 +1221,8 @@ def encode_jpeg_progressive(img: np.ndarray, subsample: bool = True) -> bytes:
         specs += [(0x01, HUFF_DC_CHROMA), (0x11, HUFF_AC_PROG)]
     for tcth, (bits, vals) in specs:
         out += seg(0xC4, bytes([tcth]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
 
     def sos(comps_td_ta, ss, se, ah, al):
         body = bytes([len(comps_td_ta)])

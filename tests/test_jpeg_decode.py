@@ -206,3 +206,20 @@ def test_decode_media_real_handles_jpeg():
     src_gray = rgb.astype(np.float32).mean(axis=2)
     ref = DecodeMedia(fake=False)._pooled_grid(src_gray)
     assert np.abs(feat - ref).max() < 0.02
+
+
+def test_progressive_restart_intervals_change_nothing():
+    """Progressive + DRI: every scan kind resets (DC pred, EOB run, bit
+    position) at RSTn boundaries; output stays bit-identical to the
+    baseline sibling at any interval."""
+    from pdf_extraction_tests_ray.stages.jpegcodec import encode_jpeg_progressive
+
+    rng = np.random.default_rng(31)
+    base = rng.integers(0, 256, size=(33, 47), dtype=np.uint8)
+    rgb = np.stack([base, 255 - base, np.roll(base, 2, 0)], axis=-1)
+    smooth = ((np.add.outer(np.arange(64), np.arange(80)) // 6) % 200 + 20).astype(np.uint8)
+    for img, kw in [(rgb, {}), (base, {}), (smooth, {})]:
+        want = decode_jpeg(encode_jpeg(img, **kw))
+        for dri in (1, 2, 3):
+            got = decode_jpeg(encode_jpeg_progressive(img, restart_interval=dri, **kw))
+            assert np.array_equal(want, got), dri
