@@ -1,19 +1,22 @@
-"""Pure-numpy baseline JPEG (JFIF) codec — no external libraries.
+"""Pure-numpy JPEG (JFIF) codec — no external libraries.
 
-Baseline sequential JPEG is Huffman entropy coding + zigzag + uniform
-quantization + the 8x8 type-II DCT + (for color) YCbCr with optional 2x2
-chroma subsampling: all of it is arithmetic numpy covers, so — like PNG
-(media.decode_png) — the repo decodes it for real rather than env-gating
-it. Scope: 8-bit baseline sequential (SOF0), grayscale and YCbCr 4:4:4 /
-4:2:0, restart intervals, 0xFF00 byte unstuffing. Progressive (SOF2),
-arithmetic coding, 12-bit precision and 16-bit quant tables raise with a
-named error.
+JPEG is Huffman entropy coding + zigzag + uniform quantization + the 8x8
+type-II DCT + (for color) YCbCr with optional 2x2 chroma subsampling:
+all of it is arithmetic numpy covers, so — like PNG (media.decode_png) —
+the repo decodes it for real rather than env-gating it. Scope: 8-bit
+baseline sequential (SOF0) AND progressive (SOF2: spectral selection +
+successive approximation, all four scan kinds of ITU-T81 G.2, EOB runs,
+restart intervals), grayscale and YCbCr 4:4:4 / 4:2:0, 0xFF00 byte
+unstuffing. Arithmetic coding, lossless (SOF3), 12-bit precision and
+16-bit quant tables raise with a named error.
 
-The companion :func:`encode_jpeg` (standard ITU-T81 Annex K tables, ~Q50)
-exists so fixtures/tests have genuinely entropy-coded payloads; tests pin
-the decoder BIT-EXACTLY against an independent numpy recompute of
-dequant+IDCT from the encoder's own quantized coefficients (the lossless
-half of the codec), plus tolerance round-trips for the lossy half.
+The companion encoders :func:`encode_jpeg` (standard ITU-T81 Annex K
+tables, ~Q50) and :func:`encode_jpeg_progressive` (6-scan script over the
+SAME quantized coefficients) exist so fixtures/tests have genuinely
+entropy-coded payloads; tests pin the decoder BIT-EXACTLY against an
+independent numpy recompute of dequant+IDCT from the encoder's own
+quantized coefficients (the lossless half of the codec), pin progressive
+== baseline decode, plus tolerance round-trips for the lossy half.
 
 Decode is vectorized everywhere the format allows: the entropy stream is
 unstuffed/segmented with numpy up front, Huffman symbols resolve through a
