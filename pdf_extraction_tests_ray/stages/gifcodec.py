@@ -233,14 +233,12 @@ def decode_gif(payload: bytes):
             .astype(np.int32)
             .reshape(fh, fw)
         )
-        if lflags & 0x40:  # interlaced: reorder rows
+        if lflags & 0x40:  # interlaced: reorder rows (one fancy-index scatter)
+            order = np.concatenate(
+                [np.arange(start, fh, step) for start, step in _DEINTERLACE]
+            )
             de = np.empty_like(arr)
-            src = 0
-            for start, step in _DEINTERLACE:
-                rows = range(start, fh, step)
-                for r in rows:
-                    de[r] = arr[src]
-                    src += 1
+            de[order] = arr
             arr = de
         canvas[y0 : y0 + fh, x0 : x0 + fw] = ct[arr % len(ct)]
         frames.append(canvas.copy())
