@@ -55,6 +55,7 @@ QUERY_SUITE = [
     "q_customers_without_orders",
     "q_price_quantiles",
     "q_price_quantiles_tdigest",
+    "q_price_quantiles_sketch",
     "extract_html_main",
     "dedup_exact",
     "dedup_incremental",
