@@ -1518,6 +1518,44 @@ def oracle_sql() -> dict[str, str]:
         # gram is shared by >64 docs — true for the driver corpora, and
         # the operator prints a warning at any corpus where it stops
         # being true
+        # ExactSubstr CUT (Lee et al. 2022): duplicated 12-grams keep the
+        # globally-first occurrence (row_number over (doc_id, pos)); all
+        # other occurrences' spans cut, overlaps merged by the DISTINCT
+        # covered-token expansion. Pure md5/int/string ops — hash-exact.
+        "dedup_substring_cut": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+            ), grams AS (
+              SELECT doc_id, i AS pos,
+                     md5(array_to_string(w[i:i+11], ' ')) AS g
+              FROM toks, unnest(range(1, greatest(len(w) - 10, 1))) AS t(i)
+            ), marked AS (
+              SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+                     count(*) OVER (PARTITION BY g) AS cnt
+              FROM grams
+            ), cover AS (
+              SELECT DISTINCT doc_id, pos + j AS tok
+              FROM (SELECT doc_id, pos FROM marked WHERE cnt >= 2 AND rn > 1),
+                   unnest(range(0, 12)) AS u(j)
+            ), tok_rows AS (
+              SELECT doc_id, i, w[i] AS tok
+              FROM toks, unnest(range(1, len(w) + 1)) AS t(i)
+            ), kept AS (
+              SELECT tr.doc_id, tr.i, tr.tok
+              FROM tok_rows tr
+              LEFT JOIN cover c ON tr.doc_id = c.doc_id AND tr.i = c.tok
+              WHERE c.doc_id IS NULL
+            ), agg AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS kept_text,
+                     CAST(count(*) AS BIGINT) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   coalesce(a.kept_text, '') AS kept_text,
+                   coalesce(a.n_kept, CAST(0 AS BIGINT)) AS n_kept
+            FROM toks t LEFT JOIN agg a USING (doc_id)
+        """,
         "dedup_shared_ngrams": f"""
             WITH g AS (
               SELECT doc_id, unnest(list_distinct(list_transform(

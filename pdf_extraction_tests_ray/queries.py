@@ -1097,6 +1097,18 @@ def q_price_quantiles(sf_dir: str):
     )
 
 
+def dedup_substring_cut(sf_dir: str):
+    """Exact-substring dedup with span REMOVAL (Lee et al. 2022
+    ExactSubstr cut, word-window granularity, n=12 like the detection
+    twin dedup_shared_ngrams): duplicated grams keep their globally-first
+    occurrence, every other occurrence's span is cut; overlapping cuts
+    merge. Full value-hash SQL oracle (md5/int/string ops only)."""
+    from .stages.dedup import exact_substring_cut
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_substring_cut(docs, n=12)
+
+
 def q_price_quantiles_sketch(sf_dir: str):
     """DDSketch per-returnflag quantiles with a FULL value-hash SQL
     oracle — the approximate-quantile family's driver-checkable row
@@ -2882,6 +2894,7 @@ QUERIES = {
     "doc_distinct_ngrams": doc_distinct_ngrams,
     "doc_corpus_stats": doc_corpus_stats,
     "q_price_quantiles_sketch": q_price_quantiles_sketch,
+    "dedup_substring_cut": dedup_substring_cut,
     # -- rows-only entries (genuinely non-SQL-expressible; past the window) --
     "doc_bpe_encode": doc_bpe_encode,
     "q_price_quantiles_tdigest": q_price_quantiles_tdigest,

@@ -147,6 +147,118 @@ def shared_ngram_pairs(
     )
 
 
+def exact_substring_cut(
+    docs: "ray.data.Dataset",
+    n: int = 12,
+    min_count: int = 2,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Exact-substring dedup with SPAN REMOVAL (the cut half of Lee et
+    al. 2022's ExactSubstr, at word-window granularity): every word
+    ``n``-gram occurring >= ``min_count`` times in the corpus keeps its
+    globally-first occurrence (min (doc_id, pos)) and every OTHER
+    occurrence's n-token span is cut from its document. A long repeated
+    region is a run of overlapping duplicated grams, so the first
+    document keeps it intact and later copies lose the whole region
+    (their cut intervals merge). Output: (doc_id, kept_text, n_kept) for
+    EVERY input document — kept_text re-joins the surviving normalized
+    tokens, n_kept counts them.
+
+    Scale shape: TWO all-to-alls. (1) gram rows (md5 key, doc_id, pos)
+    bucket-shuffle on the gram hash; each gram group orders by
+    (doc_id, pos) and emits all-but-first as cut marks. (2) the cut
+    marks ride a tagged union WITH the doc rows through one doc_id
+    bucket shuffle (the fold-adjacent-shuffles move — no separate join
+    pass), where each doc rebuilds its kept token mask vectorized.
+    Fully SQL-oracled (``dedup_substring_cut``): the whole pipeline is
+    md5/int/string ops, no floats."""
+    import hashlib
+
+    def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
+        hs, ids, ps = [], [], []
+        for d, t in zip(df["doc_id"].tolist(), df["text"].tolist()):
+            toks = T.normalize_text(t).split(" ")
+            for i in range(len(toks) - n + 1):
+                hs.append(hashlib.md5(" ".join(toks[i : i + n]).encode("utf-8")).hexdigest())
+                ids.append(d)
+                ps.append(i)
+        return pd.DataFrame(
+            {"h": hs, "doc_id": np.asarray(ids, dtype=np.int64), "pos": np.asarray(ps, dtype=np.int64)}
+        )
+
+    def cuts_of_gram(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, sub in df.groupby("h", sort=False):
+            if len(sub) < min_count:
+                continue
+            sub = sub.sort_values(["doc_id", "pos"], kind="stable")
+            outs.append(sub.iloc[1:][["doc_id", "pos"]])
+        if not outs:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"), "pos": pd.Series([], dtype="int64")}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    from ..relational import bucketed_group_merge
+
+    marks = bucketed_group_merge(
+        docs.map_batches(gram_rows, batch_format="pandas"),
+        ["h"],
+        cuts_of_gram,
+        num_buckets=num_buckets,
+    )
+
+    # tagged union: doc rows carry text (pos = -1), mark rows carry pos
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "text": df["text"],
+                "pos": np.full(len(df), -1, dtype=np.int64),
+            }
+        )
+
+    def tag_marks(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "text": pd.Series([""] * len(df), dtype="object"),
+                "pos": df["pos"].astype("int64"),
+            }
+        )
+
+    cols = ["doc_id", "text", "pos"]
+    tagged = (
+        docs.map_batches(tag_docs, batch_format="pandas")
+        .select_columns(cols)
+        .union(marks.map_batches(tag_marks, batch_format="pandas").select_columns(cols))
+    )
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_text, out_n = [], [], []
+        for d, sub in df.groupby("doc_id", sort=False):
+            texts = sub.loc[sub["pos"] < 0, "text"]
+            if texts.empty:
+                continue  # marks whose doc landed in another bucket: impossible (same key)
+            toks = T.normalize_text(texts.iloc[0]).split(" ")
+            mask = np.ones(len(toks), dtype=bool)
+            for p in sub.loc[sub["pos"] >= 0, "pos"].tolist():
+                mask[p : p + n] = False
+            kept = [t for t, m in zip(toks, mask) if m]
+            out_id.append(d)
+            out_text.append(" ".join(kept))
+            out_n.append(int(mask.sum()))
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(out_id, dtype=np.int64),
+                "kept_text": out_text,
+                "n_kept": np.asarray(out_n, dtype=np.int64),
+            }
+        )
+
+    return bucketed_group_merge(tagged, ["doc_id"], rebuild, num_buckets=num_buckets)
+
+
 def _undirected_edges(
     df: pd.DataFrame, src_col: str = "src", dst_col: str = "dst"
 ) -> pd.DataFrame:

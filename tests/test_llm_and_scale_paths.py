@@ -2359,3 +2359,44 @@ def test_ddsketch_quantiles_layout_invariant_and_accurate():
     neg = ray.data.from_pandas(pd.DataFrame({"g": ["a"] * 4, "v": [-1.0, 2.0, 3.0, 4.0]}))
     with pytest.raises(Exception, match="strictly positive"):
         grouped_quantiles_ddsketch(neg, "g", "v", as_bins=True).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_substring_cut_keep_first_semantics():
+    """ExactSubstr cut (Lee et al. 2022): a 20-token passage planted in
+    three docs survives ONLY in the lexicographically-first occurrence;
+    unique text is untouched; overlapping duplicated grams merge into one
+    removed region, not a shredded middle."""
+    import ray
+
+    from pdf_extraction_tests_ray.stages.dedup import exact_substring_cut
+
+    passage = " ".join(f"shared{i}" for i in range(20))
+    uniq = {
+        1: " ".join(f"alpha{i}" for i in range(15)),
+        2: " ".join(f"beta{i}" for i in range(15)),
+        3: " ".join(f"gamma{i}" for i in range(15)),
+    }
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                f"{uniq[1]} {passage}",
+                f"{passage} {uniq[2]}",
+                f"{uniq[3]} {passage} tail word here",
+                "totally unique document with its own twelve plus tokens of text one two three",
+            ],
+        }
+    )
+    out = (
+        exact_substring_cut(ray.data.from_pandas(docs), n=12)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    # doc 1 holds the globally-first occurrence (doc_id order): intact
+    assert out.loc[1, "kept_text"] == f"{uniq[1]} {passage}"
+    # docs 2 and 3 lose the WHOLE passage (overlapping cuts merged)
+    assert out.loc[2, "kept_text"] == uniq[2]
+    assert out.loc[3, "kept_text"] == f"{uniq[3]} tail word here"
+    # untouched doc keeps everything
+    assert out.loc[4, "kept_text"] == docs.loc[3, "text"]
+    assert out.loc[4, "n_kept"] == len(docs.loc[3, "text"].split())

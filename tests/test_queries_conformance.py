@@ -113,6 +113,7 @@ def _to_pandas(res):
         "q_events_distinct_users",
         "q_price_quantiles",
         "q_price_quantiles_sketch",
+        "dedup_substring_cut",
         "q_customers_without_orders",
         "q_order_running_total",
         "q_lineitem_rollup",
