@@ -110,6 +110,8 @@ QUERY_SUITE = [
     "media_decode_real",
     "q_events_funnel",
     "q_events_retention",
+    # round-4 additions
+    "dedup_substring_cut",
 ]
 
 
