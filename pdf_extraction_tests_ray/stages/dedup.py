@@ -187,17 +187,23 @@ def exact_substring_cut(
         )
 
     def cuts_of_gram(df: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for _, sub in df.groupby("h", sort=False):
-            if len(sub) < min_count:
-                continue
-            sub = sub.sort_values(["doc_id", "pos"], kind="stable")
-            outs.append(sub.iloc[1:][["doc_id", "pos"]])
-        if not outs:
+        # one lexsort over the bucket, then pure boolean masks — the
+        # per-distinct-gram pandas groupby loop measured ~Python-rate at
+        # ~25k groups/bucket (CLAUDE.md high-cardinality lesson)
+        sub = df.sort_values(["h", "doc_id", "pos"], kind="stable")
+        h = sub["h"].to_numpy()
+        first = np.empty(len(sub), dtype=bool)
+        first[:1] = True
+        first[1:] = h[1:] != h[:-1]
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, len(sub)))
+        keep = (~first) & (np.repeat(sizes, sizes) >= min_count)
+        out = sub.loc[keep, ["doc_id", "pos"]].reset_index(drop=True)
+        if out.empty:
             return pd.DataFrame(
                 {"doc_id": pd.Series([], dtype="int64"), "pos": pd.Series([], dtype="int64")}
             )
-        return pd.concat(outs, ignore_index=True)
+        return out
 
     from ..relational import bucketed_group_merge
 
@@ -240,13 +246,18 @@ def exact_substring_cut(
             texts = sub.loc[sub["pos"] < 0, "text"]
             if texts.empty:
                 continue  # marks whose doc landed in another bucket: impossible (same key)
-            toks = T.normalize_text(texts.iloc[0]).split(" ")
-            mask = np.ones(len(toks), dtype=bool)
-            for p in sub.loc[sub["pos"] >= 0, "pos"].tolist():
-                mask[p : p + n] = False
-            kept = [t for t, m in zip(toks, mask) if m]
+            toks = np.asarray(T.normalize_text(texts.iloc[0]).split(" "), dtype=object)
+            pos = sub.loc[sub["pos"] >= 0, "pos"].to_numpy()
+            if len(pos):
+                # difference array: O(marks + tokens), not O(marks * n)
+                diff = np.zeros(len(toks) + 1, dtype=np.int64)
+                np.add.at(diff, pos, 1)
+                np.add.at(diff, np.minimum(pos + n, len(toks)), -1)
+                mask = np.cumsum(diff[:-1]) == 0
+            else:
+                mask = np.ones(len(toks), dtype=bool)
             out_id.append(d)
-            out_text.append(" ".join(kept))
+            out_text.append(" ".join(toks[mask]))
             out_n.append(int(mask.sum()))
         return pd.DataFrame(
             {
