@@ -355,6 +355,7 @@ def asof_join_backward(
     right_cols: list[str],
     num_buckets: int = 64,
     right_dedupe=None,
+    payload_dtypes: dict | None = None,
 ) -> "ray.data.Dataset":
     """Backward as-of join (Ray Data has no native one; SURVEY.md custom-op
     rule (a): composition of map_batches + groupby.map_groups).
@@ -369,22 +370,40 @@ def asof_join_backward(
 
     Right-side ties on (key, ts) must be resolved or the tie choice is
     engine-dependent (same caveat as DuckDB ASOF). Pass ``right_dedupe``
-    (pandas df in/out over [by, "_ts"] + right_cols, float64 payloads) to
-    resolve ties INSIDE the merge group — the bucket already co-locates a
-    key's rows, so this costs no extra shuffle, unlike pre-deduplicating
-    with a separate grouped aggregate. Inner semantics: unmatched left
-    rows are dropped.
-    """
+    (pandas df in/out over [by, "_ts"] + right_cols, transport-dtype
+    payloads) to resolve ties INSIDE the merge group — the bucket already
+    co-locates a key's rows, so this costs no extra shuffle, unlike
+    pre-deduplicating with a separate grouped aggregate. Inner semantics:
+    unmatched left rows are dropped.
 
-    # payload columns ride through the union as float64 (both sides must
-    # present one schema; exact for ints < 2^53 — callers re-cast at the end)
+    Payload transport: by default every payload column rides the tagged
+    union as float64 (one shared schema; exact for ints < 2^53). Pass
+    ``payload_dtypes={col: "int64" | "object" | "float64"}`` for any
+    subset to transport those columns TYPED instead — int64 via the
+    nullable Int64 extension array (exact at full 64-bit range, re-cast
+    to plain int64 after the inner join drops the NA fill) and strings
+    via object/None — which also makes string payloads joinable at all.
+    """
+    payload_dtypes = payload_dtypes or {}
+
+    def _transport(c: str) -> str:
+        d = str(payload_dtypes.get(c, "float64"))
+        return {"int64": "Int64", "int32": "Int64", "string": "object", "str": "object"}.get(d, d)
+
+    def _null_fill(dtype: str, k: int) -> pd.Series:
+        if dtype == "object":
+            return pd.Series([None] * k, dtype="object")
+        return pd.Series([pd.NA] * k, dtype=dtype) if dtype == "Int64" else pd.Series(
+            np.full(k, np.nan), dtype="float64"
+        )
+
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
         out = df[[by, left_ts] + left_cols].rename(columns={left_ts: "_ts"})
         out["_side"] = 1
         for c in left_cols:
-            out[c] = out[c].astype("float64")
+            out[c] = out[c].astype(_transport(c))
         for c in right_cols:
-            out[c] = np.nan
+            out[c] = _null_fill(_transport(c), len(out)).values
         return out
 
     def tag_right(df: pd.DataFrame) -> pd.DataFrame:
@@ -393,9 +412,9 @@ def asof_join_backward(
         )
         out["_side"] = 0
         for c in right_cols:
-            out[c] = out[c].astype("float64")
+            out[c] = out[c].astype(_transport(c))
         for c in left_cols:
-            out[c] = np.nan
+            out[c] = _null_fill(_transport(c), len(out)).values
         return out
 
     cols = [by, "_ts", "_side"] + left_cols + right_cols
@@ -408,16 +427,27 @@ def asof_join_backward(
         df["_bucket"] = _bucket_of(df, [by], num_buckets)
         return df
 
+    def _final(c: str) -> str:
+        # post-inner-join both sides are non-null: Int64 re-packs to int64
+        d = _transport(c)
+        return "int64" if d == "Int64" else d
+
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["_side"] == 1][[by, "_ts"] + left_cols].sort_values("_ts", kind="stable")
         r = g[g["_side"] == 0][[by, "_ts"] + right_cols].sort_values("_ts", kind="stable")
         if len(l) == 0 or len(r) == 0:
-            return pd.DataFrame({c: pd.Series(dtype="float64") for c in left_cols + right_cols})
+            return pd.DataFrame(
+                {c: pd.Series(dtype=_final(c)) for c in left_cols + right_cols}
+            )
         if right_dedupe is not None:
             r = right_dedupe(r).sort_values("_ts", kind="stable")
         out = pd.merge_asof(l, r, on="_ts", by=by, direction="backward")
         out = out.dropna(subset=right_cols)
-        return out[left_cols + right_cols]
+        out = out[left_cols + right_cols]
+        for c in left_cols + right_cols:
+            if _transport(c) == "Int64":
+                out[c] = out[c].astype("int64")
+        return out
 
     return (
         tagged.map_batches(add_bucket, batch_format="pandas")

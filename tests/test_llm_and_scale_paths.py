@@ -2400,3 +2400,77 @@ def test_exact_substring_cut_keep_first_semantics():
     # untouched doc keeps everything
     assert out.loc[4, "kept_text"] == docs.loc[3, "text"]
     assert out.loc[4, "n_kept"] == len(docs.loc[3, "text"].split())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_join_typed_payload_transport_exact():
+    """payload_dtypes transports int64 payloads exactly at the FULL
+    64-bit range (the float64 default is lossy past 2^53) and makes
+    string payloads joinable at all; the float64 default on the same
+    small-int data is unchanged."""
+    import ray
+
+    from pdf_extraction_tests_ray.relational import asof_join_backward
+
+    big = 2**53 + 1  # not representable in float64 (rounds to 2**53)
+    left = pd.DataFrame(
+        {"k": [1, 1, 2, 3], "lt": [10, 20, 15, 5], "lv": [big, big + 2, 7, 9]}
+    )
+    right = pd.DataFrame(
+        {
+            "k": [1, 1, 2],
+            "rt": [5, 18, 10],
+            "rv": [big + 4, big + 6, 11],
+            "tag": ["early", "late", "solo"],
+        }
+    )
+    out = (
+        asof_join_backward(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            by="k",
+            right_by="k",
+            left_ts="lt",
+            right_ts="rt",
+            left_cols=["lv"],
+            right_cols=["rv", "tag"],
+            num_buckets=4,
+            payload_dtypes={"lv": "int64", "rv": "int64", "tag": "object"},
+        )
+        .to_pandas()
+        .sort_values(["lv"])
+        .reset_index(drop=True)
+    )
+    # literal expectation — a pandas merge_asof ground truth would itself
+    # round through float64 (the unmatched k=3 row NaN-fills rv), which is
+    # exactly the lossiness this path removes
+    expected = pd.DataFrame(
+        {
+            "lv": [7, big, big + 2],
+            "rv": [11, big + 4, big + 6],
+            "tag": ["solo", "early", "late"],
+        }
+    )
+    assert out["lv"].dtype == np.dtype("int64") and out["rv"].dtype == np.dtype("int64")
+    pd.testing.assert_frame_equal(out[["lv", "rv", "tag"]], expected)
+    # the exactness claim is real: the float64 default CANNOT carry these
+    assert int(np.float64(big)) != big
+
+    # legacy default (no payload_dtypes) still works on small-int payloads
+    legacy = (
+        asof_join_backward(
+            ray.data.from_pandas(left.assign(lv=[1, 2, 7, 9])),
+            ray.data.from_pandas(right.drop(columns=["tag"]).assign(rv=[4, 6, 11])),
+            by="k",
+            right_by="k",
+            left_ts="lt",
+            right_ts="rt",
+            left_cols=["lv"],
+            right_cols=["rv"],
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("lv")
+        .reset_index(drop=True)
+    )
+    assert legacy["rv"].tolist() == [4.0, 6.0, 11.0]
