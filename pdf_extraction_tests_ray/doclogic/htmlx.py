@@ -47,6 +47,19 @@ _HEADING_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
 _MAX_LINK_DENSITY = 0.33  # boilerpipe's link-density gate
 _MIN_DENSITY_WORDS = 12  # text-mass gate (words) for isolated blocks
 
+# Language-aware mass gate: the word gate assumes space-delimited text —
+# a CJK article paragraph tokenizes to ~1 "word" and would always fall
+# through to the context rule (and an ISOLATED one would be dropped as
+# boilerplate). CJK scripts carry roughly one morpheme per codepoint, so
+# character mass is the densitometric signal there: 24 CJK chars ≈ the
+# content mass of the 12-word Latin gate at boilerpipe's wrap measure.
+_MIN_DENSITY_CJK_CHARS = 24
+_CJK_RANGES = (
+    ("぀", "ヿ"),  # hiragana + katakana
+    ("一", "鿿"),  # CJK unified ideographs (same range lang-id uses)
+    ("가", "힯"),  # hangul syllables
+)
+
 
 @dataclass
 class Block:
@@ -62,6 +75,12 @@ class Block:
     @property
     def link_density(self) -> float:
         return self.n_link_chars / self.n_chars if self.n_chars else 0.0
+
+    @property
+    def n_cjk_chars(self) -> int:
+        return sum(
+            1 for c in self.text if any(lo <= c <= hi for lo, hi in _CJK_RANGES)
+        )
 
 
 class _BlockParser(HTMLParser):
@@ -300,7 +319,9 @@ def classify_blocks(blocks: list[Block]) -> list[bool]:
 
     Pass 1 — local densitometric gates: link density above
     ``_MAX_LINK_DENSITY`` is boilerplate; long blocks (>=
-    ``_MIN_DENSITY_WORDS`` words) below the gate are content.
+    ``_MIN_DENSITY_WORDS`` words, or >= ``_MIN_DENSITY_CJK_CHARS`` CJK
+    codepoints — the language-aware form of the same mass signal for
+    scripts that don't space-delimit) below the gate are content.
     Pass 2 — neighbor rule: a short text fragment is kept only when
     adjacent to a content block on either side; a short HEADING instead
     looks FORWARD to the next locally-decided block (headings introduce
@@ -313,7 +334,7 @@ def classify_blocks(blocks: list[Block]) -> list[bool]:
     for b in blocks:
         if b.link_density > _MAX_LINK_DENSITY:
             local.append(False)
-        elif b.n_words >= _MIN_DENSITY_WORDS:
+        elif b.n_words >= _MIN_DENSITY_WORDS or b.n_cjk_chars >= _MIN_DENSITY_CJK_CHARS:
             local.append(True)
         else:
             local.append(None)  # undecided: resolve by context

@@ -428,3 +428,33 @@ def test_docs_page_toc_and_pager_dropped():
     joined = " ".join(s["text"] for s in spans)
     for boiler in ["Overview", "Previous: Timeouts", "Next: Hedging", "Edit this page"]:
         assert boiler not in joined, boiler
+
+
+def test_cjk_mass_gate_language_aware():
+    """A CJK article paragraph tokenizes to ~1 'word', so the word gate
+    alone would leave it undecided (and drop it when isolated); the
+    CJK-character mass gate keeps it. Short CJK fragments still resolve
+    by context, and CJK-heavy nav is still killed by link density."""
+    para = "這是一段足夠長的中文正文內容" * 3  # 42 CJK chars, no spaces
+    short = "短句"  # 2 chars: under the gate
+    # isolated long CJK paragraph: kept by the char-mass gate
+    out = extract_main_html(f"<body><p>{para}</p></body>")
+    assert [s["text"] for s in out] == [para]
+    # sanity: the word gate really cannot see it (one whitespace token)
+    blocks = parse_blocks(f"<body><p>{para}</p></body>")
+    assert blocks[0].n_words == 1 and blocks[0].n_cjk_chars == len(para)
+    # short CJK fragment between content stays; isolated it goes
+    kept = extract_main_html(
+        f"<body><p>{para}</p><p>{short}</p><p>{para}</p></body>"
+    )
+    assert [s["text"] for s in kept] == [para, short, para]
+    assert extract_main_html(f"<body><p>{short}</p></body>") == []
+    # CJK link farm: link density gate unchanged
+    nav = "".join(f"<a href='/{i}'>連結文字連結</a>" for i in range(8))
+    out = extract_main_html(f"<body><div>{nav}</div><p>{para}</p></body>")
+    assert [s["text"] for s in out] == [para]
+    # hiragana and hangul count toward the same mass signal
+    ja = "これはじゅうぶんにながいにほんごのほんぶんです" * 2
+    ko = "이것은충분히긴한국어본문단락입니다" * 2
+    for t in (ja, ko):
+        assert [s["text"] for s in extract_main_html(f"<body><p>{t}</p></body>")] == [t]
