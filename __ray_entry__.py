@@ -1814,6 +1814,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(99 AS BIGINT) AS total_text_regions
         """,
         # Remaining rows-only entries, each genuinely non-SQL-expressible:
+        # extract_html_main_learned (self-distilled linear boilerplate
+        # model — an 8x8 ridge solve; >=95% span agreement with the
+        # ORACLED extract_html_main twin + bitwise-layout-invariant fit
+        # pinned in tests),
         # emb_pca_project (eigendecomposition; orthonormality/variance-
         # order/reconstruction/layout-agreement pinned in tests),
         # dedup_semantic (k-means cell boundaries; keep rule + ground-truth

@@ -112,6 +112,7 @@ QUERY_SUITE = [
     "q_events_retention",
     # round-4 additions
     "dedup_substring_cut",
+    "extract_html_main_learned",
 ]
 
 

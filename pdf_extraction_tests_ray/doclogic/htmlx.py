@@ -378,17 +378,35 @@ def classify_blocks(blocks: list[Block]) -> list[bool]:
     return out
 
 
-def extract_main_html(html: str) -> list[dict]:
-    """Main-content spans of one HTML document, in DOM order:
-    ``[{kind, text, media_ref, order}]`` — kind ``heading``/``text`` for
-    text runs, ``figure`` for kept interleaved ``<img>`` spans, ``table``
-    for atomic table blocks (cells ' | ', rows ' || ') and ``list`` for
-    atomic ``<ul>``/``<ol>`` blocks (items '; '). The same densitometric
-    gates apply to both, so link-farm layout tables and nav-menu lists
-    are dropped while data tables / in-article bullet lists survive on
-    word mass or content context."""
-    blocks = parse_blocks(html)
-    keep = classify_blocks(blocks)
+def block_features(blocks: list[Block]) -> list[list[int]]:
+    """Integer densitometric feature vector per block, for the LEARNED
+    boilerplate classifier: ``[bias, n_words, n_chars, n_link_chars,
+    is_heading, n_cjk_chars, prev_n_words, next_n_words]``. The last two
+    expose the context signal the rule classifier reads from neighbors;
+    the link-density rule is linear in (n_link_chars, n_chars) so the
+    whole rule family sits near a linear boundary in this space. Pure
+    ints — exact-integer moment training is bitwise layout-invariant."""
+    feats = []
+    n = len(blocks)
+    for i, b in enumerate(blocks):
+        feats.append(
+            [
+                1,
+                b.n_words,
+                b.n_chars,
+                b.n_link_chars,
+                int(b.is_heading),
+                b.n_cjk_chars,
+                blocks[i - 1].n_words if i > 0 else 0,
+                blocks[i + 1].n_words if i + 1 < n else 0,
+            ]
+        )
+    return feats
+
+
+def spans_from_blocks(blocks: list[Block], keep: list[bool]) -> list[dict]:
+    """Kept blocks -> ordered span dicts (shared by the rule-based and
+    learned classifiers so the two variants differ ONLY in ``keep``)."""
     out = []
     order = 0
     for b, k in zip(blocks, keep):
@@ -412,3 +430,16 @@ def extract_main_html(html: str) -> list[dict]:
         )
         order += 1
     return out
+
+
+def extract_main_html(html: str) -> list[dict]:
+    """Main-content spans of one HTML document, in DOM order:
+    ``[{kind, text, media_ref, order}]`` — kind ``heading``/``text`` for
+    text runs, ``figure`` for kept interleaved ``<img>`` spans, ``table``
+    for atomic table blocks (cells ' | ', rows ' || ') and ``list`` for
+    atomic ``<ul>``/``<ol>`` blocks (items '; '). The same densitometric
+    gates apply to both, so link-farm layout tables and nav-menu lists
+    are dropped while data tables / in-article bullet lists survive on
+    word mass or content context."""
+    blocks = parse_blocks(html)
+    return spans_from_blocks(blocks, classify_blocks(blocks))

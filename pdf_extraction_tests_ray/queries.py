@@ -2103,6 +2103,33 @@ def extract_html_main(sf_dir: str):
     )
 
 
+def extract_html_main_learned(sf_dir: str):
+    """LEARNED-boilerplate variant of extract_html_main: the
+    densitometric rules are self-distilled into a linear block
+    classifier (exact-integer-moments ridge — one combiner pass, driver
+    solve, bitwise layout-invariant), then extraction runs as an ACTOR
+    POOL holding the broadcast weights (the drop-in point for a real
+    learned boilerplate model). Rows-only: the learned boundary is an
+    8x8 solve; its >=95% span agreement with the ORACLED rule-based
+    twin and the fit's layout invariance are pinned in tests."""
+    import ray as _ray
+
+    from .stages import html_stage as H
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pages = ds.map_batches(H.add_html, batch_format="pandas")
+    w = H.fit_boilerplate_model(pages)
+    return (
+        pages.map_batches(
+            H.LearnedBoilerplate,
+            fn_constructor_kwargs={"weights_ref": _ray.put([float(x) for x in w])},
+            concurrency=(1, 4),
+            batch_format="pandas",
+        )
+        .select_columns(["doc_id", "order", "kind", "text", "media_ref"])
+    )
+
+
 def dedup_shared_ngrams(sf_dir: str):
     """Exact substring-overlap pairs (Lee et al. 2022's exact-substring
     measure at 13-word-window granularity): doc pairs sharing >=1 window
@@ -2896,6 +2923,7 @@ QUERIES = {
     "q_price_quantiles_sketch": q_price_quantiles_sketch,
     "dedup_substring_cut": dedup_substring_cut,
     # -- rows-only entries (genuinely non-SQL-expressible; past the window) --
+    "extract_html_main_learned": extract_html_main_learned,
     "doc_bpe_encode": doc_bpe_encode,
     "q_price_quantiles_tdigest": q_price_quantiles_tdigest,
     "q_events_approx_distinct_users": q_events_approx_distinct_users,

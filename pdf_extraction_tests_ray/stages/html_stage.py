@@ -17,9 +17,16 @@ from __future__ import annotations
 
 import html as _html
 
+import numpy as np
 import pandas as pd
 
-from ..doclogic.htmlx import extract_main_html
+from ..doclogic.htmlx import (
+    block_features,
+    classify_blocks,
+    extract_main_html,
+    parse_blocks,
+    spans_from_blocks,
+)
 
 PARA_WORDS = 20  # words per synthesized content paragraph
 IMG_EVERY = 3  # an interleaved <img> after every 3rd paragraph
@@ -120,3 +127,90 @@ def extract_html_batch(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(
         {"doc_id": ids, "order": orders, "kind": kinds, "text": texts, "media_ref": refs}
     )
+
+
+# ---------------------------------------------------------------------------
+# Learned-boilerplate variant: distill the densitometric rules into a
+# linear block classifier, then extract with the model instead of the
+# rules. The trainer is the repo's exact-integer-moments ridge pattern
+# (stages/curation.fit_ridge_scorer): one combiner pass over pages, 8x8
+# python-int partials, one driver solve — bitwise layout-invariant. The
+# apply stage is an ACTOR POOL (A-series architecture: weights broadcast
+# once via ray.put, materialized per actor in __init__, never per batch)
+# — at 8 floats the state is trivial, but the stage is the documented
+# drop-in point for a REAL learned boilerplate model (e.g. a token-level
+# transformer), where warm per-actor state is the part that matters.
+
+_BOILER_DIM = 8  # bias, n_words, n_chars, n_link_chars, is_heading, n_cjk, prev_w, next_w
+
+
+def fit_boilerplate_model(pages, lam: float = 1.0, html_col: str = "html"):
+    """Distill ``classify_blocks`` into ridge weights over
+    ``doclogic.htmlx.block_features``: labels are the rule classifier's
+    own decisions (self-distillation — no hand labels exist at corpus
+    scale), features are pure ints, so X'X / X'y partials are exact and
+    the fit is a pure function of the block multiset."""
+    import ray  # noqa: F401  (pages is a ray.data.Dataset)
+
+    d = _BOILER_DIM
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        xtx = [[0] * d for _ in range(d)]
+        xty = [0] * d
+        for h in df[html_col].tolist():
+            blocks = parse_blocks(h)
+            keep = classify_blocks(blocks)
+            for x, y in zip(block_features(blocks), keep):
+                yi = int(y)
+                for i in range(d):
+                    xi = x[i]
+                    if not xi:
+                        continue
+                    row = xtx[i]
+                    for j in range(i, d):
+                        row[j] += xi * x[j]
+                    xty[i] += xi * yi
+        flat = {f"m{i}_{j}": [xtx[i][j]] for i in range(d) for j in range(i, d)}
+        flat.update({f"v{i}": [xty[i]] for i in range(d)})
+        return pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in flat.items()})
+
+    p = pages.map_batches(partial, batch_format="pandas").to_pandas()
+    xtx = np.zeros((d, d))
+    xty = np.zeros(d)
+    for i in range(d):
+        for j in range(i, d):
+            s = sum(int(x) for x in p[f"m{i}_{j}"].tolist())  # exact python ints
+            xtx[i][j] = xtx[j][i] = float(s)
+        xty[i] = float(sum(int(x) for x in p[f"v{i}"].tolist()))
+    reg = lam * np.eye(d)
+    reg[0, 0] = 0.0  # never shrink the bias
+    return np.linalg.solve(xtx + reg, xty)
+
+
+class LearnedBoilerplate:
+    """Actor-pool span extraction with the LEARNED block classifier:
+    keep a block when ``w . x >= 0.5`` (ridge on 0/1 labels). Pass to
+    ``pages.map_batches(LearnedBoilerplate, fn_constructor_kwargs=
+    {"weights_ref": ray.put(list(w))}, concurrency=N)``. Output schema
+    matches ``extract_html_batch`` exactly."""
+
+    def __init__(self, weights_ref):
+        import ray
+
+        self._w = np.asarray(ray.get(weights_ref), dtype=np.float64)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids, orders, kinds, texts, refs = [], [], [], [], []
+        for doc, h in zip(df["doc_id"].tolist(), df["html"].tolist()):
+            blocks = parse_blocks(h)
+            x = np.asarray(block_features(blocks), dtype=np.float64)
+            keep = (x @ self._w >= 0.5).tolist() if len(blocks) else []
+            for span in spans_from_blocks(blocks, keep):
+                ids.append(doc)
+                orders.append(span["order"])
+                kinds.append(span["kind"])
+                texts.append(span["text"])
+                refs.append(span["media_ref"])
+        return pd.DataFrame(
+            {"doc_id": ids, "order": orders, "kind": kinds, "text": texts, "media_ref": refs}
+        )

@@ -458,3 +458,59 @@ def test_cjk_mass_gate_language_aware():
     ko = "이것은충분히긴한국어본문단락입니다" * 2
     for t in (ja, ko):
         assert [s["text"] for s in extract_main_html(f"<body><p>{t}</p></body>")] == [t]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_learned_boilerplate_distills_the_rules():
+    """fit_boilerplate_model self-distills classify_blocks into a linear
+    block model; on the synthesizer corpus the learned extraction agrees
+    with the rule-based extraction on >= 95% of spans, the fit is
+    bitwise layout-invariant (exact-integer moments), and the apply
+    stage runs as an actor pool with broadcast weights."""
+    import ray
+
+    from pdf_extraction_tests_ray.stages.html_stage import (
+        LearnedBoilerplate,
+        add_html,
+        extract_html_batch,
+        fit_boilerplate_model,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(40)),
+            "text": [
+                " ".join(f"w{d}x{i}" for i in range(70 + (d % 5) * 13))
+                for d in range(40)
+            ],
+        }
+    )
+    pages = ray.data.from_pandas(docs).map_batches(add_html, batch_format="pandas")
+    w = fit_boilerplate_model(pages)
+    w_other_layout = fit_boilerplate_model(
+        ray.data.from_pandas(docs).repartition(7).map_batches(add_html, batch_format="pandas")
+    )
+    assert w.tolist() == w_other_layout.tolist()  # bitwise invariant
+
+    learned = (
+        pages.map_batches(
+            LearnedBoilerplate,
+            fn_constructor_kwargs={"weights_ref": ray.put([float(x) for x in w])},
+            concurrency=2,
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "order"])
+        .reset_index(drop=True)
+    )
+    ruled = (
+        pages.map_batches(extract_html_batch, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["doc_id", "order"])
+        .reset_index(drop=True)
+    )
+    rule_keys = set(map(tuple, ruled[["doc_id", "kind", "text"]].itertuples(index=False)))
+    learn_keys = set(map(tuple, learned[["doc_id", "kind", "text"]].itertuples(index=False)))
+    inter = len(rule_keys & learn_keys)
+    union = len(rule_keys | learn_keys)
+    assert inter / union >= 0.95, (inter, union, len(rule_keys), len(learn_keys))

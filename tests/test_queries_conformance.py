@@ -206,6 +206,7 @@ def test_query_matches_oracle(name, duck):
         "media_ocr_glyph",
         "extract_ocr_backfill",
         "extract_flagship_llm",
+        "extract_html_main_learned",
     ],
 )
 def test_rows_only_queries_run(name):
