@@ -1115,6 +1115,31 @@ def oracle_sql() -> dict[str, str]:
         # word-13-gram overlap vs the doc_id%20==7 benchmark slice; grams
         # via inclusive list slices (w[i:i+12] is 13 words in DuckDB)
         "doc_decontaminate": _DECONTAM_SQL,
+        # graded audit twin: per-train-doc distinct-13-gram count and
+        # benchmark-hit count — all integers, hash-exact
+        "doc_contamination_score": f"""
+            WITH g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(length(w) - 11, 1)),
+                       i -> array_to_string(w[i:i+12], ' '))) AS ng
+              FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w
+                    FROM documents)
+            ), bench AS (
+              SELECT DISTINCT unnest(ng) AS t FROM g WHERE doc_id % 20 = 7
+            ), train AS (
+              SELECT * FROM g WHERE doc_id % 20 <> 7
+            ), hits AS (
+              SELECT x.doc_id, count(*) AS n_hits
+              FROM (SELECT doc_id, unnest(ng) AS t FROM train) x
+              JOIN bench USING (t)
+              GROUP BY x.doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(len(t.ng) AS BIGINT) AS n_grams,
+                   coalesce(h.n_hits, CAST(0 AS BIGINT)) AS n_hits
+            FROM train t LEFT JOIN hits h USING (doc_id)
+        """,
         # the Bloom path at 64 bits/gram has no false positive on the
         # test corpora (verified at sf0.001/0.01/0.1) -> exact-equal to
         # the set-membership operator; the over-drop-only containment

@@ -113,6 +113,7 @@ QUERY_SUITE = [
     # round-4 additions
     "dedup_substring_cut",
     "extract_html_main_learned",
+    "doc_contamination_score",
 ]
 
 

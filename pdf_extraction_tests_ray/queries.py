@@ -1194,6 +1194,25 @@ def doc_decontaminate(sf_dir: str):
     )
 
 
+def doc_contamination_score(sf_dir: str):
+    """Graded contamination audit: per train document, its distinct
+    13-gram count and how many hit the held-out benchmark (same
+    doc_id % 20 == 7 split as doc_decontaminate) — the report a curation
+    run reads before choosing a drop threshold. Integer columns only;
+    full value-hash SQL oracle."""
+    from .stages import curation as C
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    bench = docs.map_batches(
+        lambda df: df[df["doc_id"] % 20 == 7], batch_format="pandas"
+    )
+    train = docs.map_batches(
+        lambda df: df[df["doc_id"] % 20 != 7], batch_format="pandas"
+    )
+    grams = C.collect_benchmark_ngrams(bench, n=13)
+    return C.contamination_score(train, grams, n=13)
+
+
 def doc_decontaminate_bloom(sf_dir: str):
     """Decontamination through the Bloom-filter broadcast path (8
     bytes/gram instead of gram strings). One-sided error: never leaks a
@@ -2922,6 +2941,7 @@ QUERIES = {
     "doc_corpus_stats": doc_corpus_stats,
     "q_price_quantiles_sketch": q_price_quantiles_sketch,
     "dedup_substring_cut": dedup_substring_cut,
+    "doc_contamination_score": doc_contamination_score,
     # -- rows-only entries (genuinely non-SQL-expressible; past the window) --
     "extract_html_main_learned": extract_html_main_learned,
     "doc_bpe_encode": doc_bpe_encode,

@@ -88,6 +88,44 @@ def decontaminate(
     )
 
 
+def contamination_score(
+    train: "ray.data.Dataset", bench_ngrams: frozenset, n: int = 13
+) -> "ray.data.Dataset":
+    """Graded contamination REPORT: for every train document, how many of
+    its distinct word-n-grams hit the benchmark set — the audit form of
+    :func:`decontaminate` (which drops on >=1 hit). Output (doc_id,
+    n_grams, n_hits), pure integers so the SQL oracle is hash-exact.
+    Same streaming shape: grams broadcast once, no shuffle."""
+    ref = ray.put(bench_ngrams)
+
+    class Score:
+        def __init__(self, ref, n):
+            self.grams = ray.get(ref)
+            self.n = n
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ids, totals, hits = [], [], []
+            for d, t in zip(df["doc_id"].tolist(), df["text"].tolist()):
+                g = T.word_ngrams(t, self.n)
+                ids.append(d)
+                totals.append(len(g))
+                hits.append(len(g & self.grams))
+            return pd.DataFrame(
+                {
+                    "doc_id": np.asarray(ids, dtype=np.int64),
+                    "n_grams": np.asarray(totals, dtype=np.int64),
+                    "n_hits": np.asarray(hits, dtype=np.int64),
+                }
+            )
+
+    return train.map_batches(
+        Score,
+        fn_constructor_kwargs={"ref": ref, "n": n},
+        batch_format="pandas",
+        concurrency=(1, pool_max()),
+    )
+
+
 def benchmark_ngram_bloom(bench: "ray.data.Dataset", n: int = 13, bits_per_item: int = 64):
     """Bloom filter of the benchmark's distinct word-n-grams — the scale
     path of :func:`collect_benchmark_ngrams`: the broadcast side shrinks

@@ -128,6 +128,7 @@ def _to_pandas(res):
         "doc_search_keywords_indexed",
         "doc_scrub_pii",
         "doc_decontaminate_bloom",
+        "doc_contamination_score",
         "curation_pipeline",
         "doc_length_quantiles",
         "doc_length_outliers",
