@@ -624,6 +624,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Cohort retention: cohort = first-event week, retained in week k
         # if any event falls k weeks after the cohort week
+        # Markov transition counts over per-user event streams; the
+        # engine's (ts, event_id) sort matches lead()'s tiebreak exactly
+        "q_events_transitions": """
+            WITH o AS (
+              SELECT user_id, event_type,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS nxt
+              FROM events
+            )
+            SELECT event_type AS prev_type, nxt AS next_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM o WHERE nxt IS NOT NULL
+            GROUP BY prev_type, next_type
+        """,
         "q_events_retention": """
             WITH e AS (
               SELECT user_id,

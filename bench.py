@@ -114,6 +114,7 @@ QUERY_SUITE = [
     "dedup_substring_cut",
     "extract_html_main_learned",
     "doc_contamination_score",
+    "q_events_transitions",
 ]
 
 

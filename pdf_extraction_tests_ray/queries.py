@@ -426,6 +426,47 @@ def q_events_funnel(sf_dir: str, step_a: str = "signup", step_b: str = "purchase
     )
 
 
+def q_events_transitions(sf_dir: str):
+    """Event-type transition counts (the Markov matrix over per-user
+    event streams — the sequence-mining primitive behind next-action
+    models and funnel discovery): for every consecutive event pair in a
+    user's (ts, event_id)-ordered stream, count (prev_type, next_type).
+
+    Scale shape: ONE bucketed user shuffle; each bucket sorts its users'
+    events vectorized (lexsort + shift), emits per-bucket partial counts
+    (<= |event_types|^2 rows per bucket), and the driver sums the tiny
+    partial frames — never a second all-to-all. Full value-hash SQL
+    oracle (lead() window with the same event_id tiebreak)."""
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        same_user = np.empty(len(df), dtype=bool)
+        if len(df):
+            same_user[:-1] = u[:-1] == u[1:]
+            same_user[-1:] = False
+        pairs = pd.DataFrame(
+            {"prev_type": et[:-1][same_user[:-1]], "next_type": et[1:][same_user[:-1]]}
+        ) if len(df) > 1 else pd.DataFrame({"prev_type": [], "next_type": []})
+        out = pairs.groupby(["prev_type", "next_type"], sort=False).size().reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partials = bucketed_group_merge(ev, ["user_id"], counts, num_buckets=32).to_pandas()
+    if partials.empty or "prev_type" not in partials.columns:
+        return pd.DataFrame(
+            {"prev_type": pd.Series(dtype=object), "next_type": pd.Series(dtype=object),
+             "n": pd.Series(dtype="int64")}
+        )
+    final = (
+        partials.groupby(["prev_type", "next_type"], sort=True)["n"].sum().reset_index()
+    )
+    final["n"] = final["n"].astype("int64")
+    return final
+
+
 def q_events_retention(sf_dir: str, cohort_s: int = 7 * 86400):
     """Cohort retention: users bucketed by the period of their FIRST event
     (cohort = first_epoch // cohort_s), counted as retained in period k if
@@ -2883,6 +2924,7 @@ QUERIES = {
     # running, now regression-covered past the window + in conformance).
     "q_events_funnel": q_events_funnel,
     "q_events_retention": q_events_retention,
+    "q_events_transitions": q_events_transitions,
     "doc_length_outliers": doc_length_outliers,
     "doc_gopher_rules": doc_gopher_rules,
     # -- round-2 driver-green regression spread --
