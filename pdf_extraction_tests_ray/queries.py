@@ -2934,17 +2934,21 @@ QUERIES = {
     "q_asof_user_order": q_asof_user_order,
     "q_user_sessions": q_user_sessions,
     "q_events_sliding": q_events_sliding,
-    "q_topk_per_brand": q_topk_per_brand,
-    "q_price_quantiles": q_price_quantiles,
     "q_customers_with_urgent_orders_bloom": q_customers_with_urgent_orders_bloom,
     "doc_decontaminate": doc_decontaminate,
-    "doc_stratified_sample": doc_stratified_sample,
-    "doc_top_terms": doc_top_terms,
     "doc_search_keywords": doc_search_keywords,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_bpe_roundtrip": doc_bpe_roundtrip,
+    # round-4 late additions, never driver-checked -> rotated in
+    "q_price_quantiles_sketch": q_price_quantiles_sketch,
+    "dedup_substring_cut": dedup_substring_cut,
+    "doc_contamination_score": doc_contamination_score,
     # ---- end of the driver's 50-entry correctness window ----
     # rotated out in round 4 (driver-green in r2+r3; still conformance-run)
+    "q_topk_per_brand": q_topk_per_brand,
+    "q_price_quantiles": q_price_quantiles,
+    "doc_stratified_sample": doc_stratified_sample,
+    "doc_top_terms": doc_top_terms,
     "doc_token_counts": doc_token_counts,
     "doc_chunks": doc_chunks,
     "doc_fingerprint": doc_fingerprint,
@@ -2981,9 +2985,6 @@ QUERIES = {
     "doc_bigram_pmi": doc_bigram_pmi,
     "doc_distinct_ngrams": doc_distinct_ngrams,
     "doc_corpus_stats": doc_corpus_stats,
-    "q_price_quantiles_sketch": q_price_quantiles_sketch,
-    "dedup_substring_cut": dedup_substring_cut,
-    "doc_contamination_score": doc_contamination_score,
     # -- rows-only entries (genuinely non-SQL-expressible; past the window) --
     "extract_html_main_learned": extract_html_main_learned,
     "doc_bpe_encode": doc_bpe_encode,

@@ -40,6 +40,18 @@ def test_driver_window_is_fully_oracled(tmp_path, monkeypatch):
     # ... replacing four twice-green stable rows, which stay queryable
     for k in ["doc_token_counts", "doc_chunks", "doc_fingerprint", "q_lineitem_rollup"]:
         assert k in keys and k not in window, k
+    # late-round-4 rotation: the four oracled queries added after the
+    # first rotation are also inside the window ...
+    for k in [
+        "q_events_transitions",
+        "q_price_quantiles_sketch",
+        "dedup_substring_cut",
+        "doc_contamination_score",
+    ]:
+        assert k in window, k
+    # ... in place of four more twice-green rows, still conformance-run
+    for k in ["q_topk_per_brand", "q_price_quantiles", "doc_stratified_sample", "doc_top_terms"]:
+        assert k in keys and k not in window, k
 
 
 def test_all_oracled_keys_exist_in_queries(tmp_path, monkeypatch):
