@@ -2169,16 +2169,24 @@ def extract_html_main_learned(sf_dir: str):
     classifier (exact-integer-moments ridge — one combiner pass, driver
     solve, bitwise layout-invariant), then extraction runs as an ACTOR
     POOL holding the broadcast weights (the drop-in point for a real
-    learned boilerplate model). Rows-only: the learned boundary is an
-    8x8 solve; its >=95% span agreement with the ORACLED rule-based
-    twin and the fit's layout invariance are pinned in tests."""
+    learned boilerplate model). The fit reads a DETERMINISTIC 1-in-5
+    doc_id sample — distilling a deterministic rule needs block
+    statistics, not the corpus, and at 100 TB training on every page
+    would quintuple the pass for no boundary change (layout-invariant
+    either way: the sample is a pure doc_id predicate). Rows-only: the
+    learned boundary is an 8x8 solve; its >=95% span agreement with the
+    ORACLED rule-based twin and the fit's layout invariance are pinned
+    in tests."""
     import ray as _ray
 
     from .stages import html_stage as H
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     pages = ds.map_batches(H.add_html, batch_format="pandas")
-    w = H.fit_boilerplate_model(pages)
+    sample = pages.map_batches(
+        lambda df: df[df["doc_id"] % 5 == 0], batch_format="pandas"
+    )
+    w = H.fit_boilerplate_model(sample)
     return (
         pages.map_batches(
             H.LearnedBoilerplate,
