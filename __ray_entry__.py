@@ -639,6 +639,30 @@ def oracle_sql() -> dict[str, str]:
             FROM o WHERE nxt IS NOT NULL
             GROUP BY prev_type, next_type
         """,
+        # streaming watermark window: arrival order = md5(event_id) (the
+        # hash-partitioned-storage replay); watermark entering each
+        # arrival = max ts over STRICTLY earlier arrivals minus the
+        # 3600s delay; microsecond integers end to end
+        "q_events_watermark": """
+            WITH a AS (
+              SELECT event_type,
+                     epoch_us(ts) AS us,
+                     max(epoch_us(ts)) OVER (
+                       ORDER BY md5(CAST(event_id AS VARCHAR))
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS wm
+              FROM events
+            )
+            SELECT event_type,
+                   us // 3600000000 AS hour_bucket,
+                   CAST(sum(CASE WHEN wm IS NOT NULL
+                                  AND us < wm - 3600000000
+                            THEN 0 ELSE 1 END) AS BIGINT) AS n_ontime,
+                   CAST(sum(CASE WHEN wm IS NOT NULL
+                                  AND us < wm - 3600000000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+            FROM a GROUP BY event_type, hour_bucket
+        """,
         "q_events_retention": """
             WITH e AS (
               SELECT user_id,

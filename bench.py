@@ -115,6 +115,7 @@ QUERY_SUITE = [
     "extract_html_main_learned",
     "doc_contamination_score",
     "q_events_transitions",
+    "q_events_watermark",
 ]
 
 

@@ -467,6 +467,114 @@ def q_events_transitions(sf_dir: str):
     return final
 
 
+def q_events_watermark(sf_dir: str, delay_s: int = 3600):
+    """Streaming tumbling window WITH WATERMARK late-data semantics (the
+    Flink/Beam event-time rule, replayed deterministically): the event
+    log is REPLAYED from hash-partitioned storage, so arrival order is
+    md5(event_id) — the realistic backfill scenario where files carry no
+    global time order. After each arrival the watermark is max(event_ts
+    seen so far) - ``delay_s``; an event whose own ts is below the
+    watermark of STRICTLY EARLIER arrivals is LATE (its hourly window
+    already fired). Output: per (event_type, hour_bucket) on-time and
+    late counts — what a streaming job emits plus its late-data side
+    channel. (An event_id-ordered replay is the degenerate case: the
+    driver corpus's ts is monotone in event_id, so every event would be
+    on time; the hash replay exercises both branches corpus-wide.)
+
+    Scale shape — the running max over a GLOBAL arrival order is a
+    distributed prefix scan over ORDER-ALIGNED buckets (global_rank's
+    hex-prefix trick: bucket = first two hex chars of the arrival
+    digest): (1) one combiner pass emits per-bucket ts maxima
+    (<= 256 rows/batch) and the driver prefix-maxes them into exclusive
+    per-bucket watermark bases (broadcast, 256 ints); (2) ONE
+    groupby(bucket) all-to-all where each bucket sorts by digest,
+    combines its within-bucket exclusive running max with its bucket's
+    base, flags lateness vectorized, and emits tiny per-(type, hour)
+    partial counts the driver sums. Two executions, one shuffle, nothing
+    sequential on the driver. Full value-hash SQL oracle (running-max
+    window over the same md5 order, microsecond integers)."""
+    import hashlib
+
+    nb = 256
+    delay_us = int(delay_s) * 1_000_000
+    SENT = -(2**62)  # "no prior arrival" watermark
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "event_type"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = [
+            hashlib.md5(str(int(e)).encode()).hexdigest()
+            for e in df["event_id"].tolist()
+        ]
+        df["_h"] = h
+        df["_b"] = np.fromiter((int(s[:2], 16) for s in h), dtype=np.int64, count=len(h))
+        df["_us"] = df["ts"].astype("datetime64[us]").astype("int64")
+        return df
+
+    def bucket_max(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("_b", sort=False)["_us"].max().rename("_mx").reset_index()
+        return g
+
+    bm = (
+        ev.map_batches(add_bucket, batch_format="pandas")
+        .map_batches(bucket_max, batch_format="pandas")
+        .to_pandas()
+        .groupby("_b")["_mx"]
+        .max()
+        .reindex(range(nb), fill_value=SENT)
+        .to_numpy()
+    )
+    # exclusive prefix max: watermark basis carried INTO each bucket
+    prefix = np.concatenate([[SENT], np.maximum.accumulate(bm)[:-1]]).astype("int64")
+    pref_ref = ray.put(prefix)
+
+    def flag_and_count(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("_h", kind="stable")
+        b = int(g["_b"].iloc[0])
+        us = g["_us"].to_numpy()
+        run = np.maximum.accumulate(us)
+        wm = np.concatenate([[SENT], run[:-1]])
+        wm = np.maximum(wm, ray.get(pref_ref)[b])
+        late = us < wm - delay_us
+        out = pd.DataFrame(
+            {
+                "event_type": g["event_type"].to_numpy(),
+                "hour_bucket": us // 3_600_000_000,
+                "late": late,
+            }
+        )
+        c = (
+            out.groupby(["event_type", "hour_bucket"], sort=False)["late"]
+            .agg(n_late="sum", n_total="size")
+            .reset_index()
+        )
+        c["n_late"] = c["n_late"].astype("int64")
+        c["n_ontime"] = (c["n_total"] - c["n_late"]).astype("int64")
+        return c[["event_type", "hour_bucket", "n_ontime", "n_late"]]
+
+    partials = (
+        ev.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(flag_and_count, batch_format="pandas")
+        .to_pandas()
+    )
+    if partials.empty or "event_type" not in partials.columns:
+        return pd.DataFrame(
+            {"event_type": pd.Series(dtype=object),
+             "hour_bucket": pd.Series(dtype="int64"),
+             "n_ontime": pd.Series(dtype="int64"),
+             "n_late": pd.Series(dtype="int64")}
+        )
+    final = (
+        partials.groupby(["event_type", "hour_bucket"], sort=True)[["n_ontime", "n_late"]]
+        .sum()
+        .reset_index()
+    )
+    final["n_ontime"] = final["n_ontime"].astype("int64")
+    final["n_late"] = final["n_late"].astype("int64")
+    return final
+
+
 def q_events_retention(sf_dir: str, cohort_s: int = 7 * 86400):
     """Cohort retention: users bucketed by the period of their FIRST event
     (cohort = first_epoch // cohort_s), counted as retained in period k if
@@ -2933,6 +3041,7 @@ QUERIES = {
     "q_events_funnel": q_events_funnel,
     "q_events_retention": q_events_retention,
     "q_events_transitions": q_events_transitions,
+    "q_events_watermark": q_events_watermark,
     "doc_length_outliers": doc_length_outliers,
     "doc_gopher_rules": doc_gopher_rules,
     # -- round-2 driver-green regression spread --
@@ -2941,7 +3050,6 @@ QUERIES = {
     "q_order_lineitem_counts": q_order_lineitem_counts,
     "q_asof_user_order": q_asof_user_order,
     "q_user_sessions": q_user_sessions,
-    "q_events_sliding": q_events_sliding,
     "q_customers_with_urgent_orders_bloom": q_customers_with_urgent_orders_bloom,
     "doc_decontaminate": doc_decontaminate,
     "doc_search_keywords": doc_search_keywords,
@@ -2953,6 +3061,7 @@ QUERIES = {
     "doc_contamination_score": doc_contamination_score,
     # ---- end of the driver's 50-entry correctness window ----
     # rotated out in round 4 (driver-green in r2+r3; still conformance-run)
+    "q_events_sliding": q_events_sliding,
     "q_topk_per_brand": q_topk_per_brand,
     "q_price_quantiles": q_price_quantiles,
     "doc_stratified_sample": doc_stratified_sample,

@@ -44,13 +44,20 @@ def test_driver_window_is_fully_oracled(tmp_path, monkeypatch):
     # first rotation are also inside the window ...
     for k in [
         "q_events_transitions",
+        "q_events_watermark",
         "q_price_quantiles_sketch",
         "dedup_substring_cut",
         "doc_contamination_score",
     ]:
         assert k in window, k
-    # ... in place of four more twice-green rows, still conformance-run
-    for k in ["q_topk_per_brand", "q_price_quantiles", "doc_stratified_sample", "doc_top_terms"]:
+    # ... in place of five more twice-green rows, still conformance-run
+    for k in [
+        "q_topk_per_brand",
+        "q_price_quantiles",
+        "doc_stratified_sample",
+        "doc_top_terms",
+        "q_events_sliding",
+    ]:
         assert k in keys and k not in window, k
 
 

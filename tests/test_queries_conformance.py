@@ -107,6 +107,7 @@ def _to_pandas(res):
         "q_events_funnel",
         "q_events_retention",
         "q_events_transitions",
+        "q_events_watermark",
         "q_asof_user_order",
         "q_events_sliding",
         "q_topk_per_brand",
