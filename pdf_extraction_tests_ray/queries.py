@@ -493,12 +493,19 @@ def q_events_watermark(sf_dir: str, delay_s: int = 3600):
     partial counts the driver sums. Two executions, one shuffle, nothing
     sequential on the driver. Full value-hash SQL oracle (running-max
     window over the same md5 order, microsecond integers)."""
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "event_type"])
+    return watermark_window_counts(ev, delay_s=delay_s)
+
+
+def watermark_window_counts(ev, delay_s: int = 3600):
+    """Core of :func:`q_events_watermark` over any (event_id, ts,
+    event_type) Dataset — separated so tests can pin layout invariance
+    and hand-built late-arrival cases on injected data."""
     import hashlib
 
     nb = 256
     delay_us = int(delay_s) * 1_000_000
     SENT = -(2**62)  # "no prior arrival" watermark
-    ev = _read(sf_dir, "events", columns=["event_id", "ts", "event_type"])
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()

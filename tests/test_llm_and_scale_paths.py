@@ -2474,3 +2474,46 @@ def test_asof_join_typed_payload_transport_exact():
         .reset_index(drop=True)
     )
     assert legacy["rv"].tolist() == [4.0, 6.0, 11.0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_watermark_window_hand_case_and_layout_invariance():
+    """The distributed prefix-max watermark: a hand-built replay where
+    one event arrives after the watermark passed its window is flagged
+    late; results are identical across 1- and 8-partition layouts."""
+    import ray
+
+    from pdf_extraction_tests_ray.queries import watermark_window_counts
+
+    # arrival order is md5(event_id); compute it to plant ONE late event:
+    # ts rises gently in arrival order (all within the 1h delay), and the
+    # LAST arriver carries a 2h-old ts — under the watermark, so late
+    import hashlib
+
+    ids = list(range(12))
+    order = sorted(ids, key=lambda e: hashlib.md5(str(e).encode()).hexdigest())
+    base = 1_700_000_000  # epoch seconds
+    ts_s = {}
+    for pos, e in enumerate(order):
+        ts_s[e] = base + pos * 10  # +10s per arrival: far inside the delay
+    ts_s[order[-1]] = base - 7200  # watermark = base+100-3600 > this -> LATE
+    ev = pd.DataFrame(
+        {
+            "event_id": ids,
+            "ts": pd.to_datetime([ts_s[e] for e in ids], unit="s"),
+            "event_type": ["a"] * 12,
+        }
+    )
+    one = watermark_window_counts(ray.data.from_pandas(ev), delay_s=3600)
+    assert int(one["n_late"].sum()) == 1 and int(one["n_ontime"].sum()) == 11
+    # the late row is the old-ts hour bucket
+    late_row = one[one["n_late"] > 0]
+    assert late_row["hour_bucket"].tolist() == [(base - 7200) * 1_000_000 // 3_600_000_000]
+
+    many = watermark_window_counts(
+        ray.data.from_pandas(ev).repartition(8), delay_s=3600
+    )
+    pd.testing.assert_frame_equal(
+        one.sort_values(["event_type", "hour_bucket"]).reset_index(drop=True),
+        many.sort_values(["event_type", "hour_bucket"]).reset_index(drop=True),
+    )
