@@ -116,6 +116,7 @@ QUERY_SUITE = [
     "doc_contamination_score",
     "q_events_transitions",
     "q_events_watermark",
+    "q_lineitem_cube",
 ]
 
 

@@ -1188,6 +1188,27 @@ def q_lineitem_rollup(sf_dir: str):
     )
 
 
+def q_lineitem_cube(sf_dir: str):
+    """CUBE(returnflag, linestatus): all four grouping sets (detail,
+    per-flag, per-status, grand total) in one pass / one shuffle — the
+    rollup machinery generalized to every key subset. Quantity summed as
+    exact integers."""
+    from .relational import grouped_cube
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def to_int(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(qty=df["l_quantity"].round().astype("int64"))[
+            ["l_returnflag", "l_linestatus", "qty"]
+        ]
+
+    return grouped_cube(
+        ds.map_batches(to_int, batch_format="pandas"),
+        keys=["l_returnflag", "l_linestatus"],
+        val="qty",
+    )
+
+
 def q_order_running_total(sf_dir: str):
     """Per-customer running revenue (SUM OVER PARTITION BY customer ORDER
     BY date, orderkey) — the ordered-window-function shape: one bucket
@@ -3056,7 +3077,7 @@ QUERIES = {
     "q5_regional_revenue": q5_regional_revenue,
     "q_order_lineitem_counts": q_order_lineitem_counts,
     "q_asof_user_order": q_asof_user_order,
-    "q_user_sessions": q_user_sessions,
+    "q_lineitem_cube": q_lineitem_cube,
     "q_customers_with_urgent_orders_bloom": q_customers_with_urgent_orders_bloom,
     "doc_decontaminate": doc_decontaminate,
     "doc_search_keywords": doc_search_keywords,
@@ -3068,6 +3089,7 @@ QUERIES = {
     "doc_contamination_score": doc_contamination_score,
     # ---- end of the driver's 50-entry correctness window ----
     # rotated out in round 4 (driver-green in r2+r3; still conformance-run)
+    "q_user_sessions": q_user_sessions,
     "q_events_sliding": q_events_sliding,
     "q_topk_per_brand": q_topk_per_brand,
     "q_price_quantiles": q_price_quantiles,

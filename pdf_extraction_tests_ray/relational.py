@@ -704,6 +704,65 @@ def grouped_rollup(
     )
 
 
+def grouped_cube(
+    ds: "ray.data.Dataset",
+    keys: list,
+    val: str,
+    total_label: str = "ALL",
+) -> "ray.data.Dataset":
+    """CUBE (all 2^k grouping sets) in ONE pass and ONE shuffle — the
+    :func:`grouped_rollup` trick generalized: each batch pre-aggregates
+    the finest level once and derives EVERY subset of ``keys`` from those
+    few partial rows, so 2^k levels still move O(distinct finest combos)
+    rows per batch. Keys must be string columns (rolled-up cells carry
+    ``total_label``). Output: (keys..., n_rows, sum_<val>)."""
+    from itertools import combinations
+
+    from ray.data.aggregate import Sum
+
+    _NON_STRING = ("int", "uint", "float", "double", "bool", "decimal", "date", "time")
+    for c, t in zip(ds.schema().names, ds.schema().types):
+        if c in keys and str(t).startswith(_NON_STRING):
+            raise TypeError(
+                f"grouped_cube key {c!r} has type {t} — rolled-up levels "
+                f"write the string {total_label!r} into key columns, so "
+                f"keys must be strings (cast upstream)"
+            )
+
+    sum_col = f"sum_{val}"
+    subsets = [
+        frozenset(c) for r in range(len(keys) + 1) for c in combinations(keys, r)
+    ]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        finest = (
+            df.groupby(keys, sort=False)
+            .agg(n_rows=(val, "size"), **{sum_col: (val, "sum")})
+            .reset_index()
+        )
+        outs = []
+        for S in subsets:
+            g = finest.copy()
+            for k in keys:
+                if k not in S:
+                    g[k] = total_label
+            outs.append(
+                g.groupby(keys, sort=False)
+                .agg(n_rows=("n_rows", "sum"), **{sum_col: (sum_col, "sum")})
+                .reset_index()
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(keys)
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum(sum_col, alias_name=sum_col),
+        )
+    )
+
+
 def grouped_running_sum(
     ds: "ray.data.Dataset",
     group: str,

@@ -48,17 +48,22 @@ def test_driver_window_is_fully_oracled(tmp_path, monkeypatch):
         "q_price_quantiles_sketch",
         "dedup_substring_cut",
         "doc_contamination_score",
+        "q_lineitem_cube",
     ]:
         assert k in window, k
-    # ... in place of five more twice-green rows, still conformance-run
+    # ... in place of six more twice-green rows, still conformance-run
     for k in [
         "q_topk_per_brand",
         "q_price_quantiles",
         "doc_stratified_sample",
         "doc_top_terms",
         "q_events_sliding",
+        "q_user_sessions",
     ]:
         assert k in keys and k not in window, k
+    # the as-of join stays IN the window: its payload transport changed
+    # this round, so the driver should re-verify it
+    assert "q_asof_user_order" in window
 
 
 def test_all_oracled_keys_exist_in_queries(tmp_path, monkeypatch):

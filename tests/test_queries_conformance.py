@@ -119,6 +119,7 @@ def _to_pandas(res):
         "q_customers_without_orders",
         "q_order_running_total",
         "q_lineitem_rollup",
+        "q_lineitem_cube",
         "q_customers_with_urgent_orders",
         "q_customers_with_urgent_orders_bloom",
         "doc_hash_sample",
