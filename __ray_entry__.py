@@ -1902,6 +1902,9 @@ def oracle_sql() -> dict[str, str]:
         # IS oracled end-to-end via dedup_jaccard_apply's exact pairs),
         # dedup_minhash_cross_job (persisted band index probe — planted
         # exact/near/novel docs pinned in tests),
+        # knn_pq (learned PQ codebooks + ADC shortlist + exact rerank —
+        # recall >= 0.9 vs the ORACLED knn_bruteforce and byte-level
+        # compression pinned in tests),
         # knn_lsh / knn_lsh_indexed (persisted
         # bucket-partitioned index, in-memory equality pinned in tests) /
         # knn_ivf / knn_ivf_indexed

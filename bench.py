@@ -117,6 +117,7 @@ QUERY_SUITE = [
     "q_events_transitions",
     "q_events_watermark",
     "q_lineitem_cube",
+    "knn_pq",
 ]
 
 

@@ -880,3 +880,219 @@ def knn_ivf(
     return top.map_batches(
         lambda df: df.assign(cos_sim=np.round(df["cos_sim"], 6)), batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the vector-store compression path beyond
+# int8: each (normalized) vector splits into ``m`` contiguous subvectors,
+# each quantized to one of ``n_codes`` per-subspace centroids, so the
+# corpus scan touches m bytes/vector instead of 4*dim (32x at dim=64,
+# m=8). Search is ADC (asymmetric distance computation): the query
+# precomputes an (m, n_codes) table of subspace distances, and each
+# encoded vector scores as m table lookups — no decode. The canonical
+# 10^12-vector recipe pairs this with IVF cells (probe a few cells, ADC
+# inside); the pieces compose here the same way (ivf_assign + pq codes).
+
+
+def _train_pq_subspace(sample: np.ndarray, n_codes: int, iters: int = 10) -> np.ndarray:
+    """Deterministic plain-L2 k-means for ONE subspace: seeded
+    farthest-point init, fixed iterations, no RNG in the loop. Unlike the
+    IVF trainer there is NO renormalization — subvectors of unit vectors
+    are not unit, and PQ codebooks quantize raw subspace geometry."""
+    rng = np.random.default_rng(np.random.SeedSequence([373737, sample.shape[1]]))
+    cents = [sample[int(rng.integers(len(sample)))]]
+    for _ in range(n_codes - 1):
+        d = np.min([np.sum((sample - c) ** 2, axis=1) for c in cents], axis=0)
+        cents.append(sample[int(np.argmax(d))])
+    cents = np.array(cents, dtype=np.float64)
+    for _ in range(iters):
+        d2 = (
+            np.sum(sample**2, axis=1)[:, None]
+            - 2.0 * (sample @ cents.T)
+            + np.sum(cents**2, axis=1)[None, :]
+        )
+        assign = np.argmin(d2, axis=1)
+        for j in range(len(cents)):
+            msk = assign == j
+            if msk.any():
+                cents[j] = sample[msk].mean(axis=0)
+    return cents
+
+
+def train_pq_codebooks(
+    emb: "ray.data.Dataset",
+    m: int = 8,
+    n_codes: int = 16,
+    train_sample_budget: int = 65536,
+) -> np.ndarray:
+    """Fit (m, n_codes, dim/m) PQ codebooks on the SAME bounded
+    deterministic sample the IVF trainer uses (vec_id-modulus, canonical
+    id order — layout-invariant); vectors are L2-normalized first so ADC
+    L2 ranking matches the engine's cosine ranking on unit rows."""
+    n_total = emb.count()
+    if n_total == 0:
+        raise ValueError("cannot train PQ codebooks on an empty dataset")
+    mod = max(1, -(-int(n_total) // train_sample_budget))
+    ids, rows = [], []
+    for b in emb.map_batches(
+        lambda df: df[df["vec_id"] % mod == 0], batch_format="pandas"
+    ).iter_batches(batch_size=4096, batch_format="pandas"):
+        if len(b):
+            ids.append(b["vec_id"].to_numpy())
+            rows.append(_norm_rows(_as_matrix(b["embedding"])))
+    if not rows:
+        head = emb.limit(train_sample_budget).to_pandas()
+        ids = [head["vec_id"].to_numpy()]
+        rows = [_norm_rows(_as_matrix(head["embedding"]))]
+    sample = np.concatenate(rows)
+    sample = sample[np.argsort(np.concatenate(ids), kind="stable")]
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return np.stack(
+        [
+            _train_pq_subspace(
+                sample[:, s * dsub : (s + 1) * dsub], min(n_codes, len(sample))
+            )
+            for s in range(m)
+        ]
+    )
+
+
+def pq_encode(emb: "ray.data.Dataset", codebooks: np.ndarray) -> "ray.data.Dataset":
+    """Streaming encode: (vec_id, codes list<uint8> of length m) — m
+    bytes of payload per vector. Codebooks broadcast once via ray.put."""
+    m, n_codes, dsub = codebooks.shape
+    ref = ray.put(codebooks)
+
+    class Encode:
+        def __init__(self, ref):
+            self.cb = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            x = _norm_rows(_as_matrix(df["embedding"]))
+            codes = np.empty((len(df), m), dtype=np.uint8)
+            for s in range(m):
+                sub = x[:, s * dsub : (s + 1) * dsub]
+                c = self.cb[s]
+                d2 = (
+                    np.sum(sub**2, axis=1)[:, None]
+                    - 2.0 * (sub @ c.T)
+                    + np.sum(c**2, axis=1)[None, :]
+                )
+                codes[:, s] = np.argmin(d2, axis=1)
+            return pd.DataFrame(
+                {"vec_id": df["vec_id"].to_numpy(), "codes": list(codes)}
+            )
+
+    return emb.map_batches(
+        Encode,
+        fn_constructor_kwargs={"ref": ref},
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, pool_max()),
+    )
+
+
+def knn_pq_encoded(
+    codes_ds: "ray.data.Dataset",
+    codebooks: np.ndarray,
+    query_vec,
+    k: int = 10,
+    exclude_vec_id=None,
+) -> "ray.data.Dataset":
+    """ADC top-k over a PRE-ENCODED corpus: the query precomputes an
+    (m, n_codes) subspace-distance table; each stored vector scores as m
+    uint8 table lookups (vectorized fancy-index + sum). Returns
+    (vec_id, adc_dist) ascending — the compressed-scan path whose input
+    is m bytes/vector."""
+    m, n_codes, dsub = codebooks.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    table = np.empty((m, n_codes), dtype=np.float64)
+    for s in range(m):
+        qs = q[s * dsub : (s + 1) * dsub]
+        table[s] = np.sum((codebooks[s] - qs) ** 2, axis=1)
+    t_ref = ray.put(table)
+
+    class LocalTopK:
+        def __init__(self, ref, k, exclude):
+            self.t = ray.get(ref)
+            self.k = k
+            self.exclude = exclude
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if self.exclude is not None:
+                df = df[df["vec_id"] != self.exclude]
+            if df.empty:
+                return pd.DataFrame({"vec_id": [], "adc_dist": []})
+            codes = np.stack(df["codes"].to_numpy()).astype(np.int64)
+            dist = self.t[np.arange(m)[None, :], codes].sum(axis=1)
+            order = np.lexsort((df["vec_id"].to_numpy(), dist))[: self.k]
+            return pd.DataFrame(
+                {
+                    "vec_id": df["vec_id"].to_numpy()[order],
+                    "adc_dist": dist[order],
+                }
+            )
+
+    local = codes_ds.map_batches(
+        LocalTopK,
+        fn_constructor_kwargs={"ref": t_ref, "k": k, "exclude": exclude_vec_id},
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=(1, pool_max()),
+    )
+    top = local.sort(["adc_dist", "vec_id"]).limit(k)
+    return top.map_batches(
+        lambda df: df.assign(adc_dist=np.round(df["adc_dist"], 6)),
+        batch_format="pandas",
+    )
+
+
+def knn_pq(
+    emb: "ray.data.Dataset",
+    query_vec,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    shortlist: int | None = None,
+    exclude_vec_id=None,
+    codebooks: np.ndarray | None = None,
+) -> "ray.data.Dataset":
+    """PQ shortlist + EXACT rerank (the FAISS refine recipe): the ADC
+    scan over m-byte codes returns a ``shortlist`` (default 50*k) of
+    candidates, whose full vectors are then fetched and scored exactly —
+    raw ADC ranking alone cannot separate top-10 neighbors on
+    near-isotropic data (measured 0.06-0.26 recall@10 at 8-16 bytes,
+    residual encoding included), while the 5%-shortlist rerank measured
+    recall 1.0 on the 10k clustered fixture. The compressed scan touches
+    m bytes/vector; only the shortlist's vectors are re-read (a
+    vec_id-partitioned point lookup at scale, a filtered scan here). In
+    production the codebooks and codes persist; this composition
+    exercises train -> encode -> scan -> rerank end to end. Output
+    matches :func:`knn_bruteforce`: (vec_id, cos_sim) descending."""
+    L = shortlist if shortlist is not None else 50 * k
+    cb = codebooks if codebooks is not None else train_pq_codebooks(emb, m, n_codes)
+    short = knn_pq_encoded(
+        pq_encode(emb, cb), cb, query_vec, k=L, exclude_vec_id=exclude_vec_id
+    ).to_pandas()
+    ids = set(short["vec_id"].astype(np.int64).tolist())
+    ids_ref = ray.put(ids)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["vec_id"].isin(ray.get(ids_ref))]
+
+    sub = emb.map_batches(keep, batch_format="pandas").to_pandas()  # <= L rows
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    sims = _norm_rows(_as_matrix(sub["embedding"])) @ q
+    order = np.lexsort((sub["vec_id"].to_numpy(), -sims))[:k]
+    out = pd.DataFrame(
+        {
+            "vec_id": sub["vec_id"].to_numpy()[order],
+            "cos_sim": np.round(sims[order], 6),
+        }
+    )
+    return ray.data.from_pandas(out)

@@ -2517,3 +2517,49 @@ def test_watermark_window_hand_case_and_layout_invariance():
         one.sort_values(["event_type", "hour_bucket"]).reset_index(drop=True),
         many.sort_values(["event_type", "hour_bucket"]).reset_index(drop=True),
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pq_shortlist_rerank_recall_and_compression():
+    """PQ shortlist + exact rerank: recall@10 >= 0.9 vs knn_bruteforce
+    on the 10k clustered fixture (measured 1.0 at m=8/16 codes/5%
+    shortlist); codes really are m bytes; codebook training is
+    layout-invariant (canonical-id sample, seeded init)."""
+    import ray
+
+    from pdf_extraction_tests_ray.stages.similarity import (
+        knn_bruteforce,
+        knn_pq,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.default_rng(5)
+    n, dim = 10_000, 64
+    m_ = rng.standard_normal((n, dim))
+    centers = rng.standard_normal((20, dim)) * 2
+    m_ += centers[rng.integers(0, 20, n)]
+    m_ /= np.linalg.norm(m_, axis=1, keepdims=True)
+    tab = pa.table({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(m_)})
+    ds = ray.data.from_arrow(tab)
+
+    cb = train_pq_codebooks(ds, m=8, n_codes=16)
+    assert cb.shape == (8, 16, 8)
+    cb2 = train_pq_codebooks(ds.repartition(8), m=8, n_codes=16)
+    assert cb.tolist() == cb2.tolist()  # layout-invariant fit
+
+    codes = pq_encode(ds.limit(100), cb).to_pandas()
+    assert all(len(c) == 8 for c in codes["codes"])  # 8 bytes/vector
+
+    recalls = []
+    for qi in rng.integers(0, n, 4).tolist():
+        q = m_[qi]
+        exact = set(
+            knn_bruteforce(ds, q, k=10, exclude_vec_id=qi).to_pandas()["vec_id"].astype(int)
+        )
+        approx = set(
+            knn_pq(ds, q, k=10, exclude_vec_id=qi, codebooks=cb)
+            .to_pandas()["vec_id"].astype(int)
+        )
+        recalls.append(len(exact & approx) / 10)
+    assert np.mean(recalls) >= 0.9, recalls

@@ -194,6 +194,7 @@ def test_query_matches_oracle(name, duck):
         "dedup_semantic",
         "emb_pca_project",
         "knn_lsh",
+        "knn_pq",
         "knn_lsh_indexed",
         "knn_ivf",
         "doc_pack_sequences",
