@@ -1905,6 +1905,8 @@ def oracle_sql() -> dict[str, str]:
         # knn_pq (learned PQ codebooks + ADC shortlist + exact rerank —
         # recall >= 0.9 vs the ORACLED knn_bruteforce and byte-level
         # compression pinned in tests),
+        # knn_ivfpq (the IVF x PQ x rerank composition — recall >= 0.9
+        # vs knn_bruteforce AND real cell pruning pinned in tests),
         # knn_lsh / knn_lsh_indexed (persisted
         # bucket-partitioned index, in-memory equality pinned in tests) /
         # knn_ivf / knn_ivf_indexed

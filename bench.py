@@ -118,6 +118,7 @@ QUERY_SUITE = [
     "q_events_watermark",
     "q_lineitem_cube",
     "knn_pq",
+    "knn_ivfpq",
 ]
 
 

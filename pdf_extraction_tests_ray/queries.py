@@ -2526,6 +2526,16 @@ def knn_pq(sf_dir: str):
     return S.knn_pq(emb, _query_vec(sf_dir), k=10, exclude_vec_id=0)
 
 
+def knn_ivfpq(sf_dir: str):
+    """IVF cell pruning x PQ compressed scan x exact rerank — the
+    canonical trillion-vector recipe composed end to end (probe nprobe
+    cells, ADC-scan only those cells' m-byte codes, rerank the shortlist
+    exactly). Rows-only: learned centroids + codebooks; recall >= 0.9 vs
+    the ORACLED knn_bruteforce and real cell pruning pinned in tests."""
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return S.knn_ivfpq(emb, _query_vec(sf_dir), k=10, nprobe=10, exclude_vec_id=0)
+
+
 def knn_multi(sf_dir: str):
     """Batched brute-force ANN: top-10 per query for query vectors 0,1,2
     (one matmul per batch against the broadcast query matrix)."""
@@ -3163,6 +3173,7 @@ QUERIES = {
     "emb_pca_project": emb_pca_project,
     "knn_lsh": knn_lsh,
     "knn_pq": knn_pq,
+    "knn_ivfpq": knn_ivfpq,
     "knn_lsh_indexed": knn_lsh_indexed,
     "knn_ivf_indexed": knn_ivf_indexed,
     "knn_ivf": knn_ivf,

@@ -2563,3 +2563,52 @@ def test_pq_shortlist_rerank_recall_and_compression():
         )
         recalls.append(len(exact & approx) / 10)
     assert np.mean(recalls) >= 0.9, recalls
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivfpq_composition_recall_and_pruning():
+    """knn_ivfpq = IVF cell pruning x PQ shortlist x exact rerank: on the
+    clustered fixture the composed path keeps recall@10 >= 0.9 while
+    actually pruning (the probed cells hold a strict subset of the
+    corpus)."""
+    import ray
+
+    from pdf_extraction_tests_ray.stages.similarity import (
+        knn_bruteforce,
+        knn_ivfpq,
+        train_ivf_centroids,
+        train_pq_codebooks,
+        _as_matrix,
+        _norm_rows,
+    )
+
+    rng = np.random.default_rng(5)
+    n, dim = 10_000, 64
+    m_ = rng.standard_normal((n, dim))
+    centers = rng.standard_normal((20, dim)) * 2
+    m_ += centers[rng.integers(0, 20, n)]
+    m_ /= np.linalg.norm(m_, axis=1, keepdims=True)
+    tab = pa.table({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(m_)})
+    ds = ray.data.from_arrow(tab)
+    cents = train_ivf_centroids(ds, 16)
+    cb = train_pq_codebooks(ds, m=8, n_codes=16)
+
+    # pruning is real: 4 probed cells of 16 hold well under the corpus
+    cell = np.argmax(m_ @ cents.T, axis=1)
+    q = m_[17]
+    probe = set(np.argsort(-(cents @ q))[:4].tolist())
+    assert np.isin(cell, list(probe)).mean() < 0.75
+
+    recalls = []
+    for qi in rng.integers(0, n, 4).tolist():
+        q = m_[qi]
+        exact = set(
+            knn_bruteforce(ds, q, k=10, exclude_vec_id=qi).to_pandas()["vec_id"].astype(int)
+        )
+        approx = set(
+            knn_ivfpq(
+                ds, q, k=10, exclude_vec_id=qi, centroids=cents, codebooks=cb
+            ).to_pandas()["vec_id"].astype(int)
+        )
+        recalls.append(len(exact & approx) / 10)
+    assert np.mean(recalls) >= 0.9, recalls

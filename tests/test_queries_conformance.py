@@ -195,6 +195,7 @@ def test_query_matches_oracle(name, duck):
         "emb_pca_project",
         "knn_lsh",
         "knn_pq",
+        "knn_ivfpq",
         "knn_lsh_indexed",
         "knn_ivf",
         "doc_pack_sequences",
