@@ -1907,6 +1907,8 @@ def oracle_sql() -> dict[str, str]:
         # compression pinned in tests),
         # knn_ivfpq (the IVF x PQ x rerank composition — recall >= 0.9
         # vs knn_bruteforce AND real cell pruning pinned in tests),
+        # knn_ivfpq_indexed (the persisted form — exact result parity
+        # with the in-memory composition and file-level pruning pinned),
         # knn_lsh / knn_lsh_indexed (persisted
         # bucket-partitioned index, in-memory equality pinned in tests) /
         # knn_ivf / knn_ivf_indexed

@@ -119,6 +119,7 @@ QUERY_SUITE = [
     "q_lineitem_cube",
     "knn_pq",
     "knn_ivfpq",
+    "knn_ivfpq_indexed",
 ]
 
 

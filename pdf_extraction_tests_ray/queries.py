@@ -2624,6 +2624,38 @@ def knn_ivf_indexed(sf_dir: str):
     return S.knn_ivf_index(idx, _query_vec(sf_dir), k=10, exclude_vec_id=0, nprobe=8)
 
 
+def knn_ivfpq_indexed(sf_dir: str):
+    """ANN over the PERSISTED IVF x PQ index (m-byte codes partitioned by
+    cell + centroid/codebook sidecars): probe reads only the probed
+    cells' code files, ADC shortlists, then reranks the shortlist's full
+    vectors from the source table. Rows-only: learned structures; exact
+    result parity with the in-memory knn_ivfpq and file pruning pinned
+    in tests."""
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = f"/tmp/graft_ivfpq_index_{tag}"
+    src = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(src)
+    stamp = f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}"
+    marker = idx + "/.done"
+    fresh = False
+    try:
+        with open(marker) as f:
+            fresh = f.read() == stamp
+    except OSError:
+        pass
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    if not fresh:
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
+        S.build_ivfpq_index(emb, idx, n_centroids=16, m=8, n_codes=16)
+        with open(marker, "w") as f:
+            f.write(stamp)
+    return S.knn_ivfpq_index(idx, emb, _query_vec(sf_dir), k=10, nprobe=10, exclude_vec_id=0)
+
+
 # --------------------------------------------------------------------------
 # flagship extraction over synthesized spans
 
@@ -3174,6 +3206,7 @@ QUERIES = {
     "knn_lsh": knn_lsh,
     "knn_pq": knn_pq,
     "knn_ivfpq": knn_ivfpq,
+    "knn_ivfpq_indexed": knn_ivfpq_indexed,
     "knn_lsh_indexed": knn_lsh_indexed,
     "knn_ivf_indexed": knn_ivf_indexed,
     "knn_ivf": knn_ivf,

@@ -1150,3 +1150,136 @@ def knn_ivfpq(
         exclude_vec_id=exclude_vec_id,
         codebooks=cb,
     )
+
+
+def build_ivfpq_index(
+    emb: "ray.data.Dataset",
+    index_dir: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    train_sample_budget: int = 65536,
+):
+    """PERSIST the IVF x PQ index: train centroids + codebooks on the
+    bounded canonical sample, then ONE pass assigns each vector's cell
+    and its m-byte PQ codes and writes (vec_id, codes) CELL-PARTITIONED
+    under ``index_dir`` with tiny ``_centroids.parquet`` /
+    ``_codebooks.parquet`` sidecars. The index stores m bytes per vector
+    — full vectors stay in the source table and only the rerank
+    shortlist ever re-reads them. Build once, serve many queries via
+    :func:`knn_ivfpq_index`."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cn = train_ivf_centroids(emb, n_centroids, train_sample_budget)
+    cb = train_pq_codebooks(emb, m, n_codes, train_sample_budget)
+    mm, kk, dsub = cb.shape
+    c_ref = ray.put(cn)
+    b_ref = ray.put(cb)
+
+    def assign_encode(df: pd.DataFrame) -> pd.DataFrame:
+        x = _norm_rows(_as_matrix(df["embedding"]))
+        cents = ray.get(c_ref)
+        books = ray.get(b_ref)
+        cell = np.argmax(x @ cents.T, axis=1)
+        codes = np.empty((len(df), mm), dtype=np.uint8)
+        for s in range(mm):
+            sub = x[:, s * dsub : (s + 1) * dsub]
+            c = books[s]
+            d2 = (
+                np.sum(sub**2, axis=1)[:, None]
+                - 2.0 * (sub @ c.T)
+                + np.sum(c**2, axis=1)[None, :]
+            )
+            codes[:, s] = np.argmin(d2, axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy(),
+                "cell": cell.astype(np.int64),
+                "codes": list(codes),
+            }
+        )
+
+    emb.map_batches(assign_encode, batch_format="pandas").write_parquet(
+        index_dir, partition_cols=["cell"]
+    )
+    pq.write_table(
+        pa.table({"cell": list(range(len(cn))), "centroid": [r.tolist() for r in cn]}),
+        os.path.join(index_dir, "_centroids.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "subspace": [s for s in range(mm) for _ in range(kk)],
+                "code": [c for _ in range(mm) for c in range(kk)],
+                "center": [cb[s, c].tolist() for s in range(mm) for c in range(kk)],
+            }
+        ),
+        os.path.join(index_dir, "_codebooks.parquet"),
+    )
+    return cn, cb
+
+
+def knn_ivfpq_index(
+    index_dir: str,
+    emb: "ray.data.Dataset",
+    query_vec,
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int | None = None,
+    exclude_vec_id=None,
+) -> "ray.data.Dataset":
+    """Serve a query from a PERSISTED :func:`build_ivfpq_index`: read the
+    two tiny sidecars, probe the ``nprobe`` nearest cells, read ONLY
+    those cells' code files (m bytes/vector, file-level pruned), ADC-scan
+    them for a shortlist, then rerank the shortlist's FULL vectors from
+    the source ``emb`` exactly. Result equality with the in-memory
+    :func:`knn_ivfpq` (same deterministic training) is pinned in tests."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    ct = pq.read_table(os.path.join(index_dir, "_centroids.parquet"))
+    cells = ct.column("cell").to_pylist()
+    cn = _norm_rows(
+        np.asarray([np.asarray(v, dtype=np.float64) for v in ct.column("centroid").to_pylist()])
+    )
+    bt = pq.read_table(os.path.join(index_dir, "_codebooks.parquet")).to_pandas()
+    mm = int(bt["subspace"].max()) + 1
+    kk = int(bt["code"].max()) + 1
+    bt = bt.sort_values(["subspace", "code"])
+    cb = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in bt["center"].tolist()]
+    ).reshape(mm, kk, -1)
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    probe = [cells[i] for i in np.argsort(-(cn @ qn))[:nprobe]]
+    paths = []
+    for c in sorted(probe):
+        paths.extend(sorted(glob.glob(os.path.join(index_dir, f"cell={c}", "*.parquet"))))
+    codes_ds = ray.data.read_parquet(paths, columns=["vec_id", "codes"])
+
+    L = shortlist if shortlist is not None else 50 * k
+    short = knn_pq_encoded(
+        codes_ds, cb, query_vec, k=L, exclude_vec_id=exclude_vec_id
+    ).to_pandas()
+    ids = set(short["vec_id"].astype(np.int64).tolist())
+    ids_ref = ray.put(ids)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["vec_id"].isin(ray.get(ids_ref))]
+
+    sub = emb.map_batches(keep, batch_format="pandas").to_pandas()
+    sims = _norm_rows(_as_matrix(sub["embedding"])) @ qn
+    order = np.lexsort((sub["vec_id"].to_numpy(), -sims))[:k]
+    out = pd.DataFrame(
+        {
+            "vec_id": sub["vec_id"].to_numpy()[order],
+            "cos_sim": np.round(sims[order], 6),
+        }
+    )
+    return ray.data.from_pandas(out)

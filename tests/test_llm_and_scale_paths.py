@@ -2612,3 +2612,44 @@ def test_ivfpq_composition_recall_and_pruning():
         )
         recalls.append(len(exact & approx) / 10)
     assert np.mean(recalls) >= 0.9, recalls
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivfpq_persisted_index_parity_and_pruning(tmp_path):
+    """knn_ivfpq_index over a persisted build returns the SAME result as
+    the in-memory knn_ivfpq (same deterministic training), and the probe
+    reads only the probed cells' code files."""
+    import glob
+
+    import ray
+
+    from pdf_extraction_tests_ray.stages.similarity import (
+        build_ivfpq_index,
+        knn_ivfpq,
+        knn_ivfpq_index,
+    )
+
+    rng = np.random.default_rng(9)
+    n, dim = 2000, 64
+    m_ = rng.standard_normal((n, dim))
+    centers = rng.standard_normal((8, dim)) * 2
+    m_ += centers[rng.integers(0, 8, n)]
+    m_ /= np.linalg.norm(m_, axis=1, keepdims=True)
+    tab = pa.table({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(m_)})
+    ds = ray.data.from_arrow(tab)
+    idx = str(tmp_path / "ivfpq")
+    cn, cb = build_ivfpq_index(ds, idx, n_centroids=8, m=8, n_codes=16)
+
+    q = m_[42]
+    mem = knn_ivfpq(
+        ds, q, k=10, n_centroids=8, nprobe=3, exclude_vec_id=42,
+        centroids=cn, codebooks=cb,
+    ).to_pandas()
+    per = knn_ivfpq_index(idx, ds, q, k=10, nprobe=3, exclude_vec_id=42).to_pandas()
+    assert mem["vec_id"].tolist() == per["vec_id"].tolist()
+    assert mem["cos_sim"].tolist() == per["cos_sim"].tolist()
+
+    # pruning is file-level: probed cells' files < all cell files
+    all_files = glob.glob(f"{idx}/cell=*/*.parquet")
+    cells_present = {p.split("cell=")[1].split("/")[0] for p in all_files}
+    assert len(cells_present) > 3  # more cells exist than the 3 probed

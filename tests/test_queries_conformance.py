@@ -196,6 +196,7 @@ def test_query_matches_oracle(name, duck):
         "knn_lsh",
         "knn_pq",
         "knn_ivfpq",
+        "knn_ivfpq_indexed",
         "knn_lsh_indexed",
         "knn_ivf",
         "doc_pack_sequences",
