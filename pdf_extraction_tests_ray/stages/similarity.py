@@ -1044,11 +1044,18 @@ def knn_pq_encoded(
         batch_size=4096,
         concurrency=(1, pool_max()),
     )
-    top = local.sort(["adc_dist", "vec_id"]).limit(k)
-    return top.map_batches(
-        lambda df: df.assign(adc_dist=np.round(df["adc_dist"], 6)),
-        batch_format="pandas",
-    )
+    # k rows per batch survive -> the merge is driver-tiny; a Dataset
+    # sort here costs a whole extra execution (CLAUDE.md tiny-sort note)
+    cand = local.to_pandas()
+    if cand.empty:
+        return ray.data.from_pandas(
+            pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                          "adc_dist": pd.Series(dtype="float64")})
+        )
+    order = np.lexsort((cand["vec_id"].to_numpy(), cand["adc_dist"].to_numpy()))[:k]
+    out = cand.iloc[order].reset_index(drop=True)
+    out["adc_dist"] = np.round(out["adc_dist"], 6)
+    return ray.data.from_pandas(out)
 
 
 def knn_pq(
