@@ -497,13 +497,21 @@ def q_events_watermark(sf_dir: str, delay_s: int = 3600):
     return watermark_window_counts(ev, delay_s=delay_s)
 
 
-def watermark_window_counts(ev, delay_s: int = 3600):
+def watermark_window_counts(ev, delay_s: int = 3600, prefix_chars: int = 2):
     """Core of :func:`q_events_watermark` over any (event_id, ts,
     event_type) Dataset — separated so tests can pin layout invariance
-    and hand-built late-arrival cases on injected data."""
+    and hand-built late-arrival cases on injected data.
+
+    ``prefix_chars`` sets the arrival-order bucket count (16^prefix_chars,
+    same contract as ``relational.global_rank``): each bucket materializes
+    as ONE map_groups group, so size buckets to fit a worker's heap —
+    2 hex chars (256 buckets) carries this corpus; a 100-TB event log
+    wants 3-4 chars (4k-64k buckets; the driver prefix-max stays tiny
+    either way). The result is bucket-count-invariant (pinned in tests
+    via the layout-invariance case)."""
     import hashlib
 
-    nb = 256
+    nb = 16**prefix_chars
     delay_us = int(delay_s) * 1_000_000
     SENT = -(2**62)  # "no prior arrival" watermark
 
@@ -514,7 +522,9 @@ def watermark_window_counts(ev, delay_s: int = 3600):
             for e in df["event_id"].tolist()
         ]
         df["_h"] = h
-        df["_b"] = np.fromiter((int(s[:2], 16) for s in h), dtype=np.int64, count=len(h))
+        df["_b"] = np.fromiter(
+            (int(s[:prefix_chars], 16) for s in h), dtype=np.int64, count=len(h)
+        )
         df["_us"] = df["ts"].astype("datetime64[us]").astype("int64")
         return df
 

@@ -2517,6 +2517,14 @@ def test_watermark_window_hand_case_and_layout_invariance():
         one.sort_values(["event_type", "hour_bucket"]).reset_index(drop=True),
         many.sort_values(["event_type", "hour_bucket"]).reset_index(drop=True),
     )
+    # bucket-count invariance: 16 vs 256 arrival buckets, same answer
+    coarse = watermark_window_counts(
+        ray.data.from_pandas(ev), delay_s=3600, prefix_chars=1
+    )
+    pd.testing.assert_frame_equal(
+        one.sort_values(["event_type", "hour_bucket"]).reset_index(drop=True),
+        coarse.sort_values(["event_type", "hour_bucket"]).reset_index(drop=True),
+    )
 
 
 @pytest.mark.usefixtures("ray_session")
