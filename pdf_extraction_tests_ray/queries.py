@@ -426,7 +426,7 @@ def q_events_funnel(sf_dir: str, step_a: str = "signup", step_b: str = "purchase
     )
 
 
-def q_events_transitions(sf_dir: str):
+def q_events_transitions(sf_dir: str, num_buckets: int = 32):
     """Event-type transition counts (the Markov matrix over per-user
     event streams — the sequence-mining primitive behind next-action
     models and funnel discovery): for every consecutive event pair in a
@@ -435,8 +435,10 @@ def q_events_transitions(sf_dir: str):
     Scale shape: ONE bucketed user shuffle; each bucket sorts its users'
     events vectorized (lexsort + shift), emits per-bucket partial counts
     (<= |event_types|^2 rows per bucket), and the driver sums the tiny
-    partial frames — never a second all-to-all. Full value-hash SQL
-    oracle (lead() window with the same event_id tiebreak)."""
+    partial frames — never a second all-to-all. Size ``num_buckets`` so
+    one bucket's events fit a worker's heap (corpus/num_buckets rows per
+    map_groups group). Full value-hash SQL oracle (lead() window with
+    the same event_id tiebreak)."""
     ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
 
     def counts(df: pd.DataFrame) -> pd.DataFrame:
@@ -454,7 +456,9 @@ def q_events_transitions(sf_dir: str):
         out["n"] = out["n"].astype("int64")
         return out
 
-    partials = bucketed_group_merge(ev, ["user_id"], counts, num_buckets=32).to_pandas()
+    partials = bucketed_group_merge(
+        ev, ["user_id"], counts, num_buckets=num_buckets
+    ).to_pandas()
     if partials.empty or "prev_type" not in partials.columns:
         return pd.DataFrame(
             {"prev_type": pd.Series(dtype=object), "next_type": pd.Series(dtype=object),
