@@ -55,9 +55,9 @@ _MIN_DENSITY_WORDS = 12  # text-mass gate (words) for isolated blocks
 # content mass of the 12-word Latin gate at boilerpipe's wrap measure.
 _MIN_DENSITY_CJK_CHARS = 24
 _CJK_RANGES = (
-    ("぀", "ヿ"),  # hiragana + katakana
+    ("ぁ", "ヿ"),  # hiragana (U+3041, first assigned) + katakana
     ("一", "鿿"),  # CJK unified ideographs (same range lang-id uses)
-    ("가", "힯"),  # hangul syllables
+    ("가", "힣"),  # hangul syllables (ends U+D7A3 per spec)
 )
 
 

@@ -385,6 +385,15 @@ def asof_join_backward(
     via object/None — which also makes string payloads joinable at all.
     """
     payload_dtypes = payload_dtypes or {}
+    _supported = {"int64", "int32", "string", "str", "object", "float64"}
+    _bad = {c: d for c, d in payload_dtypes.items() if str(d) not in _supported}
+    if _bad:
+        # an unknown dtype would silently fall back to float64 NaN fill in
+        # _null_fill while tag_* casts real values to it — conflicting
+        # dtypes per column across blocks break Arrow schema unification
+        raise ValueError(
+            f"unsupported payload_dtypes {_bad}; supported: {sorted(_supported)}"
+        )
 
     def _transport(c: str) -> str:
         d = str(payload_dtypes.get(c, "float64"))

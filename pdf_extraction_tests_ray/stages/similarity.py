@@ -41,6 +41,22 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+# per-WORKER-process object cache: ray.get of a pickled Python object
+# (e.g. a shortlist id set) re-deserializes on every call, so a keep()
+# closure doing ray.get per batch pays that for each batch (ADVICE r4).
+# Bounded: cleared when it outgrows a handful of live broadcasts.
+_OBJ_CACHE: dict = {}
+
+
+def _worker_cached_get(ref):
+    key = ref.hex()
+    if key not in _OBJ_CACHE:
+        if len(_OBJ_CACHE) > 32:
+            _OBJ_CACHE.clear()
+        _OBJ_CACHE[key] = ray.get(ref)
+    return _OBJ_CACHE[key]
+
+
 def quantize_int8(emb: "ray.data.Dataset") -> "ray.data.Dataset":
     """Symmetric int8 vector quantization (the ANN-index / embedding-store
     compression path: 4x smaller than float32, 8x than float64): per
@@ -1026,7 +1042,14 @@ def knn_pq_encoded(
             if self.exclude is not None:
                 df = df[df["vec_id"] != self.exclude]
             if df.empty:
-                return pd.DataFrame({"vec_id": [], "adc_dist": []})
+                # typed empty: an untyped {} literal yields object dtype
+                # and can fail Ray's block schema unification (ADVICE r4)
+                return pd.DataFrame(
+                    {
+                        "vec_id": pd.Series(dtype="int64"),
+                        "adc_dist": pd.Series(dtype="float64"),
+                    }
+                )
             codes = np.stack(df["codes"].to_numpy()).astype(np.int64)
             dist = self.t[np.arange(m)[None, :], codes].sum(axis=1)
             order = np.lexsort((df["vec_id"].to_numpy(), dist))[: self.k]
@@ -1089,7 +1112,7 @@ def knn_pq(
     ids_ref = ray.put(ids)
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df["vec_id"].isin(ray.get(ids_ref))]
+        return df[df["vec_id"].isin(_worker_cached_get(ids_ref))]
 
     sub = emb.map_batches(keep, batch_format="pandas").to_pandas()  # <= L rows
     q = np.asarray(query_vec, dtype=np.float64)
@@ -1142,8 +1165,8 @@ def knn_ivfpq(
         if df.empty:
             return df
         x = _norm_rows(_as_matrix(df["embedding"]))
-        cell = np.argmax(x @ ray.get(c_ref).T, axis=1)
-        mask = np.isin(cell, list(ray.get(p_ref)))
+        cell = np.argmax(x @ _worker_cached_get(c_ref).T, axis=1)
+        mask = np.isin(cell, list(_worker_cached_get(p_ref)))
         return df[mask]
 
     pruned = emb.map_batches(keep_probed, batch_format="pandas")
@@ -1251,8 +1274,12 @@ def knn_ivfpq_index(
 
     ct = pq.read_table(os.path.join(index_dir, "_centroids.parquet"))
     cells = ct.column("cell").to_pylist()
-    cn = _norm_rows(
-        np.asarray([np.asarray(v, dtype=np.float64) for v in ct.column("centroid").to_pylist()])
+    # load VERBATIM: the sidecar is written post-normalization and the
+    # parquet float64 round-trip is exact; renormalizing would perturb
+    # last bits and could flip probe selection on near-tie cells vs the
+    # in-memory knn_ivfpq (exact-parity pin) (ADVICE r4)
+    cn = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in ct.column("centroid").to_pylist()]
     )
     bt = pq.read_table(os.path.join(index_dir, "_codebooks.parquet")).to_pandas()
     mm = int(bt["subspace"].max()) + 1
@@ -1278,7 +1305,7 @@ def knn_ivfpq_index(
     ids_ref = ray.put(ids)
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df["vec_id"].isin(ray.get(ids_ref))]
+        return df[df["vec_id"].isin(_worker_cached_get(ids_ref))]
 
     sub = emb.map_batches(keep, batch_format="pandas").to_pandas()
     sims = _norm_rows(_as_matrix(sub["embedding"])) @ qn
