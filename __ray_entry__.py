@@ -845,6 +845,95 @@ def oracle_sql() -> dict[str, str]:
                             THEN bin END) AS BIGINT) AS p99_bin
             FROM w GROUP BY l_returnflag
         """,
+        # Deterministic t-digest quantiles, FULL oracle: the greedy k1
+        # compressor is a left-to-right scan whose merge decisions depend
+        # only on integer weights (+ asin, parity-margin-checked), so a
+        # recursive CTE replays it one input centroid per step per group,
+        # mirroring the engine's iterative mean update association order;
+        # emitted centroids ride NULL-able emit columns, the final open
+        # centroid is the i = nb state row. Quantiles interpolate
+        # cumulative mid-weights exactly like tdigest_quantile. Measured
+        # on the driver corpora: decision margins >= 3.4e-4 (asin drift
+        # <= 2e-16), 2-dp rounding boundaries >= 0.017 away (pow drift
+        # ~1e-11) — deterministic hash equality, not luck.
+        "q_price_quantiles_tdigest": """
+            WITH RECURSIVE h AS (
+              SELECT l_returnflag AS grp,
+                     CAST(ceil(ln(l_extendedprice) / ln(1.005/0.995)) AS BIGINT) AS bin,
+                     CAST(count(*) AS BIGINT) AS wi
+              FROM lineitem GROUP BY 1, 2
+            ), c AS (
+              SELECT grp, bin, CAST(wi AS DOUBLE) AS w,
+                     2.0 * pow(1.005/0.995, CAST(bin AS DOUBLE)) / (1.005/0.995 + 1.0) AS m,
+                     row_number() OVER (PARTITION BY grp ORDER BY bin) AS rn,
+                     CAST(sum(wi) OVER (PARTITION BY grp) AS DOUBLE) AS total,
+                     count(*) OVER (PARTITION BY grp) AS nb
+              FROM h
+            ), s AS (
+              SELECT grp, rn AS i, m AS cur_m, w AS cur_w,
+                     CAST(0.0 AS DOUBLE) AS w_before, total, nb,
+                     CAST(NULL AS DOUBLE) AS emit_m, CAST(NULL AS DOUBLE) AS emit_w
+              FROM c WHERE rn = 1
+              UNION ALL
+              SELECT s.grp, c.rn,
+                     CASE WHEN merged THEN (s.cur_m*s.cur_w + c.m*c.w)/(s.cur_w + c.w)
+                          ELSE c.m END,
+                     CASE WHEN merged THEN s.cur_w + c.w ELSE c.w END,
+                     CASE WHEN merged THEN s.w_before ELSE s.w_before + s.cur_w END,
+                     s.total, s.nb,
+                     CASE WHEN merged THEN CAST(NULL AS DOUBLE) ELSE s.cur_m END,
+                     CASE WHEN merged THEN CAST(NULL AS DOUBLE) ELSE s.cur_w END
+              FROM s JOIN c ON c.grp = s.grp AND c.rn = s.i + 1,
+                   LATERAL (
+                     SELECT (200.0/(2.0*pi()))*asin(2.0*((s.w_before+s.cur_w+c.w)/s.total)-1.0)
+                          - (200.0/(2.0*pi()))*asin(2.0*(s.w_before/s.total)-1.0) <= 1.0 AS merged
+                   ) x
+            ), cents AS (
+              SELECT grp, w_before - emit_w AS ord, emit_m AS m, emit_w AS w
+              FROM s WHERE emit_w IS NOT NULL
+              UNION ALL
+              SELECT grp, w_before AS ord, cur_m AS m, cur_w AS w FROM s WHERE i = nb
+            ), mids AS (
+              SELECT grp, ord, m, w,
+                     sum(w) OVER (PARTITION BY grp ORDER BY ord
+                                  ROWS UNBOUNDED PRECEDING) - w/2.0 AS mid,
+                     sum(w) OVER (PARTITION BY grp) AS tot,
+                     count(*) OVER (PARTITION BY grp) AS nc
+              FROM cents
+            ), br AS (
+              SELECT grp, ord, m, mid, nc,
+                     lead(m)   OVER (PARTITION BY grp ORDER BY ord) AS m2,
+                     lead(mid) OVER (PARTITION BY grp ORDER BY ord) AS mid2,
+                     min(mid) OVER (PARTITION BY grp) AS mid_first,
+                     max(mid) OVER (PARTITION BY grp) AS mid_last,
+                     first_value(m) OVER (PARTITION BY grp ORDER BY ord) AS m_first,
+                     last_value(m) OVER (PARTITION BY grp ORDER BY ord
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND UNBOUNDED FOLLOWING) AS m_last,
+                     0.5 * tot AS qt50, 0.9 * tot AS qt90, 0.99 * tot AS qt99
+              FROM mids
+            )
+            SELECT grp AS l_returnflag,
+                   round(CASE WHEN any_value(nc) = 1 THEN any_value(m_first)
+                        WHEN any_value(qt50) <= any_value(mid_first) THEN any_value(m_first)
+                        WHEN any_value(qt50) >= any_value(mid_last) THEN any_value(m_last)
+                        ELSE max(CASE WHEN mid < qt50 AND mid2 >= qt50
+                                      THEN m + (qt50 - mid)/(mid2 - mid)*(m2 - m) END)
+                   END, 2) AS p50,
+                   round(CASE WHEN any_value(nc) = 1 THEN any_value(m_first)
+                        WHEN any_value(qt90) <= any_value(mid_first) THEN any_value(m_first)
+                        WHEN any_value(qt90) >= any_value(mid_last) THEN any_value(m_last)
+                        ELSE max(CASE WHEN mid < qt90 AND mid2 >= qt90
+                                      THEN m + (qt90 - mid)/(mid2 - mid)*(m2 - m) END)
+                   END, 2) AS p90,
+                   round(CASE WHEN any_value(nc) = 1 THEN any_value(m_first)
+                        WHEN any_value(qt99) <= any_value(mid_first) THEN any_value(m_first)
+                        WHEN any_value(qt99) >= any_value(mid_last) THEN any_value(m_last)
+                        ELSE max(CASE WHEN mid < qt99 AND mid2 >= qt99
+                                      THEN m + (qt99 - mid)/(mid2 - mid)*(m2 - m) END)
+                   END, 2) AS p99
+            FROM br GROUP BY grp
+        """,
         "q_events_distinct_users": """
             SELECT event_type,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct

@@ -1,9 +1,18 @@
-"""Pins the driver-surface ordering contract (round-3 VERDICT #1).
+"""Pins the driver-surface ordering contract (round-3 VERDICT #1,
+round-5 rotation hygiene).
 
 The correctness driver checks the FIRST 50 entries of queries() against
 oracle_sql() — so every one of those 50 slots must carry a SQL oracle, and
 the extraction ladder (the engine's core surface) must lead the window.
 Rows-only entries are allowed only past position 50.
+
+Round-5 rotation: the window keeps the extraction ladder plus every query
+whose implementation changed this round (q_events_watermark's
+one-execution fold, dedup_substring_cut's rolling-hash prefilter,
+extract_html_main's CJK trim), adds the newly-oracled
+q_price_quantiles_tdigest, and spends the remaining 41 slots on the
+stalest oracled rows (all 32 last driver-checked in round 2, 9 of the 10
+last checked in round 3). Every round-4-green row rotates out.
 """
 
 import importlib.util
@@ -30,40 +39,40 @@ def test_driver_window_is_fully_oracled(tmp_path, monkeypatch):
     # extraction ladder leads the window
     assert window[0] == "extract_order_banded"
     assert {"extract_order_publisher", "extract_doc_scalars", "extract_order_generic"} <= set(window[:5])
-    # the core families the round-2 driver never reached are all inside
-    for k in ["dedup_exact", "dedup_lines", "dedup_jaccard_apply", "knn_bruteforce", "knn_multi"]:
+    assert {"extract_golden_transcript", "extract_html_main"} <= set(window[:6])
+    # round-5-changed implementations stay in for driver re-verification
+    for k in ["q_events_watermark", "dedup_substring_cut", "extract_html_main"]:
         assert k in window, k
-    # round-4 rotation (VERDICT r3 #1): the four oracled entries the driver
-    # had never checked are now inside the window ...
-    for k in ["q_events_funnel", "q_events_retention", "doc_length_outliers", "doc_gopher_rules"]:
-        assert k in window, k
-    # ... replacing four twice-green stable rows, which stay queryable
-    for k in ["doc_token_counts", "doc_chunks", "doc_fingerprint", "q_lineitem_rollup"]:
-        assert k in keys and k not in window, k
-    # late-round-4 rotation: the four oracled queries added after the
-    # first rotation are also inside the window ...
+    # the newly-oracled t-digest row is inside (one fewer rows-only entry)
+    assert "q_price_quantiles_tdigest" in window
+    # the stalest oracled rows are inside (spot-pin a spread of the
+    # round-2-last-checked set and the round-3-last-checked set)
     for k in [
-        "q_events_transitions",
-        "q_events_watermark",
-        "q_price_quantiles_sketch",
-        "dedup_substring_cut",
-        "doc_contamination_score",
-        "q_lineitem_cube",
-    ]:
-        assert k in window, k
-    # ... in place of six more twice-green rows, still conformance-run
-    for k in [
-        "q_topk_per_brand",
-        "q_price_quantiles",
-        "doc_stratified_sample",
-        "doc_top_terms",
-        "q_events_sliding",
+        "q3_top_revenue_orders",
+        "q_events_tumbling",
+        "q_corr_quantity_discount",
+        "doc_scrub_pii",
+        "doc_corpus_stats",
         "q_user_sessions",
+        "q_price_quantiles",
+        "doc_fingerprint",
+    ]:
+        assert k in window, k
+    # every round-4-green row rotated out but stays queryable
+    for k in [
+        "dedup_exact",
+        "knn_bruteforce",
+        "curation_pipeline",
+        "q_events_funnel",
+        "q1_pricing_summary",
+        "q_asof_user_order",
+        "q_price_quantiles_sketch",
+        "doc_bpe_roundtrip",
     ]:
         assert k in keys and k not in window, k
-    # the as-of join stays IN the window: its payload transport changed
-    # this round, so the driver should re-verify it
-    assert "q_asof_user_order" in window
+    # q_lineitem_rollup (last checked round 3) deliberately waits one more
+    # round — it is the only oracled row more than 1 round unchecked
+    assert "q_lineitem_rollup" in keys and "q_lineitem_rollup" not in window
 
 
 def test_all_oracled_keys_exist_in_queries(tmp_path, monkeypatch):

@@ -155,6 +155,7 @@ def _to_pandas(res):
         "doc_pack_sequences",
         "doc_bpe_roundtrip",
         "doc_gopher_rules",
+        "q_price_quantiles_tdigest",
     ],
 )
 def test_query_matches_oracle(name, duck):
@@ -205,7 +206,6 @@ def test_query_matches_oracle(name, duck):
         "doc_quality_scorer",
         "doc_lm_perplexity",
         "q_events_approx_distinct_users",
-        "q_price_quantiles_tdigest",
         "knn_ivf_indexed",
         "media_features",
         "media_decode_real",
