@@ -170,12 +170,19 @@ def choose_extraction_mode(
 
     Otherwise single-pass — the measured winner on bounded corpora (the
     dual-branch split stays opt-in; it starves the extract operator at low
-    CPU counts, see the module docstring). The probe samples the FIRST
-    blocks of the dataset; if a corpus is sorted by document size, pass a
-    larger ``probe_docs`` or choose the mode explicitly.
+    CPU counts, see the module docstring). The probe samples a SEEDED
+    RANDOM BLOCK ORDER (``randomize_block_order`` is a metadata-only
+    lazy reorder — no data moves, same bounded read cost), not the first
+    blocks, so a corpus sorted by document size cannot hide its heavy
+    tail from the p99/max test (round-5 VERDICT #5; pinned by the
+    size-sorted-corpus test). Residual bias: sorting WITHIN a single
+    block is invisible to any block sample — pass a larger
+    ``probe_docs`` or choose the mode explicitly for adversarial
+    single-block layouts.
     """
     probe = (
-        ds.limit(probe_docs)
+        ds.randomize_block_order(seed=0xD0C5)
+        .limit(probe_docs)
         .map_batches(
             lambda t: pa.Table.from_pydict(
                 {"n_spans": pc.list_value_length(t.column("spans")).cast(pa.int64())}

@@ -147,11 +147,54 @@ def shared_ngram_pairs(
     )
 
 
+_ROLL_P = np.uint64(1099511628211)  # FNV-1a prime (odd -> full-period mod 2^64)
+
+
+def _doc_gram_rolls(texts, n: int) -> tuple:
+    """Per doc: (normalized token list, uint64 rolling hash per gram
+    position), computed BATCH-wise: every doc's tokens concatenate into
+    one array hashed by a single pandas C-rate siphash call (fixed key,
+    never the salted builtin), the window combine is Horner over n
+    shifted vectorized multiplies with wraparound uint64 arithmetic, and
+    each doc takes its own first len-n+1 positions (windows crossing doc
+    boundaries are simply never selected). Per-DOC granularity measured
+    0.9s vs 0.6s full-md5 at sf0.1 — tiny-array numpy overhead ate the
+    win; batch granularity is the vectorization that actually pays.
+    The hash of a position depends only on its doc's tokens, so the
+    result is layout-invariant."""
+    toks_all = [T.normalize_text(t).split(" ") for t in texts]
+    lens = np.fromiter((len(t) for t in toks_all), dtype=np.int64, count=len(toks_all))
+    empty = np.empty(0, dtype=np.uint64)
+    flat_n = int(lens.sum())
+    if flat_n == 0 or flat_n - n + 1 <= 0:
+        return toks_all, [empty] * len(toks_all)
+    flat = np.empty(flat_n, dtype=object)
+    pos = 0
+    for t in toks_all:
+        flat[pos : pos + len(t)] = t
+        pos += len(t)
+    th = pd.util.hash_array(flat)
+    npos = flat_n - n + 1
+    with np.errstate(over="ignore"):
+        acc = th[:npos].copy()
+        for j in range(1, n):
+            acc = acc * _ROLL_P + th[j : j + npos]
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    rolls_all = []
+    for s, l in zip(starts.tolist(), lens.tolist()):
+        k = l - n + 1
+        rolls_all.append(acc[s : s + k] if k > 0 and s + k <= npos else (acc[s:npos] if k > 0 else empty))
+    return toks_all, rolls_all
+
+
 def exact_substring_cut(
     docs: "ray.data.Dataset",
     n: int = 12,
     min_count: int = 2,
     num_buckets: int = 64,
+    prefilter: bool = True,
+    prefilter_collect_budget_docs: int = 200_000,
+    repeat_broadcast_budget: int = 20_000_000,
 ) -> "ray.data.Dataset":
     """Exact-substring dedup with SPAN REMOVAL (the cut half of Lee et
     al. 2022's ExactSubstr, at word-window granularity): every word
@@ -164,21 +207,99 @@ def exact_substring_cut(
     EVERY input document — kept_text re-joins the surviving normalized
     tokens, n_kept counts them.
 
-    Scale shape: TWO all-to-alls. (1) gram rows (md5 key, doc_id, pos)
-    bucket-shuffle on the gram hash; each gram group orders by
-    (doc_id, pos) and emits all-but-first as cut marks. (2) the cut
-    marks ride a tagged union WITH the doc rows through one doc_id
-    bucket shuffle (the fold-adjacent-shuffles move — no separate join
-    pass), where each doc rebuilds its kept token mask vectorized.
-    Fully SQL-oracled (``dedup_substring_cut``): the whole pipeline is
-    md5/int/string ops, no floats."""
+    Scale shape: TWO all-to-alls plus (``prefilter=True``, round-5
+    VERDICT #4) one LIGHT no-shuffle pre-pass. The pre-pass computes a
+    vectorized uint64 polynomial rolling hash per gram position
+    (:func:`_doc_gram_rolls`), reduces each batch to its distinct
+    (roll, count) partials, merges them driver-side, and broadcasts the
+    hashes seen >= ``min_count`` times corpus-wide. The gram pass then
+    md5-hashes ONLY positions whose rolling hash repeats (every true
+    md5-duplicate is also a roll-duplicate, so recall is exact; a false
+    roll collision just md5s a few extra grams, and the md5 KEY still
+    decides the cut — the oracle contract is untouched). This cuts the
+    Python-rate md5 work AND the gram shuffle volume from O(all grams)
+    to O(repeated grams) — at web dup rates the difference between
+    shuffling the corpus and shuffling the duplicated sliver. Then:
+    (1) surviving gram rows (md5 key, doc_id, pos) bucket-shuffle on the
+    gram hash; each gram group orders by (doc_id, pos) and emits
+    all-but-first as cut marks. (2) the cut marks ride a tagged union
+    WITH the doc rows through one doc_id bucket shuffle (the
+    fold-adjacent-shuffles move — no separate join pass), where each doc
+    rebuilds its kept token mask vectorized.
+
+    Size switches (the DROP_BROADCAST_BUDGET pattern): past
+    ``prefilter_collect_budget_docs`` (metadata count) the per-batch
+    distinct partials would outgrow the driver, so the repeat set is
+    computed by a bucketed roll-hash count shuffle instead (one extra
+    all-to-all, collects ONLY the repeats — small by construction); if
+    the repeat set itself exceeds ``repeat_broadcast_budget`` entries the
+    prefilter is skipped entirely (full-md5 path, identical output).
+    Fully SQL-oracled (``dedup_substring_cut``): the decided keys are
+    md5/int/string ops, no floats; prefilter on/off equality and layout
+    invariance are pinned in tests."""
     import hashlib
 
+    from ..relational import bucketed_group_merge
+
+    repeats_ref = None
+    if prefilter:
+
+        def roll_partial(df: pd.DataFrame) -> pd.DataFrame:
+            _, rolls = _doc_gram_rolls(df["text"].tolist(), n)
+            if rolls:
+                allr = np.concatenate(rolls)
+            else:
+                allr = np.empty(0, dtype=np.uint64)
+            u, c = np.unique(allr, return_counts=True)
+            return pd.DataFrame({"r": u, "c": c.astype("int64")})
+
+        partials = docs.map_batches(roll_partial, batch_format="pandas")
+        n_docs = docs.count()  # parquet metadata / cached count
+        if n_docs <= prefilter_collect_budget_docs:
+            # light pre-pass: NO shuffle, driver-side vectorized merge
+            pf = partials.to_pandas()
+            agg = pf.groupby("r")["c"].sum() if len(pf) else pd.Series(dtype="int64")
+            repeats = np.sort(agg.index[agg >= min_count].to_numpy().astype(np.uint64))
+        else:
+            # corpus too big for a driver merge of per-batch distincts:
+            # one bucketed count shuffle, collecting ONLY the repeats
+            rep_ds = bucketed_group_merge(
+                partials,
+                ["r"],
+                lambda g: g.groupby("r", sort=False)["c"]
+                .sum()
+                .reset_index()
+                .query(f"c >= {int(min_count)}")[["r"]],
+                num_buckets=num_buckets,
+            )
+            rp = rep_ds.to_pandas()
+            repeats = (
+                np.sort(rp["r"].to_numpy().astype(np.uint64))
+                if len(rp) and "r" in rp.columns
+                else np.empty(0, dtype=np.uint64)
+            )
+        if len(repeats) > repeat_broadcast_budget:
+            print(
+                f"exact_substring_cut: repeat set {len(repeats)} exceeds the "
+                f"broadcast budget — prefilter skipped (full-md5 path)"
+            )
+        else:
+            repeats_ref = ray.put(repeats)
+
     def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
+        rep = ray.get(repeats_ref) if repeats_ref is not None else None
         hs, ids, ps = [], [], []
-        for d, t in zip(df["doc_id"].tolist(), df["text"].tolist()):
-            toks = T.normalize_text(t).split(" ")
-            for i in range(len(toks) - n + 1):
+        toks_all, rolls_all = _doc_gram_rolls(df["text"].tolist(), n)
+        for d, toks, rolls in zip(df["doc_id"].tolist(), toks_all, rolls_all):
+            if rep is not None:
+                if len(rep) and len(rolls):
+                    idx = np.clip(np.searchsorted(rep, rolls), 0, len(rep) - 1)
+                    cand = np.flatnonzero(rep[idx] == rolls)
+                else:
+                    cand = np.empty(0, dtype=np.int64)
+            else:
+                cand = np.arange(len(rolls))
+            for i in cand.tolist():
                 hs.append(hashlib.md5(" ".join(toks[i : i + n]).encode("utf-8")).hexdigest())
                 ids.append(d)
                 ps.append(i)
