@@ -2615,7 +2615,10 @@ def knn_multi(sf_dir: str):
 
 
 def knn_ivf(sf_dir: str):
-    """IVF-style ANN (k-means cells, probe nearest 8 of 16; rows-only)."""
+    """IVF-style ANN at the round-5 adaptive defaults (~4*sqrt(N) cells,
+    margin-ranked spill to a ~0.5 scan budget — recall@10 0.93 on the
+    sf0.1 embeddings vs 0.7-0.8 for fixed 16/8 at the same scan;
+    rows-only)."""
     emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return S.knn_ivf(emb, _query_vec(sf_dir), k=10, exclude_vec_id=0)
 
@@ -2669,7 +2672,8 @@ def knn_ivf_indexed(sf_dir: str):
     # with the same basename) must NOT serve a stale index
     src = f"{sf_dir}/embeddings.parquet"
     st = os.stat(src)
-    stamp = f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}"
+    # the config tag invalidates indexes built by older recipes
+    stamp = f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}|ivf-auto-r5"
     marker = idx + "/.done"
     fresh = False
     try:
@@ -2682,10 +2686,10 @@ def knn_ivf_indexed(sf_dir: str):
 
         shutil.rmtree(idx, ignore_errors=True)
         emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        S.build_ivf_index(emb, idx, n_centroids=16)
+        S.build_ivf_index(emb, idx)  # adaptive ~4*sqrt(N) cells (round 5)
         with open(marker, "w") as f:
             f.write(stamp)
-    return S.knn_ivf_index(idx, _query_vec(sf_dir), k=10, exclude_vec_id=0, nprobe=8)
+    return S.knn_ivf_index(idx, _query_vec(sf_dir), k=10, exclude_vec_id=0)
 
 
 def knn_ivfpq_indexed(sf_dir: str):

@@ -1702,12 +1702,64 @@ def test_ivf_prebuilt_matches_oneshot():
         .as_py(),
         dtype=np.float64,
     )
-    oneshot = S.knn_ivf(emb, q, k=10, exclude_vec_id=0).to_pandas()
+    # same explicit cell count both sides; nprobe left to the shared
+    # auto-probe derivation (n_cells -> same probe set in both paths)
+    oneshot = S.knn_ivf(emb, q, k=10, exclude_vec_id=0, n_centroids=16).to_pandas()
     cents = S.train_ivf_centroids(emb, 16)
     assigned = S.ivf_assign(emb, cents)
     pre = S.knn_ivf_prebuilt(assigned, cents, q, k=10, exclude_vec_id=0).to_pandas()
     assert list(oneshot["vec_id"]) == list(pre["vec_id"])
     assert list(oneshot["cos_sim"]) == list(pre["cos_sim"])
+    # the ADAPTIVE default path agrees with prebuilt on its own centroids
+    auto = S.knn_ivf(emb, q, k=10, exclude_vec_id=0).to_pandas()
+    cents_a = S.train_ivf_centroids(emb, S._adaptive_n_centroids(emb.count()))
+    pre_a = S.knn_ivf_prebuilt(
+        S.ivf_assign(emb, cents_a), cents_a, q, k=10, exclude_vec_id=0
+    ).to_pandas()
+    assert list(auto["vec_id"]) == list(pre_a["vec_id"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_auto_recall_floor_vs_bruteforce():
+    """round-5 VERDICT #6: mean recall@10 of the adaptive IVF defaults
+    (~4*sqrt(N) cells, 0.5-scan margin-ranked spill) >= 0.9 vs exact
+    brute force on the REAL sf0.1 embeddings — the corpus where the old
+    16-cell/nprobe-8 config measured 0.7-0.8. Centroids come from the
+    real distributed training path; assignment/probing are mirrored in
+    numpy (bit-identical math to ProbeTopK) so 40 queries stay cheap."""
+    import numpy as np
+    import ray
+
+    from pdf_extraction_tests_ray.stages import similarity as S
+
+    emb = ray.data.read_parquet(
+        "/root/testdata/sf0.1/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    df = emb.to_pandas()
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    n_c = S._adaptive_n_centroids(len(X))
+    assert n_c > 64  # finer than the old fixed 16 at this corpus size
+    cn = S.train_ivf_centroids(emb, n_c)
+    nprobe = S._auto_nprobe(len(cn))
+    assign = np.argmax(Xn @ cn.T, axis=1)
+    rng = np.random.default_rng(123)
+    qidx = rng.choice(len(X), 40, replace=False)
+    recalls, scans = [], []
+    for qi in qidx:
+        sims_all = Xn @ Xn[qi]
+        sims_all[qi] = -2.0
+        truth = set(np.argsort(-sims_all)[:10].tolist())
+        probe = set(np.argsort(-(cn @ Xn[qi]))[:nprobe].tolist())
+        mask = np.isin(assign, list(probe))
+        mask[qi] = False
+        scans.append(float(mask.mean()))
+        cand = np.flatnonzero(mask)
+        got = set(cand[np.argsort(-(Xn[cand] @ Xn[qi]))[:10]].tolist())
+        recalls.append(len(got & truth) / 10.0)
+    assert np.mean(recalls) >= 0.9, (np.mean(recalls), n_c, nprobe)
+    # the spill budget holds: expected scan fraction stays near 0.5
+    assert np.mean(scans) <= 0.65
 
 
 @pytest.mark.usefixtures("ray_session")
