@@ -76,14 +76,19 @@ def build_rdf_from_ordered(kinds, texts, media_refs, offsets):
     return _build_rdf(kinds, texts, media_refs, geometry, idx)
 
 
-def finalize_document(rdf, cleaning_method="hybrid", structure=None):
+def finalize_document(rdf, cleaning_method="hybrid", structure=None, format_detector=None):
     """Doc-level extraction over an ordered rdf -> output dict (no spans).
 
     ``structure`` is the optional A4 LLM region analysis (M26-parsed dict,
     v10A.R:914-1040): when present the abstract is sliced by its labeled
     regions (E6, ``extract_abstract_from_regions`` — the reference's
     LLM-first path, v10A.R:1267-1346); when None the deterministic E4
-    universal extractor runs, exactly as before."""
+    universal extractor runs, exactly as before.
+
+    ``format_detector`` is the A1 layout-model hook (same signature as
+    :func:`doclogic.formats.detect_document_format`): the learned layout
+    backend (stages/extract_stage.fit_layout_format_model) injects its
+    fitted scorer here; None keeps the deterministic rule scorer."""
     if rdf["_n"] == 0:
         return {
             "title": "Title not found",
@@ -96,7 +101,8 @@ def finalize_document(rdf, cleaning_method="hybrid", structure=None):
             "total_pages": 0,
             "total_text_regions": 0,
         }
-    doc_format = detect_document_format(rdf["kinds"], rdf["texts"], rdf["page"], rdf["y"])
+    detector = format_detector if format_detector is not None else detect_document_format
+    doc_format = detector(rdf["kinds"], rdf["texts"], rdf["page"], rdf["y"])
     title = extract_title_universal(rdf)
     authors = extract_authors(rdf)
     if structure is not None:
@@ -124,7 +130,13 @@ def finalize_document(rdf, cleaning_method="hybrid", structure=None):
 
 
 def process_document(
-    kinds, texts, media_refs, offsets, cleaning_method="hybrid", structure_provider=None
+    kinds,
+    texts,
+    media_refs,
+    offsets,
+    cleaning_method="hybrid",
+    structure_provider=None,
+    format_detector=None,
 ):
     """Flagship deterministic pipeline for one document.
 
@@ -134,6 +146,8 @@ def process_document(
     ``structure_provider`` is the A4 hook (``rdf -> structure dict|None``):
     the LLM actor stage (stages/llm_stage.py) injects a client-backed
     provider here; None keeps the fully deterministic path.
+    ``format_detector`` is the A1 layout-model hook (see
+    :func:`finalize_document`).
     """
     idx, geometry = order_document(kinds, texts, media_refs, offsets)
     rdf = _build_rdf(kinds, texts, media_refs, geometry, idx)
@@ -146,7 +160,9 @@ def process_document(
     }
 
     structure = structure_provider(rdf) if structure_provider is not None else None
-    out = finalize_document(rdf, cleaning_method, structure=structure)
+    out = finalize_document(
+        rdf, cleaning_method, structure=structure, format_detector=format_detector
+    )
     out["spans"] = out_spans
     return out
 

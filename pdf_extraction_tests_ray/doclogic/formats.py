@@ -139,6 +139,54 @@ def detect_document_format(kinds, texts, page, y) -> str:
     return best
 
 
+LAYOUT_FEATURE_DIM = 12
+
+
+def layout_format_features(kinds, texts, page, y) -> list:
+    """Integer page-1 layout features underlying
+    :func:`detect_document_format`'s scorer — the distillation surface
+    for the learned A1 layout backend (round-5 VERDICT #8): bias + the
+    ten publisher-cue regex indicators + the two title-y layout hints,
+    computed from EXACTLY the prep the rule scorer uses (v10A.R:607-683).
+    The rule itself is a fixed-weight argmax over these features, so a
+    self-distilled linear model can recover it exactly; features are
+    pure 0/1 ints, keeping the ridge moments exact."""
+    page = np.asarray(page)
+    first = page == 1
+    texts_1 = [texts[i] for i in np.nonzero(first)[0]]
+    kinds_1 = [kinds[i] for i in np.nonzero(first)[0]]
+    y_1 = np.asarray(y, dtype=np.float64)[first]
+
+    all_text = " ".join(t.lower() for t in texts_1)
+    publisher_text = " ".join(
+        t.lower()
+        for t, k in zip(texts_1, kinds_1)
+        if k in (KIND_ABANDON, KIND_TEXT)
+    )
+
+    f = [1]
+    for pat, hay in (
+        (r"mdpi|biomolecules|nanomaterials|materials|sustainability|applied sciences", publisher_text),
+        (r"licensee mdpi|basel, switzerland", publisher_text),
+        (r"academic editor:|received:.*revised:.*accepted:.*published:", publisher_text),
+        (r"nature.*communications|doi.*nature|nature\.com", publisher_text),
+        (r"royal society|environmental science|rsc\.li|rsc publishing", publisher_text),
+        (r"elsevier|sciencedirect|computational.*structural.*biotechnology", publisher_text),
+        (r"journal homepage.*www\.elsevier\.com", publisher_text),
+        (r"review article|research article|article info", publisher_text),
+        (r"article\s+info|abstract.*keywords", all_text),
+    ):
+        f.append(1 if re.search(pat, hay) else 0)
+    hint_idx = [i for i, t in enumerate(texts_1) if y_1[i] < 600 and len(t) > 30]
+    hint_nat = hint_rsc = 0
+    if hint_idx:
+        title_y = min(y_1[i] for i in hint_idx)
+        hint_nat = 1 if title_y < 300 else 0
+        hint_rsc = 1 if 200 < title_y < 400 else 0
+    f.extend([hint_nat, hint_rsc])
+    return f
+
+
 # --------------------------------------------------------------------------
 # format-plugin registry (engine extension surface, SURVEY.md §2.10)
 

@@ -135,12 +135,23 @@ def _to_output_table(acc) -> pa.Table:
     )
 
 
-def extract_batch(batch: pa.Table, cleaning_method="hybrid", structure_provider=None) -> pa.Table:
+def extract_batch(
+    batch: pa.Table,
+    cleaning_method="hybrid",
+    structure_provider=None,
+    format_detector=None,
+) -> pa.Table:
     acc = _result_arrays(batch.num_rows)
     for doc_id, kinds, texts, refs, offs in iter_span_lists(batch):
         try:
             res = doclib.process_document(
-                kinds, texts, refs, offs, cleaning_method, structure_provider
+                kinds,
+                texts,
+                refs,
+                offs,
+                cleaning_method,
+                structure_provider,
+                format_detector=format_detector,
             )
             _append_result(acc, doc_id, res)
         except Exception:  # quarantine, never silent loss
@@ -148,19 +159,123 @@ def extract_batch(batch: pa.Table, cleaning_method="hybrid", structure_provider=
     return _to_output_table(acc)
 
 
+def fit_layout_format_model(ds, lam: float = 1.0) -> np.ndarray:
+    """Distill the A1 layout scorer (``detect_document_format``) into
+    one-vs-rest ridge weights over the integer page-1 layout features
+    (``doclogic.formats.layout_format_features``) — the round-5 learned
+    layout backend. Labels are the rule scorer's own decisions
+    (self-distillation, same recipe as ``fit_boilerplate_model``); the
+    X'X / per-class X'y partials are exact python ints folded in ONE
+    combiner pass over the span corpus, so the fit is a pure function of
+    the document multiset (layout-invariant). Returns W of shape
+    (len(_FORMAT_ORDER), LAYOUT_FEATURE_DIM); prediction = first-max
+    argmax of W @ x in ``_FORMAT_ORDER`` order — the rule's own
+    which.max tie-break. Because the rule IS a fixed-weight argmax over
+    these features, the distilled model recovers it (100% agreement on
+    the fixture corpus, pinned in tests)."""
+    import pandas as pd
+
+    from ..doclogic.formats import (
+        _FORMAT_ORDER,
+        LAYOUT_FEATURE_DIM,
+        detect_document_format,
+        layout_format_features,
+    )
+    from ..doclogic.reading_order import order_document
+    from ..schema import decode_geometry
+
+    d = LAYOUT_FEATURE_DIM
+    n_cls = len(_FORMAT_ORDER)
+    cls_index = {c: i for i, c in enumerate(_FORMAT_ORDER)}
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        xtx = [[0] * d for _ in range(d)]
+        xty = [[0] * d for _ in range(n_cls)]
+        for _doc_id, kinds, texts, refs, offs in iter_span_lists(batch):
+            idx, _geom = order_document(kinds, texts, refs, offs)
+            k = [kinds[i] for i in idx]
+            t = [texts[i] for i in idx]
+            geom = decode_geometry(k, t, [int(offs[i]) for i in idx])
+            page, y = geom["page"], geom["y"]
+            x = layout_format_features(k, t, page, y)
+            label = cls_index[detect_document_format(k, t, page, y)]
+            for i in range(d):
+                xi = x[i]
+                if not xi:
+                    continue
+                row = xtx[i]
+                for j in range(i, d):
+                    row[j] += xi * x[j]
+                xty[label][i] += xi
+        flat = {f"m{i}_{j}": [xtx[i][j]] for i in range(d) for j in range(i, d)}
+        flat.update(
+            {f"v{c}_{i}": [xty[c][i]] for c in range(n_cls) for i in range(d)}
+        )
+        return pd.DataFrame({k2: pd.Series(v, dtype="int64") for k2, v in flat.items()})
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    xtx = np.zeros((d, d))
+    for i in range(d):
+        for j in range(i, d):
+            s = sum(int(v) for v in p[f"m{i}_{j}"].tolist())  # exact python ints
+            xtx[i][j] = xtx[j][i] = float(s)
+    reg = lam * np.eye(d)
+    reg[0, 0] = 0.0  # never shrink the bias
+    W = np.zeros((n_cls, d))
+    for c in range(n_cls):
+        xty = np.asarray(
+            [float(sum(int(v) for v in p[f"v{c}_{i}"].tolist())) for i in range(d)]
+        )
+        W[c] = np.linalg.solve(xtx + reg, xty)
+    return W
+
+
+def make_learned_format_detector(weights: np.ndarray):
+    """Wrap fitted layout weights as a ``format_detector`` callable:
+    scores = W @ x, first-max argmax in ``_FORMAT_ORDER`` order (the
+    rule's which.max tie-break)."""
+    from ..doclogic.formats import _FORMAT_ORDER, layout_format_features
+
+    W = np.asarray(weights, dtype=np.float64)
+
+    def detector(kinds, texts, page, y) -> str:
+        x = np.asarray(layout_format_features(kinds, texts, page, y), dtype=np.float64)
+        return _FORMAT_ORDER[int(np.argmax(W @ x))]
+
+    return detector
+
+
 class ExtractDocuments:
     """Actor-pool extraction stage: ``ds.map_batches(ExtractDocuments,
-    fn_constructor_kwargs=..., batch_format='pyarrow', concurrency=N)``."""
+    fn_constructor_kwargs=..., batch_format='pyarrow', concurrency=N)``.
 
-    def __init__(self, cleaning_method: str = "hybrid"):
+    ``layout_weights_ref`` (round-5 VERDICT #8) opts the pool into the
+    LEARNED layout backend: a ``ray.put`` handle to
+    :func:`fit_layout_format_model` weights, materialized ONCE per actor
+    in ``__init__`` (genuinely fitted per-actor state — the real-model
+    load path, vs the reference reloading per document, v10A.R:20-31)
+    and applied per document through the ``format_detector`` hook. The
+    default (None) keeps the deterministic rule scorer and the flagship
+    output byte-identical."""
+
+    def __init__(self, cleaning_method: str = "hybrid", layout_weights_ref=None):
         # warm per-actor state (simulated A1 model load): importing doclogic
         # compiles every regex table once per actor, not per batch/doc.
         from ..doclogic import cleaners, extract, formats  # noqa: F401
 
         self.cleaning_method = cleaning_method
+        self._format_detector = None
+        if layout_weights_ref is not None:
+            import ray
+
+            self._format_detector = make_learned_format_detector(
+                ray.get(layout_weights_ref)
+            )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return extract_batch(batch, self.cleaning_method)
+        return extract_batch(
+            batch, self.cleaning_method, format_detector=self._format_detector
+        )
 
 
 # --------------------------------------------------------------------------
