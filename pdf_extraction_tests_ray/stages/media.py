@@ -401,19 +401,99 @@ def encode_png(img: np.ndarray) -> bytes:
     )
 
 
+class _NativeImaging:
+    """Thin adapter over PIL.Image, isolated so (a) the import gate fires
+    at ACTOR CONSTRUCTION, never mid-batch (the tesseract/lance gate
+    pattern), and (b) tests can inject a PIL-shaped shim and drive the
+    whole native codepath in environments without Pillow."""
+
+    def __init__(self, module=None):
+        if module is None:
+            try:
+                from PIL import Image  # type: ignore
+            except ImportError as e:
+                raise ImportError(
+                    "DecodeMedia(backend='native') needs Pillow (PIL), which "
+                    "is not importable here — install Pillow or use "
+                    "backend='pure' (or 'auto', which falls back silently)"
+                ) from e
+            module = Image
+        self._Image = module
+
+    def decode_first_frame(self, payload: bytes):
+        """payload -> ((h, w, ch) uint8 array of frame 0, n_frames)."""
+        import io
+
+        img = self._Image.open(io.BytesIO(payload))
+        n_frames = int(getattr(img, "n_frames", 1))
+        if getattr(img, "mode", "") in ("P", "CMYK", "YCbCr"):
+            img = img.convert("RGB")
+        arr = np.asarray(img)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        return arr.astype(np.uint8, copy=False), n_frames
+
+
 class DecodeMedia:
     """Actor-pool decode stage. Small ``batch_size`` is mandatory: payload
     rows are megabytes at real scale — batch bytes, not row count, bound
-    worker heap (SURVEY.md §7.3.6)."""
+    worker heap (SURVEY.md §7.3.6).
 
-    def __init__(self, fake: bool = False, feature_dim: int = 16):
+    ``backend`` (round-5 VERDICT #1 — the import-gated real-codec path):
+
+    * ``"pure"`` — the repo's pure-numpy/stdlib codecs (PGM/PPM, PNG,
+      baseline+progressive JPEG, GIF, BMP; always available, bit-pinned
+      in tests). ~3.9 Mpx/s/core on JPEG — the 100-TB constant-factor
+      note in VERDICT r4.
+    * ``"native"`` — decode IMAGE payloads through Pillow/libjpeg
+      (imported once per actor in ``__init__``; raises ImportError at
+      construction when Pillow is absent, never mid-batch). Gray rules
+      mirror the pure codecs per format, so lossless formats produce
+      IDENTICAL features; JPEG may differ by ±1/255 per pixel (IDCT is
+      not bit-specified across decoders). WAV stays on the shared
+      stdlib path in both backends — PCM16/mu-law are exact numpy
+      already; libsndfile would add nothing.
+    * ``"auto"`` (default) — native when Pillow imports, else pure.
+
+    ``imaging_module`` injects a PIL-shaped module (tests drive the
+    native path with a shim built on the pure codecs; a real Pillow
+    environment runs the same code against libjpeg/libpng)."""
+
+    def __init__(
+        self,
+        fake: bool = False,
+        feature_dim: int = 16,
+        backend: str = "auto",
+        imaging_module=None,
+    ):
         self.fake = fake
         self.feature_dim = feature_dim
-        # real path would load codec handles here, once per actor:
-        # self.cv2 = importlib.import_module("cv2")
+        self._imaging = None
+        if not fake:
+            if backend == "native":
+                self._imaging = _NativeImaging(imaging_module)
+            elif backend == "auto":
+                try:
+                    self._imaging = _NativeImaging(imaging_module)
+                except ImportError:
+                    self._imaging = None
+            elif backend != "pure":
+                raise ValueError(
+                    f"unknown DecodeMedia backend {backend!r}: "
+                    "expected 'auto', 'native' or 'pure'"
+                )
 
     def _decode_real(self, payload: bytes, media_type: str):
-        """Pure-numpy/stdlib decode; see module docstring."""
+        """Decode via the selected backend; see class docstring."""
+        is_image = (
+            payload[:2] in (b"P5", b"P6")
+            or payload[:8] == _PNG_MAGIC
+            or payload[:2] == b"\xff\xd8"
+            or payload[:6] in (b"GIF87a", b"GIF89a")
+            or payload[:2] == b"BM"
+        )
+        if is_image and self._imaging is not None:
+            return self._decode_native_image(payload)
         if payload[:2] in (b"P5", b"P6"):
             return self._decode_pnm(payload)
         if payload[:8] == _PNG_MAGIC:
@@ -433,6 +513,23 @@ class DecodeMedia:
             "environment; route other codecs (MP3/H.264) through a real "
             "codec build of _decode_real"
         )
+
+    def _decode_native_image(self, payload: bytes):
+        """Native (Pillow) image decode, mirroring each format's gray
+        convention so lossless-format features equal the pure backend's
+        bit for bit: PNG excludes alpha from the mean; PNM/JPEG/GIF/BMP
+        mean over all decoded channels (palette modes convert to RGB,
+        matching the pure decoders' palette expansion)."""
+        arr, n_frames = self._imaging.decode_first_frame(payload)
+        if payload[:8] == _PNG_MAGIC:
+            color_ch = {1: 1, 2: 1, 3: 3, 4: 3}[arr.shape[2]]
+            gray = arr[:, :, :color_ch].astype(np.float32).mean(axis=2)
+        else:
+            gray = arr.astype(np.float32).mean(axis=2)
+        if payload[:6] not in (b"GIF87a", b"GIF89a"):
+            n_frames = 1  # stills: Pillow may expose APNG-style frames
+        h, w = gray.shape
+        return w, h, n_frames, self._pooled_grid(gray)
 
     def _decode_jpeg(self, payload: bytes):
         from .jpegcodec import decode_jpeg
@@ -610,11 +707,22 @@ class SampleFrames:
         return batch.append_column("frame_indices", pa.array(idx_lists, pa.list_(pa.int32())))
 
 
-def decode_pipeline(media_ds, fake: bool = True, concurrency=(1, 4), batch_size: int = 16):
+def decode_pipeline(
+    media_ds,
+    fake: bool = True,
+    concurrency=(1, 4),
+    batch_size: int = 16,
+    backend: str = "auto",
+    imaging_module=None,
+):
     """media table -> decoded features -> resize -> frame samples."""
     out = media_ds.map_batches(
         DecodeMedia,
-        fn_constructor_kwargs={"fake": fake},
+        fn_constructor_kwargs={
+            "fake": fake,
+            "backend": backend,
+            "imaging_module": imaging_module,
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
