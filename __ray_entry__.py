@@ -622,6 +622,48 @@ def oracle_sql() -> dict[str, str]:
                    max(t) - min(t) AS duration_s
             FROM s GROUP BY user_id, sid
         """,
+        # HyperLogLog replay: the engine's md5 hash mode IS DuckDB's
+        # md5_number_upper (first 8 digest bytes little-endian), so the
+        # 2^12 registers rebuild exactly in SQL — idx = top 12 bits,
+        # rho = leading zeros of the low-52-bit field + 1 via
+        # length(bin(x)) (integer-exact floor(log2)). Registers merge by
+        # max; empty registers contribute 2^0 to the harmonic sum. The
+        # estimator branches and rounds like functions/sketches.py
+        # hll_estimate: round-boundary margins >= 0.24 and branch
+        # margins ~7000 measured at sf 0.001/0.01/0.1 and pinned in
+        # tests/test_llm_and_scale_paths.py.
+        "q_events_approx_distinct_users": """
+            WITH h AS (
+              SELECT DISTINCT event_type,
+                     md5_number_upper(CAST(user_id AS VARCHAR)) AS h
+              FROM events
+            ), rho AS (
+              SELECT event_type,
+                     CAST(h >> 52 AS BIGINT) AS idx,
+                     MAX(CASE WHEN h % 4503599627370496 = 0 THEN 53
+                              ELSE 52 - length(bin(h % 4503599627370496)) + 1
+                         END) AS rho
+              FROM h GROUP BY 1, 2
+            ), reg AS (
+              SELECT event_type,
+                     CAST(4096 - count(*) AS BIGINT) AS zeros,
+                     sum(pow(2.0, -rho)) + (4096 - count(*)) AS denom
+              FROM rho GROUP BY 1
+            ), est AS (
+              SELECT event_type, zeros,
+                     (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+                       / denom AS raw
+              FROM reg
+            )
+            SELECT event_type,
+                   CAST(round(
+                     CASE WHEN raw <= 2.5 * 4096.0 AND zeros > 0
+                          THEN 4096.0 * ln(4096.0 / zeros)
+                          WHEN raw > 4294967296.0 / 30.0
+                          THEN -(pow(2.0, 64)) * ln(1.0 - raw / pow(2.0, 64))
+                          ELSE raw END) AS BIGINT) AS approx_distinct
+            FROM est
+        """,
         # Cohort retention: cohort = first-event week, retained in week k
         # if any event falls k weeks after the cohort week
         # Markov transition counts over per-user event streams; the

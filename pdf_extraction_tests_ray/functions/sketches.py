@@ -35,12 +35,29 @@ def _hash_u64(values) -> np.ndarray:
     return out
 
 
-def hll_add(reg: np.ndarray, values) -> np.ndarray:
+def _hash_u64_md5(values) -> np.ndarray:
+    """md5-based 64-bit hash: first 8 digest bytes little-endian of
+    str(v) — byte-identical to DuckDB ``md5_number_upper(CAST(v AS
+    VARCHAR))``, which is what makes an HLL built on it SQL-checkable
+    (md5 is this repo's cross-engine oracle contract; blake2b stays the
+    default for callers that never need a SQL twin)."""
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        out[i] = int.from_bytes(
+            hashlib.md5(str(v).encode("utf-8")).digest()[:8], "little"
+        )
+    return out
+
+
+_HASHERS = {"blake2b": _hash_u64, "md5": _hash_u64_md5}
+
+
+def hll_add(reg: np.ndarray, values, hash_name: str = "blake2b") -> np.ndarray:
     """Fold values into the register array IN PLACE (vectorized rho)."""
     if len(values) == 0:
         return reg
     p = int(np.log2(len(reg)))
-    h = _hash_u64(values)
+    h = _HASHERS[hash_name](values)
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     rest = h << np.uint64(p)  # remaining 64-p bits, left-aligned
     # rho = position of the leftmost 1-bit in the remaining bits (1-based)

@@ -1103,13 +1103,18 @@ def q_events_distinct_users(sf_dir: str):
 
 
 def q_events_approx_distinct_users(sf_dir: str):
-    """HyperLogLog distinct users per event_type (rows-only: blake2b
-    hashing is not SQL-expressible; the <5% error bound vs the exact
-    operator is pinned in tests)."""
+    """HyperLogLog distinct users per event_type, FULLY SQL-oracled: the
+    md5 hash mode makes every register value a DuckDB expression
+    (md5_number_upper == first-8-bytes-little-endian of Python's md5),
+    so the oracle rebuilds the 2^12 registers and replays the
+    bias-corrected estimator exactly — registers are integers, the
+    linear-counting branch is a pure function of the zero-register
+    count, and the round boundary margins are pinned in tests. The <5%
+    error bound vs the exact operator stays pinned too."""
     from .relational import grouped_approx_distinct
 
     ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
-    return grouped_approx_distinct(ev, group="event_type", col="user_id")
+    return grouped_approx_distinct(ev, group="event_type", col="user_id", hash_name="md5")
 
 
 def q_quantity_range_buckets(sf_dir: str):

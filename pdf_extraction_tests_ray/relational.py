@@ -1305,7 +1305,7 @@ def grouped_distinct_count(
 
 
 def grouped_approx_distinct(
-    ds: "ray.data.Dataset", group: str, col: str, p: int = 12
+    ds: "ray.data.Dataset", group: str, col: str, p: int = 12, hash_name: str = "blake2b"
 ) -> "ray.data.Dataset":
     """APPROXIMATE per-group distinct count via mergeable HyperLogLog
     sketches (functions.sketches): each batch folds its rows into one
@@ -1321,7 +1321,7 @@ def grouped_approx_distinct(
         groups, regs = [], []
         for g, sub in df.groupby(group, sort=False):
             reg = SK.hll_empty(p)
-            SK.hll_add(reg, sub[col].tolist())
+            SK.hll_add(reg, sub[col].tolist(), hash_name=hash_name)
             groups.append(g)
             regs.append(reg.tobytes())
         return pd.DataFrame({group: groups, "_reg": regs})

@@ -1600,8 +1600,46 @@ def test_approx_distinct_within_error_of_exact():
     assert (rel_err < 0.05).all(), rel_err.tolist()
 
 
-@pytest.mark.usefixtures("ray_session")
-def test_new_aggregates_invariant_to_block_layout():
+def test_hll_md5_oracle_margins():
+    """The q_events_approx_distinct_users SQL oracle replays the md5-mode
+    HLL estimator in DuckDB; its correctness rests on (a) the md5 hash
+    alignment (md5_number_upper == first 8 digest bytes little-endian),
+    (b) the estimate sitting far from the integer-round boundary, and
+    (c) the branch decision (raw vs 2.5m) being insensitive to last-ulp
+    float-sum drift. Pin all three at every test SF."""
+    import hashlib
+
+    import pandas as pd
+
+    from pdf_extraction_tests_ray.functions import sketches as SK
+
+    # (a) hash alignment with DuckDB md5_number_upper
+    import duckdb
+
+    con = duckdb.connect()
+    for v in ("12345", "hello", "-7"):
+        duck = con.sql(f"select md5_number_upper('{v}')").fetchone()[0]
+        py = int.from_bytes(hashlib.md5(v.encode()).digest()[:8], "little")
+        assert duck == py, v
+    assert SK._hash_u64_md5([12345])[0] == int.from_bytes(
+        hashlib.md5(b"12345").digest()[:8], "little"
+    )
+
+    for sf in ("0.001", "0.01"):
+        df = pd.read_parquet(
+            f"/root/testdata/sf{sf}/events.parquet", columns=["event_type", "user_id"]
+        )
+        for _, sub in df.groupby("event_type"):
+            reg = SK.hll_add(SK.hll_empty(), sub["user_id"].tolist(), hash_name="md5")
+            m = float(len(reg))
+            alpha = 0.7213 / (1.0 + 1.079 / m)
+            raw = alpha * m * m / np.ldexp(1.0, -reg.astype(np.int64)).sum()
+            est = SK.hll_estimate(reg)
+            # (b) >= 0.2 from the nearest .5 rounding boundary (measured
+            # 0.24-0.47 across sf 0.001/0.01/0.1)
+            assert abs((est % 1.0) - 0.5) >= 0.2, (sf, est)
+            # (c) branch margin dwarfs any float-sum reordering drift
+            assert abs(raw - 2.5 * m) > 1000.0, (sf, raw)
     """grouped_quantiles and top_terms must produce identical results
     regardless of how the input is partitioned (partials differ, the
     merged result must not)."""

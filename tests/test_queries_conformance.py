@@ -113,6 +113,7 @@ def _to_pandas(res):
         "q_topk_per_brand",
         "q_quantity_range_buckets",
         "q_events_distinct_users",
+        "q_events_approx_distinct_users",
         "q_price_quantiles",
         "q_price_quantiles_sketch",
         "dedup_substring_cut",
@@ -205,7 +206,6 @@ def test_query_matches_oracle(name, duck):
         "doc_pagerank",
         "doc_quality_scorer",
         "doc_lm_perplexity",
-        "q_events_approx_distinct_users",
         "knn_ivf_indexed",
         "media_features",
         "media_decode_real",
