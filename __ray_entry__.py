@@ -1136,6 +1136,50 @@ def oracle_sql() -> dict[str, str]:
             WHERE k.rn = 1
             GROUP BY k.doc_id
         """,
+        # SimHash replay: the engine's md5 hash mode makes every
+        # fingerprint bit an integer expression — distinct word bigrams
+        # of the shared normalization, md5_number_upper per feature,
+        # per-bit +-1 sums, sign -> bit. The engine's 16-bit-chunk
+        # blocking is pigeonhole-complete for hamming <= 3, so the
+        # oracle is the plain all-pairs filter; featureless (<2-word)
+        # docs carry fingerprint 0 in both engines.
+        "dedup_simhash": """
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                       lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                       ' ') AS ws
+              FROM documents
+            ), f AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(range(1, length(ws)),
+                                           i -> ws[i] || ' ' || ws[i + 1]))
+                       AS feat
+              FROM w
+            ), hb AS (
+              SELECT doc_id, md5_number_upper(feat) AS h FROM f
+            ), bits AS (
+              SELECT doc_id, k,
+                     sum(CASE WHEN (h >> CAST(k AS UTINYINT)) & 1 = 1
+                              THEN 1 ELSE -1 END) AS v
+              FROM hb CROSS JOIN range(0, 64) AS t(k)
+              GROUP BY doc_id, k
+            ), sh0 AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN v > 0
+                              THEN (1::HUGEINT << CAST(k AS INTEGER))
+                              ELSE 0::HUGEINT END) AS UBIGINT) AS simhash
+              FROM bits GROUP BY doc_id
+            ), sh AS (
+              SELECT w.doc_id, coalesce(sh0.simhash, 0::UBIGINT) AS simhash
+              FROM w LEFT JOIN sh0 ON w.doc_id = sh0.doc_id
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                     AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
         # blocked edit-distance record linkage on the distinct-name
         # dictionary; DuckDB's levenshtein is the same unit-cost DP
         "dedup_fuzzy_names": """

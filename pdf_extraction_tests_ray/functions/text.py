@@ -286,6 +286,17 @@ def hash_u64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
 
 
+def hash_u64_md5(s: str) -> int:
+    """md5-based 64-bit hash (first 8 digest bytes little-endian) —
+    byte-identical to DuckDB ``md5_number_upper``, the repo's
+    cross-engine oracle contract; blake2b stays the default hash for
+    callers with no SQL twin."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+
+
+_U64_HASHERS = {"blake2b": hash_u64, "md5": hash_u64_md5}
+
+
 # Universal hashing mod the Mersenne prime 2^31-1: a,b,x < 2^31 so the
 # product a*x fits in uint64 and the whole signature is exact + vectorized.
 _MERSENNE31 = np.uint64((1 << 31) - 1)
@@ -341,13 +352,15 @@ def jaccard(a: set, b: set) -> float:
 # --------------------------------------------------------------------------
 # SimHash
 
-def simhash64(s: str, ngram: int = 2) -> int:
+def simhash64(s: str, ngram: int = 2, hash_name: str = "blake2b") -> int:
     """64-bit SimHash over word n-grams (weight 1 each); bit counting is
-    one vectorized (n_feats, 64) pass, not a per-feature loop."""
+    one vectorized (n_feats, 64) pass, not a per-feature loop. The "md5"
+    hash mode makes the fingerprint a DuckDB expression (SQL-oracled)."""
     feats = word_ngrams(s, ngram)
     if not feats:
         return 0
-    hs = np.fromiter((hash_u64(f) for f in feats), dtype=np.uint64, count=len(feats))
+    hf = _U64_HASHERS[hash_name]
+    hs = np.fromiter((hf(f) for f in feats), dtype=np.uint64, count=len(feats))
     bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
     v = (2 * bits.astype(np.int64) - 1).sum(axis=0)
     return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64).astype(np.int64))

@@ -2516,8 +2516,13 @@ def dedup_minhash(sf_dir: str):
 
 
 def dedup_simhash(sf_dir: str):
+    """SimHash near-dup pairs (hamming <= 3 over 64-bit word-bigram
+    fingerprints), FULLY SQL-oracled in md5 hash mode: every bit of the
+    fingerprint is an integer expression DuckDB reproduces exactly, and
+    the 16-bit-chunk blocking is pigeonhole-complete for <= 3, so the
+    oracle is simply the all-pairs hamming filter."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return D.simhash_pairs(ds, max_hamming=3)
+    return D.simhash_pairs(ds, max_hamming=3, hash_name="md5")
 
 
 def dedup_fuzzy_names(sf_dir: str):

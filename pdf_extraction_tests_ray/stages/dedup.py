@@ -1513,14 +1513,19 @@ def dedup_minhash_incremental(
     )
 
 
-def simhash_pairs(docs: "ray.data.Dataset", max_hamming: int = 3) -> "ray.data.Dataset":
+def simhash_pairs(
+    docs: "ray.data.Dataset", max_hamming: int = 3, hash_name: str = "blake2b"
+) -> "ray.data.Dataset":
     """Pairs with SimHash hamming distance <= max_hamming (64-bit, word
-    2-grams), blocked by 16-bit chunks (pigeonhole-complete for <=3)."""
+    2-grams), blocked by 16-bit chunks (pigeonhole-complete for <=3).
+    hash_name="md5" makes the fingerprints (hence the pair list)
+    SQL-replayable — the oracle needs no blocking at test scale since
+    the chunk blocking is candidate-complete for <=3."""
 
     def sigs(df: pd.DataFrame) -> pd.DataFrame:
         rows = {"chunk_id": [], "chunk_val": [], "doc_id": [], "simhash": [], "bucket": []}
         for did, txt in zip(df["doc_id"].tolist(), df["text"].tolist()):
-            h = T.simhash64(txt)
+            h = T.simhash64(txt, hash_name=hash_name)
             for ci, cv in enumerate(T.simhash_chunks(h)):
                 rows["chunk_id"].append(ci)
                 rows["chunk_val"].append(cv)
