@@ -459,11 +459,16 @@ def _train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10) -> n
     degrades recall."""
     rng = np.random.default_rng(np.random.SeedSequence([424242, sample.shape[1]]))
     cents = [sample[int(rng.integers(len(sample)))]]
+    # incremental running min keeps init O(k*N*d), not O(k^2*N*d) — the
+    # distance vector per centroid is computed identically, so the
+    # elementwise minimum is bit-equal to the old stacked np.min (the
+    # adaptive ~4*sqrt(N) cell counts made the quadratic form visible:
+    # ~5s at k=283/N=5k; this form is milliseconds)
+    d_min = np.sum((sample - cents[0]) ** 2, axis=1)
     for _ in range(n_centroids - 1):
-        d = np.min(
-            [np.sum((sample - c) ** 2, axis=1) for c in cents], axis=0
-        )
-        cents.append(sample[int(np.argmax(d))])  # farthest-point: deterministic
+        nxt = sample[int(np.argmax(d_min))]  # farthest-point: deterministic
+        cents.append(nxt)
+        np.minimum(d_min, np.sum((sample - nxt) ** 2, axis=1), out=d_min)
     cents = _norm_rows(np.array(cents))
     for _ in range(iters):
         assign = np.argmax(sample @ cents.T, axis=1)  # cosine on unit rows
