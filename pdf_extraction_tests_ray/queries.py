@@ -3173,8 +3173,11 @@ QUERIES = {
     # -- implementation changed in round 5 -> driver re-verifies --
     "q_events_watermark": q_events_watermark,
     "dedup_substring_cut": dedup_substring_cut,
-    # -- newly oracled in round 5 (recursive-CTE compressor replay) --
+    # -- newly oracled in round 5 (recursive-CTE compressor replay; md5
+    # hash mode makes the HLL registers / SimHash bits SQL-expressible) --
     "q_price_quantiles_tdigest": q_price_quantiles_tdigest,
+    "q_events_approx_distinct_users": q_events_approx_distinct_users,
+    "dedup_simhash": dedup_simhash,
     # -- stalest oracled rows: last driver-checked in ROUND 2 (32) --
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q_region_customer_balance": q_region_customer_balance,
@@ -3216,11 +3219,13 @@ QUERIES = {
     "doc_stratified_sample": doc_stratified_sample,
     "doc_top_terms": doc_top_terms,
     "doc_token_counts": doc_token_counts,
-    "doc_chunks": doc_chunks,
-    "doc_fingerprint": doc_fingerprint,
     # ---- end of the driver's 50-entry correctness window ----
     # rotated out in round 5 (every one driver-green in ROUND 4 — the
-    # freshest possible check — and still conformance-run each session)
+    # freshest possible check — and still conformance-run each session;
+    # doc_chunks/doc_fingerprint yielded their slots to the two newly
+    # oracled rows, both round-3-green)
+    "doc_chunks": doc_chunks,
+    "doc_fingerprint": doc_fingerprint,
     "dedup_exact": dedup_exact,
     "dedup_exact_apply": dedup_exact_apply,
     "dedup_lines": dedup_lines,
@@ -3268,7 +3273,6 @@ QUERIES = {
     # -- rows-only entries (genuinely non-SQL-expressible; past the window) --
     "extract_html_main_learned": extract_html_main_learned,
     "doc_bpe_encode": doc_bpe_encode,
-    "q_events_approx_distinct_users": q_events_approx_distinct_users,
     "doc_quality_scorer": doc_quality_scorer,
     "doc_lm_perplexity": doc_lm_perplexity,
     "doc_pagerank": doc_pagerank,
@@ -3280,7 +3284,6 @@ QUERIES = {
     "dedup_minhash": dedup_minhash,
     "dedup_minhash_apply": dedup_minhash_apply,
     "dedup_minhash_cross_job": dedup_minhash_cross_job,
-    "dedup_simhash": dedup_simhash,
     "dedup_semantic": dedup_semantic,
     "emb_pca_project": emb_pca_project,
     "knn_lsh": knn_lsh,

@@ -55,8 +55,13 @@ def test_driver_window_is_fully_oracled(tmp_path, monkeypatch):
         "doc_corpus_stats",
         "q_user_sessions",
         "q_price_quantiles",
-        "doc_fingerprint",
+        "doc_token_counts",
     ]:
+        assert k in window, k
+    # the two rows newly oracled late in round 5 (HLL md5 mode, SimHash
+    # md5 mode) enter the window for their first driver check;
+    # doc_chunks/doc_fingerprint (round-3-green) yielded the slots
+    for k in ["q_events_approx_distinct_users", "dedup_simhash"]:
         assert k in window, k
     # every round-4-green row rotated out but stays queryable
     for k in [
