@@ -288,6 +288,15 @@ def oracle_sql() -> dict[str, str]:
     )
     _SEARCH_TERM_VALUES = ", ".join(f"('{t}')" for t in sorted(set(SEARCH_TERMS)))
 
+    # MinHash universal-hash constants: embedded from the SAME module-
+    # level arrays the Ray operator uses (functions/text.py seeded RNG) —
+    # only the 21x6=126 signature slots the banding consumes
+    from pdf_extraction_tests_ray.functions.text import _MINHASH_A, _MINHASH_B
+
+    perm_vals = ", ".join(
+        f"({i}, {int(_MINHASH_A[i])}, {int(_MINHASH_B[i])})" for i in range(126)
+    )
+
     from pdf_extraction_tests_ray.queries import CHUNK_SIZE as _CHUNK_SIZE
     from pdf_extraction_tests_ray.queries import CHUNK_STRIDE as _CHUNK_STRIDE
 
@@ -1825,6 +1834,66 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rn
               FROM documents
             ) WHERE rn = 1
+        """,
+        # Full MinHash-LSH replay: char_shingles_u64 is a polynomial
+        # rolling hash over the UTF-8 bytes of the shared normalization
+        # (h = h*1099511628211 + byte mod 2^64 — HUGEINT Horner steps;
+        # the corpus is ASCII so ord(char) == byte, guarded in tests);
+        # signatures replay the exact a*x+b mod 2^31-1 universal hashes
+        # (constants embedded from functions/text.py), candidates are
+        # band-slice equality over the 21x6 banding (the engine's FNV
+        # band KEY equality differs only on 2^-64 key collisions — the
+        # verified-pair equality here is the corpus-wide check), and the
+        # verify stage recomputes exact Jaccard on the same shingle sets
+        # with the engine's unrounded >= threshold filter + round(6).
+        "dedup_minhash": f"""
+            WITH nrm AS (
+              SELECT doc_id, {_NORM} AS s FROM documents
+            ), by AS (
+              SELECT doc_id, i, ord(s[i]) AS b0,
+                     lead(ord(s[i]), 1) OVER w AS b1,
+                     lead(ord(s[i]), 2) OVER w AS b2,
+                     lead(ord(s[i]), 3) OVER w AS b3,
+                     lead(ord(s[i]), 4) OVER w AS b4
+              FROM nrm, unnest(range(1, length(s) + 1)) AS t(i)
+              WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                CAST((((((((((b0::HUGEINT * 1099511628211)
+                  % 18446744073709551616 + b1)
+                  * 1099511628211) % 18446744073709551616 + b2)
+                  * 1099511628211) % 18446744073709551616 + b3)
+                  * 1099511628211) % 18446744073709551616 + b4))
+                  % 18446744073709551616 AS UBIGINT) AS h
+              FROM by WHERE b4 IS NOT NULL
+            ), xs AS (
+              SELECT doc_id, CAST(h % 2147483647 AS BIGINT) AS x FROM sh
+            ), perms(perm, a, b) AS (VALUES {perm_vals}),
+            sig AS (
+              SELECT doc_id, perm, MIN((a * x + b) % 2147483647) AS v
+              FROM xs CROSS JOIN perms GROUP BY doc_id, perm
+            ), bands AS (
+              SELECT doc_id, perm // 6 AS band,
+                     string_agg(v, ',' ORDER BY perm) AS bsig
+              FROM sig GROUP BY doc_id, perm // 6
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bsig = b.bsig
+                   AND a.doc_id < b.doc_id
+            ), sets AS (
+              SELECT doc_id, list(h) AS hs FROM sh GROUP BY doc_id
+            )
+            SELECT c.doc_a, c.doc_b,
+                   round(CAST(length(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                         / (length(sa.hs) + length(sb.hs)
+                            - length(list_intersect(sa.hs, sb.hs))), 6)
+                     AS jaccard
+            FROM cand c JOIN sets sa ON sa.doc_id = c.doc_a
+                        JOIN sets sb ON sb.doc_id = c.doc_b
+            WHERE CAST(length(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                  / (length(sa.hs) + length(sb.hs)
+                     - length(list_intersect(sa.hs, sb.hs))) >= 0.6
         """,
         "dedup_jaccard_pairs": f"""
             WITH d AS (

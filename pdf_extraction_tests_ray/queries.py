@@ -2511,6 +2511,12 @@ def dedup_minhash_cross_job(sf_dir: str):
 
 
 def dedup_minhash(sf_dir: str):
+    """MinHash-LSH verified near-dup pairs, FULLY SQL-oracled: the char
+    shingle hash is a polynomial rolling hash (SQL Horner steps over the
+    normalized bytes), signatures replay the embedded a*x+b mod 2^31-1
+    constants, candidates are exact band-slice equality (the engine's
+    FNV band keys differ only on 2^-64 collisions), verify is exact
+    Jaccard on the same shingle sets."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return D.minhash_lsh_pairs(ds, threshold=0.6)
 

@@ -1640,6 +1640,19 @@ def test_hll_md5_oracle_margins():
             assert abs((est % 1.0) - 0.5) >= 0.2, (sf, est)
             # (c) branch margin dwarfs any float-sum reordering drift
             assert abs(raw - 2.5 * m) > 1000.0, (sf, raw)
+
+
+def test_minhash_oracle_byte_assumption_holds():
+    """The dedup_minhash SQL oracle replays char_shingles_u64's BYTE-level
+    rolling hash via ord(char) — valid iff the documents text is ASCII
+    (byte == codepoint). Guard the assumption on the corpora the oracle
+    runs against, so a testdata change surfaces here instead of as a
+    silent hash divergence."""
+    import pandas as pd
+
+    for sf in ("0.001", "0.01"):
+        df = pd.read_parquet(f"/root/testdata/sf{sf}/documents.parquet", columns=["text"])
+        assert df["text"].map(lambda s: s.isascii()).all(), sf
     """grouped_quantiles and top_terms must produce identical results
     regardless of how the input is partitioned (partials differ, the
     merged result must not)."""

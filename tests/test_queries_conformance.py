@@ -89,6 +89,7 @@ def _to_pandas(res):
         "dedup_jaccard_apply",
         "extract_html_main",
         "dedup_jaccard_pairs",
+        "dedup_minhash",
         "dedup_simhash",
         "dedup_fuzzy_names",
         "dedup_ngram3_jaccard_pairs",
@@ -190,7 +191,6 @@ def test_query_matches_oracle(name, duck):
 @pytest.mark.parametrize(
     "name",
     [
-        "dedup_minhash",
         "dedup_minhash_apply",
         "dedup_minhash_cross_job",
         "dedup_semantic",
