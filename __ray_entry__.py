@@ -297,6 +297,57 @@ def oracle_sql() -> dict[str, str]:
         f"({i}, {int(_MINHASH_A[i])}, {int(_MINHASH_B[i])})" for i in range(126)
     )
 
+    # shared CTE chain ending in vp = (doc_a, doc_b, raw_j) verified
+    # minhash pairs; used by dedup_minhash (pair list) and
+    # dedup_minhash_apply (recursive closure over the same pairs)
+    _MINHASH_CORE = f"""nrm AS (
+              SELECT doc_id, {_NORM} AS s FROM documents
+            ), bt AS (
+              SELECT doc_id, i, ord(s[i]) AS b0,
+                     lead(ord(s[i]), 1) OVER w AS b1,
+                     lead(ord(s[i]), 2) OVER w AS b2,
+                     lead(ord(s[i]), 3) OVER w AS b3,
+                     lead(ord(s[i]), 4) OVER w AS b4
+              FROM nrm, unnest(range(1, length(s) + 1)) AS t(i)
+              WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                CAST((((((((((b0::HUGEINT * 1099511628211)
+                  % 18446744073709551616 + b1)
+                  * 1099511628211) % 18446744073709551616 + b2)
+                  * 1099511628211) % 18446744073709551616 + b3)
+                  * 1099511628211) % 18446744073709551616 + b4))
+                  % 18446744073709551616 AS UBIGINT) AS h
+              FROM bt WHERE b4 IS NOT NULL
+            ), xs AS (
+              SELECT doc_id, CAST(h % 2147483647 AS BIGINT) AS x FROM sh
+            ), perms(perm, a, b) AS (VALUES {perm_vals}),
+            sig AS (
+              SELECT doc_id, perm, MIN((a * x + b) % 2147483647) AS v
+              FROM xs CROSS JOIN perms GROUP BY doc_id, perm
+            ), bands AS (
+              SELECT doc_id, perm // 6 AS band,
+                     string_agg(v, ',' ORDER BY perm) AS bsig
+              FROM sig GROUP BY doc_id, perm // 6
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bsig = b.bsig
+                   AND a.doc_id < b.doc_id
+            ), sets AS (
+              SELECT doc_id, list(h) AS hs FROM sh GROUP BY doc_id
+            ), vp AS (
+              SELECT c.doc_a, c.doc_b,
+                     CAST(length(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                       / (length(sa.hs) + length(sb.hs)
+                          - length(list_intersect(sa.hs, sb.hs))) AS raw_j
+              FROM cand c JOIN sets sa ON sa.doc_id = c.doc_a
+                          JOIN sets sb ON sb.doc_id = c.doc_b
+              WHERE CAST(length(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                    / (length(sa.hs) + length(sb.hs)
+                       - length(list_intersect(sa.hs, sb.hs))) >= 0.6
+            )"""
+
     from pdf_extraction_tests_ray.queries import CHUNK_SIZE as _CHUNK_SIZE
     from pdf_extraction_tests_ray.queries import CHUNK_STRIDE as _CHUNK_STRIDE
 
@@ -1847,53 +1898,24 @@ def oracle_sql() -> dict[str, str]:
         # verify stage recomputes exact Jaccard on the same shingle sets
         # with the engine's unrounded >= threshold filter + round(6).
         "dedup_minhash": f"""
-            WITH nrm AS (
-              SELECT doc_id, {_NORM} AS s FROM documents
-            ), by AS (
-              SELECT doc_id, i, ord(s[i]) AS b0,
-                     lead(ord(s[i]), 1) OVER w AS b1,
-                     lead(ord(s[i]), 2) OVER w AS b2,
-                     lead(ord(s[i]), 3) OVER w AS b3,
-                     lead(ord(s[i]), 4) OVER w AS b4
-              FROM nrm, unnest(range(1, length(s) + 1)) AS t(i)
-              WINDOW w AS (PARTITION BY doc_id ORDER BY i)
-            ), sh AS (
-              SELECT DISTINCT doc_id,
-                CAST((((((((((b0::HUGEINT * 1099511628211)
-                  % 18446744073709551616 + b1)
-                  * 1099511628211) % 18446744073709551616 + b2)
-                  * 1099511628211) % 18446744073709551616 + b3)
-                  * 1099511628211) % 18446744073709551616 + b4))
-                  % 18446744073709551616 AS UBIGINT) AS h
-              FROM by WHERE b4 IS NOT NULL
-            ), xs AS (
-              SELECT doc_id, CAST(h % 2147483647 AS BIGINT) AS x FROM sh
-            ), perms(perm, a, b) AS (VALUES {perm_vals}),
-            sig AS (
-              SELECT doc_id, perm, MIN((a * x + b) % 2147483647) AS v
-              FROM xs CROSS JOIN perms GROUP BY doc_id, perm
-            ), bands AS (
-              SELECT doc_id, perm // 6 AS band,
-                     string_agg(v, ',' ORDER BY perm) AS bsig
-              FROM sig GROUP BY doc_id, perm // 6
-            ), cand AS (
-              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM bands a JOIN bands b
-                ON a.band = b.band AND a.bsig = b.bsig
-                   AND a.doc_id < b.doc_id
-            ), sets AS (
-              SELECT doc_id, list(h) AS hs FROM sh GROUP BY doc_id
+            WITH {_MINHASH_CORE}
+            SELECT doc_a, doc_b, round(raw_j, 6) AS jaccard FROM vp
+        """,
+        # same verified pairs -> connected components (recursive min-label
+        # closure, the dedup_jaccard_apply pattern) -> keep min doc_id
+        "dedup_minhash_apply": f"""
+            WITH RECURSIVE {_MINHASH_CORE}, edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM vp
+              UNION ALL SELECT doc_b, doc_a FROM vp
+            ), reach(v, m) AS (
+              SELECT DISTINCT a, a FROM edges
+              UNION
+              SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.v
+            ), dropped AS (
+              SELECT v AS doc_id FROM reach GROUP BY v HAVING v <> min(m)
             )
-            SELECT c.doc_a, c.doc_b,
-                   round(CAST(length(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
-                         / (length(sa.hs) + length(sb.hs)
-                            - length(list_intersect(sa.hs, sb.hs))), 6)
-                     AS jaccard
-            FROM cand c JOIN sets sa ON sa.doc_id = c.doc_a
-                        JOIN sets sb ON sb.doc_id = c.doc_b
-            WHERE CAST(length(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
-                  / (length(sa.hs) + length(sb.hs)
-                     - length(list_intersect(sa.hs, sb.hs))) >= 0.6
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         """,
         "dedup_jaccard_pairs": f"""
             WITH d AS (

@@ -2441,10 +2441,11 @@ def dedup_jaccard_apply(sf_dir: str):
 
 def dedup_minhash_apply(sf_dir: str):
     """FineWeb-style near-dup removal END-TO-END: MinHash+LSH verified
-    pairs -> connected components -> keep min doc_id per cluster
-    (rows-only: minhash banding is approximate; drop-set consistency with
-    an independent BFS over the pair list and layout invariance are
-    pinned in tests)."""
+    pairs -> connected components -> keep min doc_id per cluster. FULLY
+    SQL-oracled: the dedup_minhash pair replay feeds the recursive
+    min-label closure (the dedup_jaccard_apply pattern); drop-set
+    consistency with an independent BFS and layout invariance stay
+    pinned in tests."""
     docs = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars", "text"])
     pairs = D.minhash_lsh_pairs(docs, threshold=0.6).select_columns(["doc_a", "doc_b"])
     return D.apply_neardup_dedup(docs, pairs).select_columns(
@@ -3184,6 +3185,8 @@ QUERIES = {
     "q_price_quantiles_tdigest": q_price_quantiles_tdigest,
     "q_events_approx_distinct_users": q_events_approx_distinct_users,
     "dedup_simhash": dedup_simhash,
+    "dedup_minhash": dedup_minhash,
+    "dedup_minhash_apply": dedup_minhash_apply,
     # -- stalest oracled rows: last driver-checked in ROUND 2 (32) --
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q_region_customer_balance": q_region_customer_balance,
@@ -3222,14 +3225,14 @@ QUERIES = {
     "q_events_sliding": q_events_sliding,
     "q_topk_per_brand": q_topk_per_brand,
     "q_price_quantiles": q_price_quantiles,
-    "doc_stratified_sample": doc_stratified_sample,
-    "doc_top_terms": doc_top_terms,
     "doc_token_counts": doc_token_counts,
     # ---- end of the driver's 50-entry correctness window ----
     # rotated out in round 5 (every one driver-green in ROUND 4 — the
     # freshest possible check — and still conformance-run each session;
-    # doc_chunks/doc_fingerprint yielded their slots to the two newly
-    # oracled rows, both round-3-green)
+    # doc_chunks/doc_fingerprint/doc_stratified_sample/doc_top_terms
+    # (round-3-green) yielded their slots to the four newly oracled rows)
+    "doc_stratified_sample": doc_stratified_sample,
+    "doc_top_terms": doc_top_terms,
     "doc_chunks": doc_chunks,
     "doc_fingerprint": doc_fingerprint,
     "dedup_exact": dedup_exact,
@@ -3287,8 +3290,6 @@ QUERIES = {
     "media_ocr_glyph": media_ocr_glyph,
     "extract_ocr_backfill": extract_ocr_backfill,
     "media_ocr_regions": media_ocr_regions,
-    "dedup_minhash": dedup_minhash,
-    "dedup_minhash_apply": dedup_minhash_apply,
     "dedup_minhash_cross_job": dedup_minhash_cross_job,
     "dedup_semantic": dedup_semantic,
     "emb_pca_project": emb_pca_project,

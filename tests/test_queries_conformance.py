@@ -90,6 +90,7 @@ def _to_pandas(res):
         "extract_html_main",
         "dedup_jaccard_pairs",
         "dedup_minhash",
+        "dedup_minhash_apply",
         "dedup_simhash",
         "dedup_fuzzy_names",
         "dedup_ngram3_jaccard_pairs",
@@ -191,7 +192,6 @@ def test_query_matches_oracle(name, duck):
 @pytest.mark.parametrize(
     "name",
     [
-        "dedup_minhash_apply",
         "dedup_minhash_cross_job",
         "dedup_semantic",
         "emb_pca_project",
