@@ -348,6 +348,56 @@ def oracle_sql() -> dict[str, str]:
                        - length(list_intersect(sa.hs, sb.hs))) >= 0.6
             )"""
 
+    # PageRank: 10 power iterations unrolled as generated CTEs (DuckDB
+    # forbids aggregates over the recursive reference). The node/edge
+    # set is the exact word-Jaccard>=0.8 pair list (dedup_jaccard_pairs'
+    # SQL); SUM order differs from the engine's canonical np.add.at
+    # accumulation only in last-ulp float drift, which the round(6)
+    # margins dwarf (measured and pinned in tests).
+    _PAGERANK_HEAD = f"""
+            WITH d AS (
+              SELECT doc_id, source,
+                     list_distinct(string_split({_NORM}, ' ')) AS w
+              FROM documents
+            ), p AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM d a JOIN d b
+                ON a.source = b.source AND a.doc_id < b.doc_id
+              WHERE CAST(length(list_intersect(a.w, b.w)) AS DOUBLE)
+                    / (length(a.w) + length(b.w)
+                       - length(list_intersect(a.w, b.w))) >= 0.8
+            ), edges AS (
+              SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p
+            ), nodes AS (
+              SELECT DISTINCT src AS v FROM edges
+            ), nn AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+            ), deg AS (
+              SELECT src AS v, CAST(count(*) AS DOUBLE) AS d
+              FROM edges GROUP BY src
+            ), pr0 AS (
+              SELECT v, 1.0 / (SELECT n FROM nn) AS r FROM nodes
+            )"""
+    _PAGERANK_ITERS = "".join(
+        f""", pr{k + 1} AS (
+              SELECT n.v,
+                     (1.0 - 0.85) / (SELECT n FROM nn)
+                     + 0.85 * coalesce(s.acc, 0.0) AS r
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst AS v, sum(p.r / dg.d) AS acc
+                FROM edges e JOIN pr{k} p ON p.v = e.src
+                             JOIN deg dg ON dg.v = e.src
+                GROUP BY e.dst
+              ) s ON s.v = n.v
+            )"""
+        for k in range(10)
+    )
+    _PAGERANK_SQL = (
+        _PAGERANK_HEAD
+        + _PAGERANK_ITERS
+        + "\n            SELECT v AS doc_id, round(r, 6) AS rank FROM pr10"
+    )
+
     from pdf_extraction_tests_ray.queries import CHUNK_SIZE as _CHUNK_SIZE
     from pdf_extraction_tests_ray.queries import CHUNK_STRIDE as _CHUNK_STRIDE
 
@@ -1901,6 +1951,7 @@ def oracle_sql() -> dict[str, str]:
             WITH {_MINHASH_CORE}
             SELECT doc_a, doc_b, round(raw_j, 6) AS jaccard FROM vp
         """,
+        "doc_pagerank": _PAGERANK_SQL,
         # same verified pairs -> connected components (recursive min-label
         # closure, the dedup_jaccard_apply pattern) -> keep min doc_id
         "dedup_minhash_apply": f"""

@@ -2459,9 +2459,10 @@ def doc_pagerank(sf_dir: str):
     The pair list is the small side by the verified-dedup contract, so
     the iteration runs driver-side (pagerank_local); the distributed
     twin (stages.dedup.pagerank, 2 bucketed all-to-alls per iteration)
-    covers pair lists beyond one machine and is pinned equal in tests
-    (rows-only: iterative float propagation; an independent numpy power
-    iteration and layout invariance are also pinned)."""
+    covers pair lists beyond one machine and is pinned equal in tests.
+    FULLY SQL-oracled: the 10 iterations unroll as generated CTEs over
+    the exact-Jaccard pair graph; accumulation-order float drift is
+    dwarfed by the round(6) margins (measured and pinned in tests)."""
     docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
     pairs = D.ngram_jaccard_pairs(docs, n=1, threshold=0.8).select_columns(
         ["doc_a", "doc_b"]
@@ -3187,6 +3188,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_minhash": dedup_minhash,
     "dedup_minhash_apply": dedup_minhash_apply,
+    "doc_pagerank": doc_pagerank,
     # -- stalest oracled rows: last driver-checked in ROUND 2 (32) --
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q_region_customer_balance": q_region_customer_balance,
@@ -3222,15 +3224,16 @@ QUERIES = {
     "doc_corpus_stats": doc_corpus_stats,
     # -- next-stalest: last driver-checked in ROUND 3 (9 of 10) --
     "q_user_sessions": q_user_sessions,
-    "q_events_sliding": q_events_sliding,
     "q_topk_per_brand": q_topk_per_brand,
     "q_price_quantiles": q_price_quantiles,
     "doc_token_counts": doc_token_counts,
     # ---- end of the driver's 50-entry correctness window ----
     # rotated out in round 5 (every one driver-green in ROUND 4 — the
     # freshest possible check — and still conformance-run each session;
-    # doc_chunks/doc_fingerprint/doc_stratified_sample/doc_top_terms
-    # (round-3-green) yielded their slots to the four newly oracled rows)
+    # doc_chunks/doc_fingerprint/doc_stratified_sample/doc_top_terms/
+    # q_events_sliding (round-3-green) yielded their slots to the five
+    # newly oracled rows)
+    "q_events_sliding": q_events_sliding,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_top_terms": doc_top_terms,
     "doc_chunks": doc_chunks,
@@ -3284,7 +3287,6 @@ QUERIES = {
     "doc_bpe_encode": doc_bpe_encode,
     "doc_quality_scorer": doc_quality_scorer,
     "doc_lm_perplexity": doc_lm_perplexity,
-    "doc_pagerank": doc_pagerank,
     "media_features": media_features,
     "media_decode_real": media_decode_real,
     "media_ocr_glyph": media_ocr_glyph,

@@ -1642,6 +1642,61 @@ def test_hll_md5_oracle_margins():
             assert abs(raw - 2.5 * m) > 1000.0, (sf, raw)
 
 
+def test_pagerank_oracle_rounding_margins():
+    """The doc_pagerank SQL oracle unrolls the 10 power iterations in
+    DuckDB; its SUM accumulation order differs from the engine's
+    canonical np.add.at order, so equality after round(6) rests on the
+    drift being far smaller than every rank's distance to a rounding
+    boundary. Measure both and pin the separation."""
+    import duckdb
+    import pandas as pd
+
+    for sf in ("0.001", "0.01"):
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf{sf}/documents.parquet')"
+        )
+        norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+        pairs = con.sql(f"""
+            WITH d AS (
+              SELECT doc_id, source, list_distinct(string_split({norm}, ' ')) AS w
+              FROM documents
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b
+            FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE CAST(length(list_intersect(a.w, b.w)) AS DOUBLE)
+                  / (length(a.w) + length(b.w) - length(list_intersect(a.w, b.w)))
+                  >= 0.8
+        """).df()
+        # engine-order twin (pagerank_local's exact math, unrounded)
+        nodes = sorted(set(pairs["a"]).union(pairs["b"]))
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        src = np.array([idx[x] for x in pairs["a"]] + [idx[x] for x in pairs["b"]])
+        dst = np.array([idx[x] for x in pairs["b"]] + [idx[x] for x in pairs["a"]])
+        order = np.lexsort((src, dst))
+        src, dst = src[order], dst[order]
+        deg = np.bincount(src, minlength=n).astype(np.float64)
+        r = np.full(n, 1.0 / n)
+        # SQL-order twin: per-destination sums via pandas groupby (an
+        # arbitrary-order accumulation, like DuckDB's SUM)
+        r2 = np.full(n, 1.0 / n)
+        base = 0.15 / n
+        for _ in range(10):
+            contrib = r[src] / deg[src]
+            nxt = np.full(n, base)
+            np.add.at(nxt, dst, 0.85 * contrib)
+            r = nxt
+            s2 = pd.Series(0.85 * (r2[src] / deg[src])).groupby(dst).sum()
+            nxt2 = np.full(n, base)
+            nxt2[s2.index.to_numpy()] += s2.to_numpy()
+            r2 = nxt2
+        drift = np.abs(r - r2).max()
+        margin = np.abs(((r * 1e6) % 1.0) - 0.5).min() / 1e6
+        assert margin > 100 * max(drift, 1e-16), (sf, margin, drift)
+
+
 def test_minhash_oracle_byte_assumption_holds():
     """The dedup_minhash SQL oracle replays char_shingles_u64's BYTE-level
     rolling hash via ord(char) — valid iff the documents text is ASCII

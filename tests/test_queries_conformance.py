@@ -91,6 +91,7 @@ def _to_pandas(res):
         "dedup_jaccard_pairs",
         "dedup_minhash",
         "dedup_minhash_apply",
+        "doc_pagerank",
         "dedup_simhash",
         "dedup_fuzzy_names",
         "dedup_ngram3_jaccard_pairs",
@@ -203,7 +204,6 @@ def test_query_matches_oracle(name, duck):
         "knn_ivf",
         "doc_pack_sequences",
         "doc_bpe_encode",
-        "doc_pagerank",
         "doc_quality_scorer",
         "doc_lm_perplexity",
         "knn_ivf_indexed",
