@@ -1448,6 +1448,31 @@ def oracle_sql() -> dict[str, str]:
         # word-13-gram overlap vs the doc_id%20==7 benchmark slice; grams
         # via inclusive list slices (w[i:i+12] is 13 words in DuckDB)
         "doc_decontaminate": _DECONTAM_SQL,
+        # CCNet-style add-k unigram-LM perplexity: counts and denominator
+        # are integers; per-token log2 terms hit the same libm on both
+        # engines, so the only divergence is SUM order — measured drift
+        # <=7.5e-14 vs round(6) boundary margins >=5.9e-10 at sf
+        # 0.001/0.01 (pinned in tests/test_llm_and_scale_paths.py)
+        "doc_lm_perplexity": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split({_NORM}, ' '),
+                                        x -> x <> '')) AS w
+              FROM documents
+            ), wc AS (
+              SELECT w, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY w
+            ), consts AS (
+              SELECT CAST(sum(n) AS DOUBLE) + 0.5 * (count(*) + 1) AS denom
+              FROM wc
+            )
+            SELECT t.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(pow(2.0,
+                     -sum(log2((wc.n + 0.5) / (SELECT denom FROM consts)))
+                     / count(*)), 6) AS ppl
+            FROM toks t JOIN wc ON wc.w = t.w
+            GROUP BY t.doc_id
+        """,
         # graded audit twin: per-train-doc distinct-13-gram count and
         # benchmark-hit count — all integers, hash-exact
         "doc_contamination_score": f"""

@@ -1778,9 +1778,11 @@ def doc_bpe_roundtrip(sf_dir: str):
 
 def doc_lm_perplexity(sf_dir: str):
     """Per-document perplexity under a corpus-trained add-k unigram LM —
-    the CCNet quality-ranking signal (rows-only: log/exp arithmetic over
-    a broadcast count dictionary; an independent Counter-based recount
-    and bitwise layout invariance are pinned in tests)."""
+    the CCNet quality-ranking signal. FULLY SQL-oracled: counts and the
+    denominator are integers, the per-token log2 terms hit the same
+    libm, and the sum-order drift is pinned far under the round(6)
+    margins (tests); an independent Counter-based recount and bitwise
+    layout invariance stay pinned too."""
     from .stages import curation as C
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -3189,6 +3191,7 @@ QUERIES = {
     "dedup_minhash": dedup_minhash,
     "dedup_minhash_apply": dedup_minhash_apply,
     "doc_pagerank": doc_pagerank,
+    "doc_lm_perplexity": doc_lm_perplexity,
     # -- stalest oracled rows: last driver-checked in ROUND 2 (32) --
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q_region_customer_balance": q_region_customer_balance,
@@ -3224,15 +3227,15 @@ QUERIES = {
     "doc_corpus_stats": doc_corpus_stats,
     # -- next-stalest: last driver-checked in ROUND 3 (9 of 10) --
     "q_user_sessions": q_user_sessions,
-    "q_topk_per_brand": q_topk_per_brand,
     "q_price_quantiles": q_price_quantiles,
     "doc_token_counts": doc_token_counts,
     # ---- end of the driver's 50-entry correctness window ----
     # rotated out in round 5 (every one driver-green in ROUND 4 — the
     # freshest possible check — and still conformance-run each session;
     # doc_chunks/doc_fingerprint/doc_stratified_sample/doc_top_terms/
-    # q_events_sliding (round-3-green) yielded their slots to the five
-    # newly oracled rows)
+    # q_events_sliding/q_topk_per_brand (round-3-green) yielded their
+    # slots to the six newly oracled rows)
+    "q_topk_per_brand": q_topk_per_brand,
     "q_events_sliding": q_events_sliding,
     "doc_stratified_sample": doc_stratified_sample,
     "doc_top_terms": doc_top_terms,
@@ -3286,7 +3289,6 @@ QUERIES = {
     "extract_html_main_learned": extract_html_main_learned,
     "doc_bpe_encode": doc_bpe_encode,
     "doc_quality_scorer": doc_quality_scorer,
-    "doc_lm_perplexity": doc_lm_perplexity,
     "media_features": media_features,
     "media_decode_real": media_decode_real,
     "media_ocr_glyph": media_ocr_glyph,

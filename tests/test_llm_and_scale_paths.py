@@ -1697,6 +1697,60 @@ def test_pagerank_oracle_rounding_margins():
         assert margin > 100 * max(drift, 1e-16), (sf, margin, drift)
 
 
+def test_lm_perplexity_oracle_margins():
+    """The doc_lm_perplexity SQL oracle sums the same libm log2 terms in
+    a different order than the engine's sequential Python loop; pin the
+    measured drift far under the round(6) boundary margins."""
+    import math
+    from collections import Counter
+
+    import duckdb
+    import pandas as pd
+
+    from pdf_extraction_tests_ray.functions import text as T
+
+    norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    for sf in ("0.001", "0.01"):
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf{sf}/documents.parquet')"
+        )
+        ora = con.sql(f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(string_split({norm}, ' '),
+                                                x -> x <> '')) AS w
+              FROM documents
+            ), wc AS (
+              SELECT w, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY w
+            ), consts AS (
+              SELECT CAST(sum(n) AS DOUBLE) + 0.5 * (count(*) + 1) AS denom FROM wc
+            )
+            SELECT t.doc_id,
+                   pow(2.0, -sum(log2((wc.n + 0.5) / (SELECT denom FROM consts)))
+                            / count(*)) AS ppl_raw
+            FROM toks t JOIN wc ON wc.w = t.w GROUP BY t.doc_id
+        """).df().sort_values("doc_id").reset_index(drop=True)
+        df = pd.read_parquet(
+            f"/root/testdata/sf{sf}/documents.parquet", columns=["doc_id", "text"]
+        )
+        c: Counter = Counter()
+        for t in df.text:
+            c.update(w for w in T.normalize_text(t).split(" ") if w)
+        denom = float(sum(c.values())) + 0.5 * (len(c) + 1)
+        raws = []
+        for t in df.sort_values("doc_id").text:
+            ws = [w for w in T.normalize_text(t).split(" ") if w]
+            h = 0.0
+            for w in ws:
+                h -= math.log2((c.get(w, 0) + 0.5) / denom)
+            raws.append(2.0 ** (h / len(ws)))
+        raws = np.asarray(raws)
+        drift = np.abs(raws - ora["ppl_raw"].values).max()
+        margin = np.abs(((raws * 1e6) % 1.0) - 0.5).min() / 1e6
+        assert margin > 100 * max(drift, 1e-16), (sf, margin, drift)
+
+
 def test_minhash_oracle_byte_assumption_holds():
     """The dedup_minhash SQL oracle replays char_shingles_u64's BYTE-level
     rolling hash via ord(char) — valid iff the documents text is ASCII

@@ -92,6 +92,7 @@ def _to_pandas(res):
         "dedup_minhash",
         "dedup_minhash_apply",
         "doc_pagerank",
+        "doc_lm_perplexity",
         "dedup_simhash",
         "dedup_fuzzy_names",
         "dedup_ngram3_jaccard_pairs",
@@ -205,7 +206,6 @@ def test_query_matches_oracle(name, duck):
         "doc_pack_sequences",
         "doc_bpe_encode",
         "doc_quality_scorer",
-        "doc_lm_perplexity",
         "knn_ivf_indexed",
         "media_features",
         "media_decode_real",
