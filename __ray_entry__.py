@@ -1977,6 +1977,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b, round(raw_j, 6) AS jaccard FROM vp
         """,
         "doc_pagerank": _PAGERANK_SQL,
+        # cross-job incremental: odd-doc_id docs are the new shard; they
+        # survive iff (1) min-doc_id keeper of their within-shard
+        # verified cluster (odd-odd vp edges -> recursive closure) and
+        # (2) sharing NO band slice with any even (indexed) doc — the
+        # engine's banding-only cross drop, FNV-key vs slice equality
+        # differing only on 2^-64 collisions
+        "dedup_minhash_cross_job": f"""
+            WITH RECURSIVE {_MINHASH_CORE}, oedges AS (
+              SELECT doc_a AS a, doc_b AS b FROM vp
+              WHERE doc_a % 2 = 1 AND doc_b % 2 = 1
+              UNION ALL
+              SELECT doc_b, doc_a FROM vp
+              WHERE doc_a % 2 = 1 AND doc_b % 2 = 1
+            ), reach(v, m) AS (
+              SELECT DISTINCT a, a FROM oedges
+              UNION
+              SELECT e.a, r.m FROM oedges e JOIN reach r ON e.b = r.v
+            ), dropped AS (
+              SELECT v AS doc_id FROM reach GROUP BY v HAVING v <> min(m)
+            ), cross_drop AS (
+              SELECT DISTINCT o.doc_id
+              FROM bands o JOIN bands e
+                ON o.band = e.band AND o.bsig = e.bsig
+              WHERE o.doc_id % 2 = 1 AND e.doc_id % 2 = 0
+            )
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE doc_id % 2 = 1
+              AND doc_id NOT IN (SELECT doc_id FROM dropped)
+              AND doc_id NOT IN (SELECT doc_id FROM cross_drop)
+        """,
         # same verified pairs -> connected components (recursive min-label
         # closure, the dedup_jaccard_apply pattern) -> keep min doc_id
         "dedup_minhash_apply": f"""

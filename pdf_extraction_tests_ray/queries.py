@@ -2478,9 +2478,11 @@ def dedup_minhash_cross_job(sf_dir: str):
     'yesterday's crawl' (bucket-partitioned parquet, build-once with a
     freshness marker), odd-doc_id docs arrive as the new shard and are
     deduped against the index (banding-only cross drops, file-pruned
-    probe) plus themselves (exact-verified within-shard). Rows-only:
-    seeded signatures; survivor semantics are pinned in tests with
-    planted exact/near/novel docs."""
+    probe) plus themselves (exact-verified within-shard). FULLY
+    SQL-oracled: the minhash CTE replay filters odd-odd verified pairs
+    through the recursive closure and drops odd docs sharing any band
+    slice with an even doc; survivor semantics also stay pinned in
+    tests with planted exact/near/novel docs."""
     import os
 
     tag = os.path.basename(os.path.normpath(sf_dir))
@@ -3192,6 +3194,7 @@ QUERIES = {
     "dedup_minhash_apply": dedup_minhash_apply,
     "doc_pagerank": doc_pagerank,
     "doc_lm_perplexity": doc_lm_perplexity,
+    "dedup_minhash_cross_job": dedup_minhash_cross_job,
     # -- stalest oracled rows: last driver-checked in ROUND 2 (32) --
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q_region_customer_balance": q_region_customer_balance,
@@ -3228,13 +3231,13 @@ QUERIES = {
     # -- next-stalest: last driver-checked in ROUND 3 (9 of 10) --
     "q_user_sessions": q_user_sessions,
     "q_price_quantiles": q_price_quantiles,
-    "doc_token_counts": doc_token_counts,
     # ---- end of the driver's 50-entry correctness window ----
-    # rotated out in round 5 (every one driver-green in ROUND 4 — the
-    # freshest possible check — and still conformance-run each session;
+    # rotated out in round 5 (every one driver-green in ROUND 4 or the
+    # conformance mirror — and still conformance-run each session;
     # doc_chunks/doc_fingerprint/doc_stratified_sample/doc_top_terms/
-    # q_events_sliding/q_topk_per_brand (round-3-green) yielded their
-    # slots to the six newly oracled rows)
+    # q_events_sliding/q_topk_per_brand/doc_token_counts (round-3-green)
+    # yielded their slots to the seven newly oracled rows)
+    "doc_token_counts": doc_token_counts,
     "q_topk_per_brand": q_topk_per_brand,
     "q_events_sliding": q_events_sliding,
     "doc_stratified_sample": doc_stratified_sample,
@@ -3294,7 +3297,6 @@ QUERIES = {
     "media_ocr_glyph": media_ocr_glyph,
     "extract_ocr_backfill": extract_ocr_backfill,
     "media_ocr_regions": media_ocr_regions,
-    "dedup_minhash_cross_job": dedup_minhash_cross_job,
     "dedup_semantic": dedup_semantic,
     "emb_pca_project": emb_pca_project,
     "knn_lsh": knn_lsh,

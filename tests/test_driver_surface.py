@@ -55,20 +55,21 @@ def test_driver_window_is_fully_oracled(tmp_path, monkeypatch):
         "doc_corpus_stats",
         "q_user_sessions",
         "q_price_quantiles",
-        "doc_token_counts",
     ]:
         assert k in window, k
-    # the six rows newly oracled late in round 5 (HLL md5 mode, SimHash
+    # the seven rows newly oracled late in round 5 (HLL md5 mode, SimHash
     # md5 mode, MinHash rolling-hash replay + its recursive-closure
-    # apply, PageRank unrolled iterations, add-k unigram-LM perplexity)
-    # enter the window for their first driver check; doc_chunks/
-    # doc_fingerprint/doc_stratified_sample/doc_top_terms/
-    # q_events_sliding/q_topk_per_brand (round-3-green) yielded the slots
+    # apply + the cross-job incremental, PageRank unrolled iterations,
+    # add-k unigram-LM perplexity) enter the window for their first
+    # driver check; doc_chunks/doc_fingerprint/doc_stratified_sample/
+    # doc_top_terms/q_events_sliding/q_topk_per_brand/doc_token_counts
+    # (round-3-green) yielded the slots
     for k in [
         "q_events_approx_distinct_users",
         "dedup_simhash",
         "dedup_minhash",
         "dedup_minhash_apply",
+        "dedup_minhash_cross_job",
         "doc_pagerank",
         "doc_lm_perplexity",
     ]:

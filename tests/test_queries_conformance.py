@@ -91,6 +91,7 @@ def _to_pandas(res):
         "dedup_jaccard_pairs",
         "dedup_minhash",
         "dedup_minhash_apply",
+        "dedup_minhash_cross_job",
         "doc_pagerank",
         "doc_lm_perplexity",
         "dedup_simhash",
@@ -194,7 +195,6 @@ def test_query_matches_oracle(name, duck):
 @pytest.mark.parametrize(
     "name",
     [
-        "dedup_minhash_cross_job",
         "dedup_semantic",
         "emb_pca_project",
         "knn_lsh",
