@@ -1977,6 +1977,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b, round(raw_j, 6) AS jaccard FROM vp
         """,
         "doc_pagerank": _PAGERANK_SQL,
+        # Broder containment within source blocks: ordered pairs over
+        # word-BIGRAM sets, integer intersection ratio — identical
+        # division + round(6) both sides
+        "dedup_containment_pairs": f"""
+            WITH s AS (
+              SELECT doc_id, source, string_split({_NORM}, ' ') AS ws
+              FROM documents
+            ), d AS (
+              SELECT doc_id, source,
+                     list_distinct(list_transform(
+                       range(1, greatest(length(ws), 1)),
+                       i -> ws[i] || ' ' || ws[i + 1])) AS w
+              FROM s
+            )
+            SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(CAST(length(list_intersect(a.w, b.w)) AS DOUBLE)
+                         / length(a.w), 6) AS containment
+            FROM d a JOIN d b
+              ON a.source = b.source AND a.doc_id <> b.doc_id
+            WHERE CAST(length(list_intersect(a.w, b.w)) AS DOUBLE)
+                  / length(a.w) >= 0.8
+        """,
+        # DSIR importance: md5 bucket hashing == md5_number_upper % 1024;
+        # integer counts, same-libm ln terms, sum-order drift pinned
+        # under the round(6) margins in tests
+        "doc_dsir_importance": f"""
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     unnest(list_filter(string_split({_NORM}, ' '),
+                                        x -> x <> '')) AS w
+              FROM documents
+            ), tb AS (
+              SELECT doc_id,
+                     CAST(md5_number_upper(w) % 1024 AS BIGINT) AS b,
+                     lang
+              FROM toks
+            ), bc AS (
+              SELECT b,
+                     CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS tgt_n,
+                     CAST(count(*) AS BIGINT) AS raw_n
+              FROM tb GROUP BY b
+            ), consts AS (
+              SELECT CAST(sum(tgt_n) AS DOUBLE) + 0.5 * 1024 AS t_denom,
+                     CAST(sum(raw_n) AS DOUBLE) + 0.5 * 1024 AS r_denom
+              FROM bc
+            )
+            SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(sum(
+                     ln((bc.tgt_n + 0.5) / (SELECT t_denom FROM consts))
+                     - ln((bc.raw_n + 0.5) / (SELECT r_denom FROM consts))
+                   ), 6) AS log_importance
+            FROM tb t JOIN bc ON bc.b = t.b
+            GROUP BY t.doc_id
+        """,
         # cross-job incremental: odd-doc_id docs are the new shard; they
         # survive iff (1) min-doc_id keeper of their within-shard
         # verified cluster (odd-odd vp edges -> recursive closure) and

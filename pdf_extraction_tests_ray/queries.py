@@ -1776,6 +1776,20 @@ def doc_bpe_roundtrip(sf_dir: str):
     return C.bpe_roundtrip(docs, merges)
 
 
+def doc_dsir_importance(sf_dir: str):
+    """DSIR data-selection importance weights (Xie et al. 2023): per-doc
+    sum of add-k log-likelihood ratios between the target (lang='en')
+    and raw hashed-unigram bucket distributions — the LM-pretraining
+    mix-selection signal. FULLY SQL-oracled: md5 bucket hashing is
+    DuckDB's md5_number_upper, counts are integers, and the ln terms hit
+    the same libm (sum-order drift pinned under the round(6) margins in
+    tests)."""
+    from .stages import curation as C
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    return C.dsir_importance(docs)
+
+
 def doc_lm_perplexity(sf_dir: str):
     """Per-document perplexity under a corpus-trained add-k unigram LM —
     the CCNet quality-ranking signal. FULLY SQL-oracled: counts and the
@@ -2350,6 +2364,20 @@ def dedup_ngram3_jaccard_pairs(sf_dir: str):
     return D.ngram_jaccard_pairs(ds, n=3, threshold=0.5).select_columns(
         ["doc_a", "doc_b", "jaccard"]
     )
+
+
+def dedup_containment_pairs(sf_dir: str):
+    """Broder containment |Sa∩Sb|/|Sa| >= 0.8 over word-BIGRAM sets
+    within source blocks — the ASYMMETRIC near-dup metric that catches a
+    doc contained in a larger one where Jaccard is diluted by the size
+    ratio. Bigrams, not unigrams: this corpus's shared vocabulary makes
+    unigram sets near-degenerate (containment >= 0.8 for ~all ordered
+    pairs), while bigram sets are discriminative. Ordered pairs; mutual
+    near-dups appear in both directions. FULLY SQL-oracled (integer
+    intersection ratio, identical division and round(6) on both
+    engines)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    return D.containment_pairs(ds, n=2, threshold=0.8)
 
 
 def extract_html_main(sf_dir: str):
@@ -3195,6 +3223,9 @@ QUERIES = {
     "doc_pagerank": doc_pagerank,
     "doc_lm_perplexity": doc_lm_perplexity,
     "dedup_minhash_cross_job": dedup_minhash_cross_job,
+    # -- new round-5 operator families (both fully oracled) --
+    "dedup_containment_pairs": dedup_containment_pairs,
+    "doc_dsir_importance": doc_dsir_importance,
     # -- stalest oracled rows: last driver-checked in ROUND 2 (32) --
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q_region_customer_balance": q_region_customer_balance,
@@ -3226,17 +3257,18 @@ QUERIES = {
     "doc_top_terms_approx": doc_top_terms_approx,
     "doc_pack_group_totals": doc_pack_group_totals,
     "doc_bigram_pmi": doc_bigram_pmi,
-    "doc_distinct_ngrams": doc_distinct_ngrams,
     "doc_corpus_stats": doc_corpus_stats,
     # -- next-stalest: last driver-checked in ROUND 3 (9 of 10) --
     "q_user_sessions": q_user_sessions,
-    "q_price_quantiles": q_price_quantiles,
     # ---- end of the driver's 50-entry correctness window ----
     # rotated out in round 5 (every one driver-green in ROUND 4 or the
     # conformance mirror — and still conformance-run each session;
     # doc_chunks/doc_fingerprint/doc_stratified_sample/doc_top_terms/
     # q_events_sliding/q_topk_per_brand/doc_token_counts (round-3-green)
-    # yielded their slots to the seven newly oracled rows)
+    # plus doc_distinct_ngrams/q_price_quantiles yielded their slots to
+    # the seven newly oracled rows and two new round-5 operator families)
+    "doc_distinct_ngrams": doc_distinct_ngrams,
+    "q_price_quantiles": q_price_quantiles,
     "doc_token_counts": doc_token_counts,
     "q_topk_per_brand": q_topk_per_brand,
     "q_events_sliding": q_events_sliding,

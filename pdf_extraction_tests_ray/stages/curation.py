@@ -626,6 +626,94 @@ def score_docs(docs: "ray.data.Dataset", weights: "np.ndarray") -> "ray.data.Dat
     return docs.map_batches(score, batch_format="pandas")
 
 
+def dsir_importance(
+    docs: "ray.data.Dataset",
+    target_lang: str = "en",
+    n_buckets: int = 1024,
+    add_k: float = 0.5,
+) -> "ray.data.Dataset":
+    """DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score every raw document by how much more likely its hashed-unigram
+    features are under the TARGET distribution (here: ``lang ==
+    target_lang`` docs, the in-domain proxy) than under the RAW corpus
+    distribution — the data-selection signal for LM pretraining mixes.
+
+    Scale shape: pass 1 reduces each batch to <= ``n_buckets`` hashed
+    feature-count rows per side (the bucket dictionary is O(n_buckets)
+    at any corpus size — the DSIR trick that makes the densities
+    broadcastable where a vocabulary is not), merged by one bounded
+    bucket shuffle and collected driver-side; pass 2 streams the corpus
+    once, summing per-token add-k log-likelihood ratios from the
+    broadcast tables in document order. Features hash with md5
+    (``hash_u64_md5 % n_buckets``) so a SQL oracle rebuilds the same
+    buckets; log terms hit the same libm on both engines (margins pinned
+    in tests). Output: (doc_id, n_tokens, log_importance round 6)."""
+    import math
+
+    from ..functions.text import hash_u64_md5
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows: dict = {}
+        wb: dict = {}  # word -> bucket memo (md5 once per distinct word)
+        for lang, t in zip(df["lang"].tolist(), df["text"].tolist()):
+            is_t = lang == target_lang
+            for w in T.normalize_text(t).split(" "):
+                if not w:
+                    continue
+                b = wb.get(w)
+                if b is None:
+                    b = wb[w] = hash_u64_md5(w) % n_buckets
+                tn, rn = rows.get(b, (0, 0))
+                rows[b] = (tn + (1 if is_t else 0), rn + 1)
+        return pd.DataFrame(
+            {
+                "bucket": pd.Series(list(rows), dtype="int64"),
+                "tgt_n": pd.Series([v[0] for v in rows.values()], dtype="int64"),
+                "raw_n": pd.Series([v[1] for v in rows.values()], dtype="int64"),
+            }
+        )
+
+    counts = bucketed_group_merge(
+        docs.map_batches(partial, batch_format="pandas"),
+        ["bucket"],
+        lambda df: df.groupby("bucket", sort=False)
+        .agg(tgt_n=("tgt_n", "sum"), raw_n=("raw_n", "sum"))
+        .reset_index(),
+    ).to_pandas()
+    tgt = dict(zip(counts["bucket"].tolist(), (int(x) for x in counts["tgt_n"])))
+    raw = dict(zip(counts["bucket"].tolist(), (int(x) for x in counts["raw_n"])))
+    t_total, r_total = sum(tgt.values()), sum(raw.values())
+    t_denom = float(t_total) + add_k * n_buckets
+    r_denom = float(r_total) + add_k * n_buckets
+    ref = ray.put((tgt, raw))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        tgt_c, raw_c = ray.get(ref)
+        wb: dict = {}
+        ids, ns, lws = [], [], []
+        for did, t in zip(df["doc_id"].tolist(), df["text"].tolist()):
+            ws = [w for w in T.normalize_text(t).split(" ") if w]
+            lw = 0.0
+            for w in ws:
+                b = wb.get(w)
+                if b is None:
+                    b = wb[w] = hash_u64_md5(w) % n_buckets
+                lw += math.log((tgt_c.get(b, 0) + add_k) / t_denom)
+                lw -= math.log((raw_c.get(b, 0) + add_k) / r_denom)
+            ids.append(did)
+            ns.append(len(ws))
+            lws.append(round(lw, 6))
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_tokens": pd.Series(ns, dtype="int64"),
+                "log_importance": pd.Series(lws, dtype="float64"),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
 def word_count_dict(docs: "ray.data.Dataset") -> pd.DataFrame:
     """Corpus-wide ``(word, n)`` count dictionary via per-batch combiner
     counts + one bucketed merge — the vocabulary-bounded reduction that

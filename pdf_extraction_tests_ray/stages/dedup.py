@@ -1592,6 +1592,53 @@ def ngram_jaccard_pairs(
     return docs.groupby("source").map_groups(pairs, batch_format="pandas")
 
 
+def containment_pairs(
+    docs: "ray.data.Dataset", n: int = 1, threshold: float = 0.9
+) -> "ray.data.Dataset":
+    """ASYMMETRIC near-dup detection: Broder containment
+    ``|Sa ∩ Sb| / |Sa|`` over word-n-gram sets within each ``source``
+    block — the metric that catches a document CONTAINED in a larger one
+    (quoted article inside a wrapper page, boilerplate-wrapped reposts),
+    where Jaccard is diluted by the size ratio and never fires.
+
+    Emits ORDERED rows (doc_a contained-in doc_b, a != b) at containment
+    >= ``threshold``; a pair of mutual near-dups yields both directions.
+    Empty n-gram sets are vacuously contained (containment 1.0), the
+    :func:`functions.text.jaccard` convention. Same blocking contract as
+    :func:`ngram_jaccard_pairs`: the block key bounds the quadratic term;
+    at corpus scale block on (source, length-bucket) and salt hot blocks.
+    """
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        recs = sorted(zip(g["doc_id"].tolist(), g["text"].tolist()))
+        sets = [T.word_ngrams(t, n) for _, t in recs]
+        src = g["source"].iloc[0]
+        out = {"source": [], "doc_a": [], "doc_b": [], "containment": []}
+        for i in range(len(recs)):
+            for j in range(len(recs)):
+                if i == j:
+                    continue
+                inter = len(sets[i] & sets[j])
+                c = 1.0 if not sets[i] else inter / len(sets[i])
+                if c >= threshold:
+                    out["source"].append(src)
+                    out["doc_a"].append(recs[i][0])
+                    out["doc_b"].append(recs[j][0])
+                    out["containment"].append(round(c, 6))
+        # typed even when empty: a no-match group must not emit an
+        # all-float64 frame that can fail block schema unification
+        return pd.DataFrame(
+            {
+                "source": pd.Series(out["source"], dtype="object"),
+                "doc_a": pd.Series(out["doc_a"], dtype=g["doc_id"].dtype),
+                "doc_b": pd.Series(out["doc_b"], dtype=g["doc_id"].dtype),
+                "containment": pd.Series(out["containment"], dtype="float64"),
+            }
+        )
+
+    return docs.groupby("source").map_groups(pairs, batch_format="pandas")
+
+
 # --------------------------------------------------------------------------
 # embedding-cosine near-dup within label blocks
 

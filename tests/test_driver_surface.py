@@ -54,8 +54,10 @@ def test_driver_window_is_fully_oracled(tmp_path, monkeypatch):
         "doc_scrub_pii",
         "doc_corpus_stats",
         "q_user_sessions",
-        "q_price_quantiles",
     ]:
+        assert k in window, k
+    # the two new round-5 operator families arrive oracled and windowed
+    for k in ["dedup_containment_pairs", "doc_dsir_importance"]:
         assert k in window, k
     # the seven rows newly oracled late in round 5 (HLL md5 mode, SimHash
     # md5 mode, MinHash rolling-hash replay + its recursive-closure

@@ -1751,6 +1751,91 @@ def test_lm_perplexity_oracle_margins():
         assert margin > 100 * max(drift, 1e-16), (sf, margin, drift)
 
 
+def test_dsir_importance_oracle_margins():
+    """doc_dsir_importance's SQL oracle sums the same libm ln terms in a
+    different order than the engine's sequential loop; pin the drift far
+    under the round(6) boundary margins (the perplexity-oracle recipe)."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from pdf_extraction_tests_ray.functions import text as T
+    from pdf_extraction_tests_ray.functions.text import hash_u64_md5
+
+    for sf in ("0.001", "0.01"):
+        df = pd.read_parquet(
+            f"/root/testdata/sf{sf}/documents.parquet",
+            columns=["doc_id", "lang", "text"],
+        )
+        tgt: Counter = Counter()
+        raw: Counter = Counter()
+        docs_toks = []
+        for lang, t in zip(df.lang, df.text):
+            bs = [hash_u64_md5(w) % 1024 for w in T.normalize_text(t).split(" ") if w]
+            docs_toks.append(bs)
+            raw.update(bs)
+            if lang == "en":
+                tgt.update(bs)
+        t_denom = float(sum(tgt.values())) + 0.5 * 1024
+        r_denom = float(sum(raw.values())) + 0.5 * 1024
+        # sequential (engine-order) and sorted-bucket (arbitrary-order)
+        # twins: their gap bounds the SQL sum-order drift class
+        seq, alt = [], []
+        for bs in docs_toks:
+            lw = 0.0
+            for b in bs:
+                lw += math.log((tgt.get(b, 0) + 0.5) / t_denom)
+                lw -= math.log((raw.get(b, 0) + 0.5) / r_denom)
+            seq.append(lw)
+            alt.append(
+                sum(
+                    math.log((tgt.get(b, 0) + 0.5) / t_denom)
+                    - math.log((raw.get(b, 0) + 0.5) / r_denom)
+                    for b in sorted(bs)
+                )
+            )
+        seq = np.asarray(seq)
+        drift = np.abs(seq - np.asarray(alt)).max()
+        margin = np.abs(((seq * 1e6) % 1.0) - 0.5).min() / 1e6
+        assert margin > 100 * max(drift, 1e-16), (sf, margin, drift)
+
+
+def test_containment_catches_what_jaccard_misses():
+    """The point of the asymmetric metric: a short doc fully contained in
+    a much larger one has containment 1.0 but Jaccard ~ |A|/|B| — far
+    below any near-dup threshold. Build that case and pin both the
+    detection and the direction."""
+    import ray
+
+    from pdf_extraction_tests_ray.stages.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    small = "alpha beta gamma delta epsilon"
+    big = small + " " + " ".join(f"filler{i}" for i in range(50))
+    docs = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "source": ["s", "s", "s"],
+                "text": [small, big, "zeta eta theta iota kappa"],
+            }
+        )
+    )
+    cont = containment_pairs(docs, n=1, threshold=0.9).to_pandas()
+    # doc 1 contained in doc 2 — and ONLY that direction
+    assert len(cont) == 1
+    assert (
+        int(cont.doc_a.iloc[0]),
+        int(cont.doc_b.iloc[0]),
+        float(cont.containment.iloc[0]),
+    ) == (1, 2, 1.0)
+    jac = ngram_jaccard_pairs(docs, n=1, threshold=0.5).to_pandas()
+    assert jac.empty or "doc_a" not in jac.columns or len(jac) == 0
+
+
 def test_minhash_oracle_byte_assumption_holds():
     """The dedup_minhash SQL oracle replays char_shingles_u64's BYTE-level
     rolling hash via ord(char) — valid iff the documents text is ASCII

@@ -92,6 +92,8 @@ def _to_pandas(res):
         "dedup_minhash",
         "dedup_minhash_apply",
         "dedup_minhash_cross_job",
+        "dedup_containment_pairs",
+        "doc_dsir_importance",
         "doc_pagerank",
         "doc_lm_perplexity",
         "dedup_simhash",
