@@ -120,6 +120,12 @@ QUERY_SUITE = [
     "knn_pq",
     "knn_ivfpq",
     "knn_ivfpq_indexed",
+    # round-5 additions
+    "dedup_containment_pairs",
+    "doc_dsir_importance",
+    "q_events_approx_distinct_users",
+    "dedup_minhash_cross_job",
+    "doc_pagerank",
 ]
 
 
