@@ -751,6 +751,18 @@ def test_minhash_cross_job_dedup_with_planted_docs(tmp_path):
     ).to_pandas()
     assert len(again) == 0  # zero-row frames are column-less (schema loss)
 
+    # file-count regression pin: band rows are CO-LOCATED by bucket
+    # before the partitioned write, so each bucket dir holds ONE file
+    # per build/append — a plain partitioned write emits one per
+    # (input block x bucket) and measured 15,716 files at sf0.1 (the
+    # probe paid ~17s of read_parquet metadata resolution alone)
+    import glob as _glob
+    import os as _os
+
+    for bdir in _glob.glob(_os.path.join(idx, "bucket=*")):
+        n_files = len(_glob.glob(_os.path.join(bdir, "*.parquet")))
+        assert n_files <= 2, (bdir, n_files)  # build + one append
+
 
 @pytest.mark.usefixtures("ray_session")
 def test_empty_pair_list_paths_are_noops():
