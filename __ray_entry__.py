@@ -5,9 +5,14 @@ synthesized deterministically from the flat ``documents`` testdata table).
 ``queries()`` exposes one entry per implemented operator family
 (SURVEY.md §2 + the training-data operators); ``oracle_sql()`` pairs each
 SQL-expressible query with a DuckDB oracle (identical column names and
-identical rounding). Non-SQL-expressible pipelines (extraction span
-structure, approximate LSH variants, language-ID heuristic) are exposed
-rows-only, as the contract allows.
+identical rounding) — including the md5-hash-mode sketches (HLL,
+SimHash), the full MinHash-LSH family (rolling-hash shingle replay),
+PageRank (unrolled iterations) and the log-sum operators (perplexity,
+DSIR) whose float margins are measured and pinned in tests. The
+remaining rows-only pipelines (extraction span structure, media/OCR
+decode, float-model fits like PCA/ridge where exact integer replay
+would overflow 128-bit SQL arithmetic) have no SQL twin, as the
+contract allows.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ray.init()/ray.shutdown().
