@@ -1360,7 +1360,7 @@ def dedup_substring_cut(sf_dir: str):
     merge. Full value-hash SQL oracle (md5/int/string ops only)."""
     from .stages.dedup import exact_substring_cut
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = _read_docs_blocked(sf_dir, columns=["doc_id", "text"])
     return exact_substring_cut(docs, n=12)
 
 
@@ -1448,7 +1448,7 @@ def doc_decontaminate(sf_dir: str):
     the train side streams through a membership filter."""
     from .stages import curation as C
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars", "text"])
+    docs = _read_docs_blocked(sf_dir, columns=["doc_id", "lang", "n_chars", "text"])
     bench = docs.map_batches(
         lambda df: df[df["doc_id"] % 20 == 7], batch_format="pandas"
     )
@@ -1469,7 +1469,7 @@ def doc_contamination_score(sf_dir: str):
     full value-hash SQL oracle."""
     from .stages import curation as C
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = _read_docs_blocked(sf_dir, columns=["doc_id", "text"])
     bench = docs.map_batches(
         lambda df: df[df["doc_id"] % 20 == 7], batch_format="pandas"
     )
@@ -1489,7 +1489,7 @@ def doc_decontaminate_bloom(sf_dir: str):
     pinned in tests)."""
     from .stages import curation as C
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars", "text"])
+    docs = _read_docs_blocked(sf_dir, columns=["doc_id", "lang", "n_chars", "text"])
     bench = docs.map_batches(lambda df: df[df["doc_id"] % 20 == 7], batch_format="pandas")
     train = docs.map_batches(lambda df: df[df["doc_id"] % 20 != 7], batch_format="pandas")
     bloom = C.benchmark_ngram_bloom(bench, n=13)
@@ -1554,7 +1554,7 @@ def doc_search_keywords(sf_dir: str):
     score + local top-k; k rows per batch cross the shuffle)."""
     from .stages import search as SRCH
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = _read_docs_blocked(sf_dir, columns=["doc_id", "text"])
     return SRCH.keyword_search(docs, SEARCH_TERMS, k=10)
 
 
@@ -1616,7 +1616,7 @@ def doc_vocab_encode(sf_dir: str):
     definition and is broadcast into a single streaming encode pass."""
     from .stages import curation as C
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = _read_docs_blocked(sf_dir, columns=["doc_id", "text"])
     vocab = C.build_vocab(docs, size=VOCAB_SIZE)
     return C.encode_docs(docs, vocab)
 
@@ -1744,7 +1744,7 @@ def doc_top_terms(sf_dir: str):
     """Top-5 most frequent normalized words per source."""
     from .stages import curation as C
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    docs = _read_docs_blocked(sf_dir, columns=["doc_id", "source", "text"])
     return C.top_terms(docs, group="source", k=5)
 
 
@@ -1807,7 +1807,7 @@ def doc_dsir_importance(sf_dir: str):
     tests)."""
     from .stages import curation as C
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    docs = _read_docs_blocked(sf_dir, columns=["doc_id", "lang", "text"])
     return C.dsir_importance(docs)
 
 
@@ -1820,7 +1820,7 @@ def doc_lm_perplexity(sf_dir: str):
     layout invariance stay pinned too."""
     from .stages import curation as C
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = _read_docs_blocked(sf_dir, columns=["doc_id", "text"])
     return C.lm_perplexity(docs)
 
 
@@ -1924,7 +1924,7 @@ def doc_token_deciles(sf_dir: str):
             }
         )
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+    ds = _read_docs_blocked(sf_dir, columns=["doc_id", "text"]).map_batches(
         toks, batch_format="pandas"
     )
     qs = tuple(k / 10 for k in range(1, 10))
@@ -1959,7 +1959,7 @@ def doc_shuffle_order(sf_dir: str):
 
     from .relational import global_rank
 
-    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    docs = _read_docs_blocked(sf_dir, columns=["doc_id"])
 
     def key(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -2047,7 +2047,7 @@ def curation_pipeline(sf_dir: str):
     only, decontaminate last) is part of what it checks."""
     from .pipelines.curation import curate_corpus
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars", "text"])
+    docs = _read_docs_blocked(sf_dir, columns=["doc_id", "lang", "n_chars", "text"])
     bench = docs.map_batches(lambda df: df[df["doc_id"] % 20 == 7], batch_format="pandas")
     train = docs.map_batches(lambda df: df[df["doc_id"] % 20 != 7], batch_format="pandas")
     return curate_corpus(train, bench).select_columns(["doc_id", "lang", "n_chars"])
@@ -2187,13 +2187,13 @@ def doc_fingerprint(sf_dir: str):
 
 
 def dedup_exact(sf_dir: str):
-    return D.exact_dedup(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+    return D.exact_dedup(_read_docs_blocked(sf_dir, columns=["doc_id", "text"]))
 
 
 def dedup_exact_apply(sf_dir: str):
     """The dedup APPLY step: corpus with exact duplicates removed (keep =
     min doc_id per normalized text), via broadcast keep-list semi-join."""
-    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars", "text"])
+    ds = _read_docs_blocked(sf_dir, columns=["doc_id", "lang", "n_chars", "text"])
     return D.apply_exact_dedup(ds).select_columns(["doc_id", "lang", "n_chars"])
 
 
@@ -2203,7 +2203,7 @@ def dedup_lines(sf_dir: str):
     keeping each line's first (min doc_id, line_idx) occurrence. Two
     bounded bucket shuffles: line_hash (narrow 48-byte rows) then a
     doc_id reassembly join; no broadcast on either side."""
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read_docs_blocked(sf_dir, columns=["doc_id", "text"])
     return D.apply_line_dedup(ds)
 
 
@@ -2361,7 +2361,7 @@ def dedup_incremental(sf_dir: str):
     checks the whole actor path."""
     from .state.dedup_index import DedupIndex, incremental_dedup
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars", "text"])
+    docs = _read_docs_blocked(sf_dir, columns=["doc_id", "lang", "n_chars", "text"])
     mid = docs.count() // 2  # parquet metadata only — no scan
     index = DedupIndex(num_shards=4)
     shard1 = docs.map_batches(lambda df: df[df["doc_id"] < mid], batch_format="pandas")
@@ -2373,7 +2373,7 @@ def dedup_incremental(sf_dir: str):
 
 def dedup_jaccard_pairs(sf_dir: str):
     """Word-set (1-gram) Jaccard >= 0.8 within source blocks (SQL-checked)."""
-    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    ds = _read_docs_blocked(sf_dir, columns=["doc_id", "source", "text"])
     return D.ngram_jaccard_pairs(ds, n=1, threshold=0.8).select_columns(
         ["doc_a", "doc_b", "jaccard"]
     )
@@ -2381,7 +2381,7 @@ def dedup_jaccard_pairs(sf_dir: str):
 
 def dedup_ngram3_jaccard_pairs(sf_dir: str):
     """Word-3-gram Jaccard >= 0.5 (rows-only; n-gram sets not SQL-friendly)."""
-    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    ds = _read_docs_blocked(sf_dir, columns=["doc_id", "source", "text"])
     return D.ngram_jaccard_pairs(ds, n=3, threshold=0.5).select_columns(
         ["doc_a", "doc_b", "jaccard"]
     )
@@ -2459,7 +2459,7 @@ def dedup_shared_ngrams(sf_dir: str):
     measure at 13-word-window granularity): doc pairs sharing >=1 window
     with the DISTINCT shared-window count, via two bounded bucket
     shuffles keyed on gram md5 then pair."""
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read_docs_blocked(sf_dir, columns=["doc_id", "text"])
     return D.shared_ngram_pairs(ds, n=13)
 
 
@@ -2467,7 +2467,7 @@ def dedup_jaccard_clusters(sf_dir: str):
     """Near-duplicate CLUSTER assignment: connected components (min-id
     labels) over the verified word-Jaccard>=0.8 pair list — the SQL
     oracle recomputes the components with a recursive min-label CTE."""
-    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    docs = _read_docs_blocked(sf_dir, columns=["doc_id", "source", "text"])
     pairs = D.ngram_jaccard_pairs(docs, n=1, threshold=0.8).select_columns(
         ["doc_a", "doc_b"]
     )
@@ -2481,7 +2481,7 @@ def dedup_jaccard_apply(sf_dir: str):
     keeper; returns the surviving corpus rows. The oracle recomputes the
     components with the recursive min-label CTE and anti-joins the drop
     set."""
-    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars", "text"])
+    docs = _read_docs_blocked(sf_dir, columns=["doc_id", "source", "n_chars", "text"])
     pairs = D.ngram_jaccard_pairs(docs, n=1, threshold=0.8).select_columns(
         ["doc_a", "doc_b"]
     )
@@ -2516,7 +2516,7 @@ def doc_pagerank(sf_dir: str):
     FULLY SQL-oracled: the 10 iterations unroll as generated CTEs over
     the exact-Jaccard pair graph; accumulation-order float drift is
     dwarfed by the round(6) margins (measured and pinned in tests)."""
-    docs = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    docs = _read_docs_blocked(sf_dir, columns=["doc_id", "source", "text"])
     pairs = D.ngram_jaccard_pairs(docs, n=1, threshold=0.8).select_columns(
         ["doc_a", "doc_b"]
     )
