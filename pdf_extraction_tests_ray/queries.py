@@ -36,25 +36,34 @@ def _read(sf_dir: str, name: str, **kw) -> "ray.data.Dataset":
     return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", **kw)
 
 
-def _read_docs_blocked(
-    sf_dir: str, columns, rows_per_block: int = 512
+def _read_blocked(
+    sf_dir: str, name: str, columns=None, rows_per_block: int = 512
 ) -> "ray.data.Dataset":
-    """Documents read with the block count sized to the DATA, not the CPU
-    count: Ray splits a single small parquet file into ~2x num_cpus
+    """Single-file read with the block count sized to the DATA, not the
+    CPU count: Ray splits a single small parquet file into ~2x num_cpus
     blocks for parallelism, and a multi-stage pipeline then pays task
     scheduling per operator per block — measured 6.7s -> 2.7s for the
     8-operator minhash pairs pipeline at sf0.1 (5000 rows, 64 auto
-    blocks of 78 rows each). A metadata-only row count (no data scan)
+    blocks of 78 rows each) and 2.2s -> 1.3s for knn_pq over the 5120-
+    row embeddings table. A metadata-only row count (no data scan)
     picks ~rows/512 blocks, floored at 4 so short pipelines still
     parallelize and capped at 256 (a real corpus is a DIRECTORY of
     files, where the caller should use plain _read and let Ray's
-    file-level parallelism rule)."""
+    file-level parallelism rule). Heavy-CPU per-row pipelines
+    (extraction ladder, BPE, media decode) keep the parallelism-first
+    auto split."""
     import pyarrow.parquet as pq
 
-    path = f"{sf_dir}/documents.parquet"
+    path = f"{sf_dir}/{name}.parquet"
     rows = pq.read_metadata(path).num_rows
     nb = max(4, min((rows + rows_per_block - 1) // rows_per_block, 256))
     return ray.data.read_parquet(path, columns=columns, override_num_blocks=nb)
+
+
+def _read_docs_blocked(
+    sf_dir: str, columns, rows_per_block: int = 512
+) -> "ray.data.Dataset":
+    return _read_blocked(sf_dir, "documents", columns, rows_per_block)
 
 
 # --------------------------------------------------------------------------
@@ -2605,7 +2614,7 @@ def emb_quantize_int8(sf_dir: str):
     expression (stages.similarity.quantize_int8)."""
     from .stages.similarity import quantize_int8
 
-    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb = _read_blocked(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return quantize_int8(emb)
 
 
@@ -2617,7 +2626,7 @@ def emb_pca_project(sf_dir: str):
     and cross-layout agreement are pinned in tests)."""
     from .stages.similarity import pca_fit, pca_project
 
-    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb = _read_blocked(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     comps, mean = pca_fit(emb, k=8)
     return pca_project(emb, comps, mean)
 
@@ -2627,14 +2636,14 @@ def dedup_semantic(sf_dir: str):
     keep the member least similar to its centroid (rows-only: k-means cell
     boundaries are not SQL-expressible; within-cell keep rule, ground-truth
     containment and layout invariance are pinned in tests)."""
-    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb = _read_blocked(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return D.semantic_dedup(emb, n_clusters=16, threshold=0.35)
 
 
 def dedup_embedding_pairs(sf_dir: str):
     """Cosine >= 0.35 within label blocks (threshold sits in a wide gap of
     the synthetic distribution — fp-boundary safe; round 6)."""
-    emb = _read(sf_dir, "embeddings")
+    emb = _read_blocked(sf_dir, "embeddings")
     return D.embedding_neardup_pairs(emb, threshold=0.35)
 
 
@@ -2650,7 +2659,7 @@ def _query_vec(sf_dir: str):
 
 
 def knn_bruteforce(sf_dir: str):
-    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb = _read_blocked(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return S.knn_bruteforce(emb, _query_vec(sf_dir), k=10, exclude_vec_id=0)
 
 
@@ -2661,7 +2670,7 @@ def knn_pq(sf_dir: str):
     Rows-only: learned codebooks; recall >= 0.9 vs the ORACLED
     knn_bruteforce is pinned in tests (clustered fixture, shortlist 5%
     -> measured 1.0)."""
-    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb = _read_blocked(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return S.knn_pq(emb, _query_vec(sf_dir), k=10, exclude_vec_id=0)
 
 
@@ -2671,7 +2680,7 @@ def knn_ivfpq(sf_dir: str):
     cells, ADC-scan only those cells' m-byte codes, rerank the shortlist
     exactly). Rows-only: learned centroids + codebooks; recall >= 0.9 vs
     the ORACLED knn_bruteforce and real cell pruning pinned in tests."""
-    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb = _read_blocked(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return S.knn_ivfpq(emb, _query_vec(sf_dir), k=10, nprobe=10, exclude_vec_id=0)
 
 
@@ -2685,7 +2694,7 @@ def knn_multi(sf_dir: str):
     )
     qids = qt.column("vec_id").to_pylist()
     qm = np.array([np.asarray(v, dtype=np.float64) for v in qt.column("embedding").to_pylist()])
-    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb = _read_blocked(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return S.knn_bruteforce_multi(emb, qids, qm, k=10)
 
 
@@ -2694,12 +2703,12 @@ def knn_ivf(sf_dir: str):
     margin-ranked spill to a ~0.5 scan budget — recall@10 0.93 on the
     sf0.1 embeddings vs 0.7-0.8 for fixed 16/8 at the same scan;
     rows-only)."""
-    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb = _read_blocked(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return S.knn_ivf(emb, _query_vec(sf_dir), k=10, exclude_vec_id=0)
 
 
 def knn_lsh(sf_dir: str):
-    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb = _read_blocked(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return S.knn_lsh(emb, _query_vec(sf_dir), k=10, exclude_vec_id=0)
 
 
@@ -2727,7 +2736,7 @@ def knn_lsh_indexed(sf_dir: str):
         import shutil
 
         shutil.rmtree(idx, ignore_errors=True)
-        emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        emb = _read_blocked(sf_dir, "embeddings", columns=["vec_id", "embedding"])
         S.build_lsh_index(emb, idx, n_tables=4)
         with open(marker, "w") as f:
             f.write(stamp)
@@ -2760,7 +2769,7 @@ def knn_ivf_indexed(sf_dir: str):
         import shutil
 
         shutil.rmtree(idx, ignore_errors=True)
-        emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        emb = _read_blocked(sf_dir, "embeddings", columns=["vec_id", "embedding"])
         S.build_ivf_index(emb, idx)  # adaptive ~4*sqrt(N) cells (round 5)
         with open(marker, "w") as f:
             f.write(stamp)
@@ -2788,7 +2797,7 @@ def knn_ivfpq_indexed(sf_dir: str):
             fresh = f.read() == stamp
     except OSError:
         pass
-    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb = _read_blocked(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     if not fresh:
         import shutil
 
